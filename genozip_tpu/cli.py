@@ -1,0 +1,92 @@
+"""CLI: four personalities from one entrypoint, like the reference binary
+(reference src/genozip.c:723-745 ExeType): gxzip (compress), gxunzip
+(decompress), gxcat (decompress to stdout with filters), gxls (list archive
+metadata).
+"""
+
+import argparse
+import os
+import sys
+
+
+def build_parser():
+    p = argparse.ArgumentParser(prog="gxzip",
+                                description="TPU-native genomic compressor")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    z = sub.add_parser("zip", help="compress")
+    z.add_argument("input")
+    z.add_argument("-o", "--output")
+    z.add_argument("--input-type", dest="dt", default=None)
+    z.add_argument("--vblock", type=int, default=None, help="VB size in MB")
+    z.add_argument("--stats", action="store_true")
+    z.add_argument("--test", action="store_true",
+                   help="verify by decompress+digest after compressing")
+    z.add_argument("--reference", default=None)
+
+    u = sub.add_parser("unzip", help="decompress")
+    u.add_argument("input")
+    u.add_argument("-o", "--output")
+    u.add_argument("--test", action="store_true", help="verify only")
+
+    c = sub.add_parser("cat", help="decompress to stdout")
+    c.add_argument("input")
+    c.add_argument("--head", type=int, default=None)
+    c.add_argument("--tail", type=int, default=None)
+    c.add_argument("--grep", default=None)
+    c.add_argument("--downsample", type=int, default=None)
+
+    l = sub.add_parser("ls", help="list archive metadata")
+    l.add_argument("inputs", nargs="+")
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    if args.cmd == "zip":
+        from .zip_pipeline import zip_file
+        from .txtfile import DEFAULT_VB_SIZE
+        out = args.output or args.input + ".gxz"
+        vb = (args.vblock * (1 << 20)) if args.vblock else DEFAULT_VB_SIZE
+        stats = zip_file(args.input, out, dt_name=args.dt, vb_size=vb,
+                         show_stats=args.stats)
+        if args.test:
+            from .piz_pipeline import piz_file
+            piz_file(out, None)
+            print("verified: round-trip digest OK")
+        return 0
+    if args.cmd == "unzip":
+        from .piz_pipeline import piz_file
+        if args.test:
+            piz_file(args.input, None)
+            print("verified: round-trip digest OK")
+            return 0
+        out = args.output or args.input.removesuffix(".gxz")
+        if out == args.input:
+            out = args.input + ".out"
+        piz_file(args.input, out)
+        return 0
+    if args.cmd == "cat":
+        from .piz_pipeline import PizReader
+        from .filters import cat_filtered
+        cat_filtered(args, sys.stdout.buffer)
+        return 0
+    if args.cmd == "ls":
+        from .format import sections as fmt
+        from .piz_pipeline import PizReader
+        print(f"{'name':30s} {'type':8s} {'txt_len':>14s} {'z_len':>14s} "
+              f"{'ratio':>7s} {'lines':>12s}")
+        for path in args.inputs:
+            pr = PizReader(path)
+            h = pr.file_hdr
+            zlen = os.path.getsize(path)
+            print(f"{h.get('txt_name', path):30s} {h['dt']:8s} "
+                  f"{h['txt_len']:>14,} {zlen:>14,} "
+                  f"{h['txt_len'] / max(zlen, 1):>6.1f}x {h['num_lines']:>12,}")
+            pr.close()
+        return 0
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,203 @@
+"""Codec registry: entropy + transform codecs for section payloads.
+
+Reference parity: src/codec.h:65-122 codec vtable, src/compressor.c:18
+comp_compress. The entropy core is our own wide-interleaved rANS
+(ops/rans_np.py spec, ops/rans_jax.py device path) instead of htscodecs'
+4-lane coders; LZMA/BZ2/ZLIB come from the Python standard library (the
+reference vendors the same C libraries).
+
+Every compress() returns a self-contained payload; the codec id travels in the
+section header (format/sections.py). `uncomp_len` is available at decompress
+time from the header.
+"""
+
+import bz2 as _bz2
+import lzma as _lzma
+import zlib as _zlib
+
+import numpy as np
+
+from ..ops import rans_np, pack as packops
+
+# codec ids (u8), stable on-disk values
+NONE = 0
+RANS0 = 1     # wide-interleaved rANS order-0
+RANS1 = 2     # order-1
+PACK0 = 3     # <=16 distinct symbols: bit-pack, then rANS order-0 on packed
+PACK1 = 4     # bit-pack, then rANS order-1 on packed
+ZLIB = 5
+BZ2 = 6
+LZMA = 7
+ACGT = 8      # DNA 2-bit pack + exception channel
+DELTA_RANS = 9   # byte-wise delta then rANS order-0 (pos-like streams)
+RLE0 = 10     # run-length (value,run) pairs, each rANS'd — long-run streams
+
+NAMES = {NONE: "NONE", RANS0: "RANS0", RANS1: "RANS1", PACK0: "PACK0",
+         PACK1: "PACK1", ZLIB: "ZLIB", BZ2: "BZ2", LZMA: "LZMA", ACGT: "ACGT",
+         DELTA_RANS: "DELTA", RLE0: "RLE0"}
+
+# toggled by the pipeline: use the JAX (device) rANS for large payloads
+_JAX_MIN_SIZE = 1 << 62   # effectively disabled until enabled
+
+
+def enable_device_rans(min_size: int = 256 * 1024):
+    global _JAX_MIN_SIZE
+    _JAX_MIN_SIZE = min_size
+
+
+def _rans_encode(data: bytes, order: int) -> bytes:
+    if len(data) >= _JAX_MIN_SIZE:
+        from ..ops import rans_jax
+        return rans_jax.encode(data, order=order)
+    return rans_np.encode(data, order=order)
+
+
+def _rans_decode(blob) -> bytes:
+    if len(blob) >= _JAX_MIN_SIZE:
+        from ..ops import rans_jax
+        return rans_jax.decode(blob)
+    return rans_np.decode(blob)
+
+
+def _pack_encode(data: bytes, order: int) -> bytes:
+    a = np.frombuffer(data, np.uint8)
+    syms = np.unique(a)
+    ns = syms.shape[0]
+    if ns <= 2:
+        width = 1
+    elif ns <= 4:
+        width = 2
+    elif ns <= 16:
+        width = 4
+    else:
+        raise ValueError("PACK needs <=16 distinct symbols")
+    lut = np.zeros(256, np.uint8)
+    lut[syms] = np.arange(ns, dtype=np.uint8)
+    packed = packops.pack_np(lut[a], width)
+    sub = _rans_encode(packed.tobytes(), order)
+    head = bytes([ns, width]) + len(a).to_bytes(8, "little") + syms.tobytes()
+    return head + sub
+
+
+def _pack_decode(blob) -> bytes:
+    blob = memoryview(blob)
+    ns, width = blob[0], blob[1]
+    n = int.from_bytes(blob[2:10], "little")
+    syms = np.frombuffer(blob[10:10 + ns], np.uint8)
+    packed = np.frombuffer(_rans_decode(blob[10 + ns:]), np.uint8)
+    codes = packops.unpack_np(packed, width, n)
+    return syms[codes].tobytes()
+
+
+def _acgt_encode(data: bytes) -> bytes:
+    a = np.frombuffer(data, np.uint8)
+    packed, exc_pos, exc_bytes = packops.seq_pack_2bit(a)
+    p = _rans_encode(packed.tobytes(), 0)
+    e_pos = _rans_encode(np.diff(exc_pos, prepend=np.uint32(0)).astype("<u4").tobytes(), 0)
+    e_b = _rans_encode(exc_bytes.tobytes(), 0)
+    head = len(a).to_bytes(8, "little") + len(exc_pos).to_bytes(8, "little") + \
+        len(p).to_bytes(8, "little") + len(e_pos).to_bytes(8, "little")
+    return head + p + e_pos + e_b
+
+
+def _acgt_decode(blob) -> bytes:
+    blob = memoryview(blob)
+    n = int.from_bytes(blob[0:8], "little")
+    ne = int.from_bytes(blob[8:16], "little")
+    lp = int.from_bytes(blob[16:24], "little")
+    lep = int.from_bytes(blob[24:32], "little")
+    off = 32
+    packed = np.frombuffer(_rans_decode(blob[off:off + lp]), np.uint8)
+    off += lp
+    exc_pos = np.cumsum(np.frombuffer(_rans_decode(blob[off:off + lep]), "<u4").astype(np.int64))
+    off += lep
+    exc_bytes = np.frombuffer(_rans_decode(blob[off:]), np.uint8)
+    assert exc_pos.shape[0] == ne
+    return packops.seq_unpack_2bit(packed, n, exc_pos, exc_bytes).tobytes()
+
+
+def _delta_encode(data: bytes) -> bytes:
+    a = np.frombuffer(data, np.uint8)
+    d = np.diff(a, prepend=np.uint8(0))
+    return _rans_encode(d.tobytes(), 0)
+
+
+def _delta_decode(blob) -> bytes:
+    d = np.frombuffer(_rans_decode(blob), np.uint8)
+    return np.cumsum(d.astype(np.uint64)).astype(np.uint8).tobytes()
+
+
+def _rle_encode(data: bytes) -> bytes:
+    a = np.frombuffer(data, np.uint8)
+    if a.shape[0] == 0:
+        return (0).to_bytes(8, "little")
+    change = np.concatenate([[True], a[1:] != a[:-1]])
+    starts = np.nonzero(change)[0]
+    vals = a[starts]
+    runs = np.diff(np.concatenate([starts, [a.shape[0]]]))
+    # cap runs at 255 by splitting: values repeated; simpler: u32 runs
+    v = _rans_encode(vals.tobytes(), 0)
+    r = _rans_encode(runs.astype("<u4").tobytes(), 0)
+    return len(vals).to_bytes(8, "little") + len(v).to_bytes(8, "little") + v + r
+
+
+def _rle_decode(blob) -> bytes:
+    blob = memoryview(blob)
+    nr = int.from_bytes(blob[0:8], "little")
+    if nr == 0:
+        return b""
+    lv = int.from_bytes(blob[8:16], "little")
+    vals = np.frombuffer(_rans_decode(blob[16:16 + lv]), np.uint8)
+    runs = np.frombuffer(_rans_decode(blob[16 + lv:]), "<u4").astype(np.int64)
+    return np.repeat(vals, runs).tobytes()
+
+
+def compress(data: bytes, codec: int) -> bytes:
+    if codec == NONE:
+        return bytes(data)
+    if codec == RANS0:
+        return _rans_encode(data, 0)
+    if codec == RANS1:
+        return _rans_encode(data, 1)
+    if codec == PACK0:
+        return _pack_encode(data, 0)
+    if codec == PACK1:
+        return _pack_encode(data, 1)
+    if codec == ZLIB:
+        return _zlib.compress(bytes(data), 6)
+    if codec == BZ2:
+        return _bz2.compress(bytes(data), 9)
+    if codec == LZMA:
+        return _lzma.compress(bytes(data), preset=6)
+    if codec == ACGT:
+        return _acgt_encode(data)
+    if codec == DELTA_RANS:
+        return _delta_encode(data)
+    if codec == RLE0:
+        return _rle_encode(data)
+    raise ValueError(f"unknown codec {codec}")
+
+
+def decompress(blob, codec: int, uncomp_len: int) -> bytes:
+    if codec == NONE:
+        out = bytes(blob)
+    elif codec in (RANS0, RANS1):
+        out = _rans_decode(blob)
+    elif codec in (PACK0, PACK1):
+        out = _pack_decode(blob)
+    elif codec == ZLIB:
+        out = _zlib.decompress(bytes(blob))
+    elif codec == BZ2:
+        out = _bz2.decompress(bytes(blob))
+    elif codec == LZMA:
+        out = _lzma.decompress(bytes(blob))
+    elif codec == ACGT:
+        out = _acgt_decode(blob)
+    elif codec == DELTA_RANS:
+        out = _delta_decode(blob)
+    elif codec == RLE0:
+        out = _rle_decode(blob)
+    else:
+        raise ValueError(f"unknown codec {codec}")
+    assert len(out) == uncomp_len, f"codec {NAMES.get(codec)} length mismatch: {len(out)} != {uncomp_len}"
+    return out

@@ -1,0 +1,57 @@
+"""Codec auto-assignment: trial-compress a sample with candidates, commit the
+winner per context so later VBs inherit it.
+
+Reference parity: src/codec.c:175-349 codec_assign_best_codec —
+CODEC_ASSIGN_SAMPLE_SIZE trial over {NONE, RANS*, ARITH*, BZ2, BSC, LZMA} with
+a (size, time) sort and similarity tie-break; winners committed to the global
+context under a mutex. Here assignment runs on the first VB that carries the
+context (deterministic: VBs are merged in VB order) and is cached in the
+ZIP-side global context state.
+"""
+
+import numpy as np
+
+from . import (NONE, RANS0, RANS1, PACK0, PACK1, ZLIB, BZ2, LZMA, ACGT,
+               DELTA_RANS, RLE0, compress)
+
+SAMPLE_SIZE = 64 * 1024
+MIN_SIZE_TO_COMPRESS = 64
+
+
+def candidates_for(data: np.ndarray, category: str):
+    """Candidate codec list by payload category ('seq', 'qual', 'b250',
+    'int', 'text')."""
+    nuniq = None
+    if data.shape[0]:
+        nuniq = np.unique(data[:4096]).shape[0]
+    cands = [RANS0, RANS1]
+    if category == "seq":
+        cands = [ACGT, RANS1, LZMA]
+    elif category == "qual":
+        cands = [RANS1, RANS0]
+        if nuniq is not None and nuniq <= 16:
+            cands = [PACK1, RANS1, RANS0]
+    elif category == "b250":
+        cands = [RANS0, RANS1, ZLIB]
+    elif category == "int":
+        cands = [RANS0, RANS1, DELTA_RANS, ZLIB]
+    elif category == "text":
+        cands = [RANS1, ZLIB, BZ2, LZMA]
+    return cands
+
+
+def assign_best(data: bytes | np.ndarray, category: str = "text") -> int:
+    a = np.frombuffer(data, np.uint8) if isinstance(data, (bytes, bytearray, memoryview)) else data.view(np.uint8).reshape(-1)
+    if a.shape[0] < MIN_SIZE_TO_COMPRESS:
+        return NONE
+    sample = a[:SAMPLE_SIZE].tobytes()
+    best, best_size = NONE, len(sample)
+    for codec in candidates_for(a, category):
+        try:
+            sz = len(compress(sample, codec))
+        except Exception:
+            continue
+        # 1% similarity tie-break in favour of the earlier (cheaper) candidate
+        if sz < best_size * 0.99:
+            best, best_size = codec, sz
+    return best

@@ -1,0 +1,192 @@
+"""Per-field contexts: ZIP-side segmentation state and PIZ-side recon state.
+
+Reference parity: src/context.c (ctx_clone :469 / ctx_merge_in_vb_ctx :1082),
+src/b250.c (word-index streams), src/dict_io.c (global dict output). The
+TPU-first redesign: a VB segs *whole columns* at once (ragged numpy ops — no
+per-line loop), dictionaries are deduped vectorized (pad + np.unique) and
+merged into the global dict deterministically in VB order (the reference's
+per-context merge mutex with vb1-first becomes an ordered reduction), and
+b250 becomes a fixed-width word-index array entropy-coded by the wide rANS
+instead of base-250 varints.
+"""
+
+import numpy as np
+
+from .utils import ragged
+from .utils.ragged import Col
+from . import codecs
+from .codecs import assign as codec_assign
+from .format import sections as fmt
+
+# ctx reconstruction modes (stored per-VB in the VB header)
+MODE_DICT = "dict"          # b250 word indices into the global dict
+MODE_NUM = "num"            # numeric local, rendered by datatype/container
+MODE_TXT = "txt"            # ragged text local; lens from `len_from` ctx
+MODE_SPECIAL = "special"    # datatype special callback reconstructs
+
+
+class VBCtx:
+    """One context's payload for one VB (ZIP output / PIZ input)."""
+    __slots__ = ("name", "mode", "b250", "vb_words", "local", "ltype",
+                 "cat", "special", "param", "flags")
+
+    def __init__(self, name, mode, *, b250=None, vb_words=None, local=None,
+                 cat="text", special=None, param=0):
+        self.name = name
+        self.mode = mode
+        self.b250 = b250            # np.int64 VB-local word indices
+        self.vb_words = vb_words    # Col of VB-local unique words
+        self.local = local          # np.ndarray (typed) or None
+        self.cat = cat              # codec-assignment category
+        self.special = special      # special id (MODE_SPECIAL)
+        self.param = param
+
+    def meta(self):
+        m = {"mode": self.mode}
+        if self.special is not None:
+            m["special"] = self.special
+        if self.param:
+            m["param"] = self.param
+        return m
+
+
+def dedup_col(col: Col):
+    """Vectorized ragged dedup: returns (unique Col in first-seen order,
+    inverse int64[n]). Uses pad+void-view np.unique for narrow rows, python
+    fallback for wide ones."""
+    n = len(col)
+    if n == 0:
+        return Col.from_list([]), np.zeros(0, np.int64)
+    maxw = int(col.lens.max()) if n else 0
+    if maxw <= 96:
+        w = max(maxw, 1)
+        mat = np.zeros((n, w + 1), dtype=np.uint8)  # +1 col for length
+        lens = col.lens
+        total = int(lens.sum())
+        if total:
+            pos = np.arange(total, dtype=np.int64) - np.repeat(col.offsets[:-1], lens)
+            rows = np.repeat(np.arange(n, dtype=np.int64), lens)
+            mat[rows, pos] = col.data
+        mat[:, w] = lens  # disambiguate "a\0" vs "a" (only valid for len<256)
+        if maxw >= 255 or (lens > 255).any():
+            mat_l = np.zeros((n, w + 8), dtype=np.uint8)
+            mat_l[:, :w] = mat[:, :w]
+            mat_l[:, w:] = lens.astype("<u8").view(np.uint8).reshape(n, 8)
+            mat = mat_l
+        v = mat.view([("", np.uint8)] * mat.shape[1]).reshape(n)
+        uniq, first_idx, inverse = np.unique(v, return_index=True, return_inverse=True)
+        # np.unique sorts; remap to first-seen order for determinism
+        order = np.argsort(first_idx, kind="stable")
+        rank = np.empty_like(order)
+        rank[order] = np.arange(order.shape[0])
+        inverse = rank[inverse]
+        uniq_col = ragged.take(col, first_idx[order])
+        return uniq_col, inverse.astype(np.int64)
+    # wide rows: python dict fallback
+    seen = {}
+    inv = np.empty(n, dtype=np.int64)
+    uw = []
+    for i in range(n):
+        r = col.row(i)
+        j = seen.get(r)
+        if j is None:
+            j = len(uw)
+            seen[r] = j
+            uw.append(r)
+        inv[i] = j
+    return Col.from_list(uw), inv
+
+
+class ZCtxGlobal:
+    """ZIP-side global (z_file) context: global dict + committed codecs.
+    Merge is deterministic because VBs merge in VB order (cf. the reference's
+    vb1-first merge mutexes, src/context.c:938)."""
+
+    def __init__(self, name):
+        self.name = name
+        self.word2idx = {}
+        self.words = []
+        self.counts = []
+        self.b250_codec = None
+        self.local_codec = None
+        self.total_b250_comp = 0
+        self.total_local_comp = 0
+        self.total_txt = 0
+
+    def merge_words(self, vb_words: Col, vb_counts=None):
+        """Map VB-local unique words to global indices, appending new ones.
+        Returns int64 lut: vb-local idx -> global idx."""
+        k = len(vb_words)
+        lut = np.empty(k, dtype=np.int64)
+        w2i = self.word2idx
+        for j in range(k):
+            w = vb_words.row(j)
+            gi = w2i.get(w)
+            if gi is None:
+                gi = len(self.words)
+                w2i[w] = gi
+                self.words.append(w)
+                self.counts.append(0)
+            lut[j] = gi
+            if vb_counts is not None:
+                self.counts[gi] += int(vb_counts[j])
+        return lut
+
+    def dict_payload(self) -> bytes:
+        lens = np.fromiter((len(w) for w in self.words), dtype=np.int64,
+                           count=len(self.words))
+        head = len(self.words).to_bytes(4, "little") + lens.astype("<u4").tobytes()
+        return head + b"".join(self.words)
+
+
+def parse_dict_payload(payload: bytes) -> Col:
+    n = int.from_bytes(payload[0:4], "little")
+    lens = np.frombuffer(payload[4:4 + 4 * n], "<u4").astype(np.int64)
+    data = np.frombuffer(payload[4 + 4 * n:], np.uint8)
+    offsets = np.concatenate([[0], np.cumsum(lens)])
+    assert offsets[-1] == data.shape[0]
+    return Col(data.copy(), offsets)
+
+
+class PCtx:
+    """PIZ-side per-VB context: decoded b250/local + shared global dict."""
+    __slots__ = ("name", "mode", "b250", "dict_col", "local", "ltype",
+                 "param", "special")
+
+    def __init__(self, name, mode, *, b250=None, dict_col=None, local=None,
+                 ltype=None, param=0, special=None):
+        self.name, self.mode = name, mode
+        self.b250, self.dict_col, self.local = b250, dict_col, local
+        self.ltype, self.param, self.special = ltype, param, special
+
+    def dict_take(self) -> Col:
+        """Per-line words via ragged gather from the global dict."""
+        return ragged.take(self.dict_col, self.b250)
+
+    def nums(self) -> np.ndarray:
+        v = self.local.astype(np.int64)
+        if self.param == 1:  # delta-coded
+            v = np.cumsum(v)
+        return v
+
+    def txt_col(self, lens: np.ndarray) -> Col:
+        offsets = np.concatenate([[0], np.cumsum(lens.astype(np.int64))])
+        assert offsets[-1] == self.local.shape[0], \
+            f"{self.name}: txt local length mismatch"
+        return Col(self.local, offsets)
+
+
+def narrow_int(vals: np.ndarray):
+    """Choose the narrowest dtype representing vals (reference src/dyn_int.c)."""
+    if vals.shape[0] == 0:
+        return vals.astype(np.uint8)
+    lo, hi = int(vals.min()), int(vals.max())
+    if lo >= 0:
+        for dt in (np.uint8, np.uint16, np.uint32, np.uint64):
+            if hi <= np.iinfo(dt).max:
+                return vals.astype(dt)
+    for dt in (np.int8, np.int16, np.int32, np.int64):
+        ii = np.iinfo(dt)
+        if ii.min <= lo and hi <= ii.max:
+            return vals.astype(dt)
+    return vals.astype(np.int64)

@@ -1,0 +1,103 @@
+"""Datatype plugin registry.
+
+Reference parity: src/data_types.h:50-161 DataTypeProperties vtable (~45
+callbacks per datatype) — reduced here to the callbacks the TPU engine
+actually inverts control through: VB boundary alignment, txt-header split,
+whole-VB vectorized seg, whole-VB vectorized recon, plus optional segconf
+scanning and special recon callbacks.
+"""
+
+import numpy as np
+
+
+class VBSegResult:
+    __slots__ = ("ctxs", "num_lines", "meta")
+
+    def __init__(self, ctxs, num_lines, meta=None):
+        self.ctxs = ctxs            # dict[str, contexts.VBCtx]
+        self.num_lines = num_lines
+        self.meta = meta or {}      # extra per-VB recon info (json-able)
+
+
+class DataType:
+    NAME = "generic"
+    EXTS = ()
+
+    def __init__(self, segconf=None):
+        self.segconf = segconf or {}
+
+    # --- ZIP side ---
+    def read_txt_header(self, reader) -> bytes:
+        """Peel a txt header off the stream reader (e.g. SAM '@' lines,
+        VCF '##'). Default: none."""
+        return b""
+
+    def vb_boundary(self, data: np.ndarray, is_eof: bool) -> int:
+        """Bytes of `data` forming whole records (a VB must contain whole
+        records only — reference src/txtfile.c:953). Default: whole lines."""
+        if is_eof:
+            return data.shape[0]
+        nl = np.nonzero(data == ord("\n"))[0]
+        return int(nl[-1]) + 1 if nl.shape[0] else 0
+
+    def segconf_scan(self, sample: np.ndarray):
+        """Inspect a sample VB to set segconf knobs (reference
+        src/segconf.c:459 segconf_calculate)."""
+
+    def seg_vb(self, data: np.ndarray) -> VBSegResult:
+        raise NotImplementedError
+
+    # --- PIZ side ---
+    def recon_vb(self, pctxs: dict, meta: dict) -> bytes:
+        raise NotImplementedError
+
+
+_REGISTRY = {}
+
+
+def register(cls):
+    _REGISTRY[cls.NAME] = cls
+    return cls
+
+
+def get(name: str) -> type:
+    from . import fastq, fasta, generic, vcf, sam, gff, bed, me23  # noqa: F401
+    return _REGISTRY[name]
+
+
+def detect(path: str, head: bytes) -> str:
+    """File-type detection by extension then content sniffing
+    (reference src/file.c file_get_data_type + src/flags.c --input)."""
+    from . import fastq, fasta, generic, vcf, sam, gff, bed, me23  # noqa: F401
+    p = path.lower()
+    for ext in (".gz", ".bgz", ".bz2", ".xz"):
+        if p.endswith(ext):
+            p = p[: -len(ext)]
+    ext_map = {
+        ".fastq": "fastq", ".fq": "fastq",
+        ".fasta": "fasta", ".fa": "fasta", ".fna": "fasta", ".ffn": "fasta",
+        ".faa": "fasta", ".frn": "fasta",
+        ".vcf": "vcf",
+        ".sam": "sam", ".bam": "bam",
+        ".gff": "gff", ".gff3": "gff", ".gvf": "gff", ".gtf": "gff",
+        ".bed": "bed",
+        ".txt": None, ".genome": None,
+    }
+    for ext, dt in ext_map.items():
+        if p.endswith(ext) and dt:
+            return dt
+    # content sniffing
+    if head[:4] == b"BAM\x01" or head[:2] == b"\x1f\x8b":
+        pass  # caller decompresses before sniffing
+    if head[:1] == b">":
+        return "fasta"
+    if head[:1] == b"@":
+        lines = head.split(b"\n")
+        if len(lines) >= 3 and lines[2][:1] == b"+":
+            return "fastq"
+        return "sam"
+    if head[:2] == b"##" and b"VCF" in head[:100]:
+        return "vcf"
+    if head[:15] == b"# This data fil" or p.endswith(".23andme"):
+        return "me23"
+    return "generic"

@@ -1,0 +1,66 @@
+"""gxcat output filters: --head/--tail/--grep/--downsample.
+
+Reference parity: src/writer.c:544-663 recon-plan editing + per-line drops
+(vb->drop_curr_line). Here filters operate on reconstructed VB text with
+vectorized line selection; region filters (--regions) arrive with the
+random-access milestone.
+"""
+
+import numpy as np
+
+from .piz_pipeline import PizReader
+
+
+def _lines_of(buf: bytes):
+    a = np.frombuffer(buf, np.uint8)
+    nl = np.nonzero(a == ord("\n"))[0]
+    starts = np.concatenate([[0], nl[:-1] + 1]) if nl.shape[0] else np.zeros(1 if buf else 0, np.int64)
+    ends = nl + 1
+    if buf and (nl.shape[0] == 0 or nl[-1] != len(buf) - 1):
+        starts = np.concatenate([starts, [nl[-1] + 1 if nl.shape[0] else 0]])
+        ends = np.concatenate([ends, [len(buf)]])
+    return starts[:ends.shape[0]], ends
+
+
+def cat_filtered(args, out):
+    pr = PizReader(args.input)
+    lines_per_rec = 4 if pr.file_hdr["dt"] == "fastq" else 1
+    hdr = pr.txt_header()
+    if hdr:
+        out.write(hdr)
+    emitted = 0
+    rec_i = 0
+    grep = args.grep.encode() if getattr(args, "grep", None) else None
+    head = getattr(args, "head", None)
+    downsample = getattr(args, "downsample", None)
+    tail = getattr(args, "tail", None)
+    tail_buf = []
+    for vb_i in range(1, pr.num_vbs() + 1):
+        buf = pr.read_vb(vb_i)
+        if grep is None and head is None and downsample is None and tail is None:
+            out.write(buf)
+            continue
+        starts, ends = _lines_of(buf)
+        nrec = starts.shape[0] // lines_per_rec
+        for r in range(nrec):
+            s = starts[r * lines_per_rec]
+            e = ends[(r + 1) * lines_per_rec - 1]
+            rec = buf[s:e]
+            rec_i += 1
+            if downsample and (rec_i - 1) % downsample != 0:
+                continue
+            if grep and grep not in rec:
+                continue
+            if tail:
+                tail_buf.append(rec)
+                if len(tail_buf) > tail:
+                    tail_buf.pop(0)
+                continue
+            out.write(rec)
+            emitted += 1
+            if head and emitted >= head:
+                pr.close()
+                return
+    for rec in tail_buf:
+        out.write(rec)
+    pr.close()

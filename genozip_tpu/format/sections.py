@@ -1,0 +1,200 @@
+"""GXZ archive container format: section framing, writer and reader.
+
+Reference parity: src/sections.h (section headers), src/zfile.c:288-366
+(zfile_compress_*), src/zfile.c:899 (backward footer read). Re-designed
+minimally for the TPU build (our own format — no genozip interop): every
+section is [56-byte header | compressed payload]; the file ends with a
+compressed section index + fixed 40-byte tail that is read backwards at PIZ.
+
+Layout of a single-component file:
+  FILE_HEADER (json metadata incl. segconf)
+  TXT_HEADER (per component)
+  per VB: VB_HEADER, then B250/LOCAL sections per context
+  global area: DICT per context, COUNTS, RANDOM_ACCESS, STATS, REFERENCE...
+  FOOTER: section index (packed struct array, zlib) + tail
+"""
+
+import io
+import json
+import struct
+import zlib
+
+import numpy as np
+
+from .. import codecs
+
+MAGIC = 0x315A5847  # "GXZ1"
+TAIL_MAGIC = b"GXZfoot1"
+
+# section types
+SEC_FILE_HEADER = 0
+SEC_TXT_HEADER = 1
+SEC_VB_HEADER = 2
+SEC_B250 = 3
+SEC_LOCAL = 4
+SEC_DICT = 5
+SEC_COUNTS = 6
+SEC_RANDOM_ACCESS = 7
+SEC_STATS = 8
+SEC_REFERENCE = 9
+SEC_REF_HASH = 10
+SEC_REF_CONTIGS = 11
+SEC_RECON_PLAN = 12
+SEC_HUFFMAN = 13
+SEC_GENCOMP = 14
+SEC_REF_IUPACS = 15
+
+SEC_NAMES = {v: k for k, v in list(globals().items()) if k.startswith("SEC_")}
+
+# local types (ltype) — dtype of LOCAL payloads (reference src/local_type.h:14-57)
+LT_U8, LT_U16, LT_U32, LT_U64, LT_I8, LT_I16, LT_I32, LT_I64, LT_F32, LT_F64, LT_TXT = range(11)
+_LT_DTYPE = {LT_U8: "<u1", LT_U16: "<u2", LT_U32: "<u4", LT_U64: "<u8",
+             LT_I8: "<i1", LT_I16: "<i2", LT_I32: "<i4", LT_I64: "<i8",
+             LT_F32: "<f4", LT_F64: "<f8", LT_TXT: "<u1"}
+
+
+def lt_dtype(ltype: int):
+    return np.dtype(_LT_DTYPE[ltype])
+
+
+def lt_for_dtype(dt) -> int:
+    s = np.dtype(dt).str.lstrip("<>|=")
+    return {"u1": LT_U8, "u2": LT_U16, "u4": LT_U32, "u8": LT_U64,
+            "i1": LT_I8, "i2": LT_I16, "i4": LT_I32, "i8": LT_I64,
+            "f4": LT_F32, "f8": LT_F64}[s]
+
+
+# header: magic, sec_type, codec, flags, ltype, vb_i, comp_i, dict_id,
+#         uncomp_len, comp_len, param, adler  -> 56 bytes
+_HDR = struct.Struct("<IBBBBIi8sQQQI4x")
+HDR_SIZE = _HDR.size
+assert HDR_SIZE == 56
+
+_TAIL = struct.Struct("<QQQ8s")  # index_offset, index_comp_len, file_size, magic
+TAIL_SIZE = _TAIL.size
+
+# section index entry: sec_type, vb_i, comp_i, dict_id, offset
+_IDX = struct.Struct("<BxxxIi8sQ")
+
+
+def norm_dict_id(dict_id) -> bytes:
+    if isinstance(dict_id, str):
+        dict_id = dict_id.encode()
+    return (dict_id or b"")[:8].ljust(8, b"\0")
+
+
+class SectionEnt:
+    __slots__ = ("sec_type", "vb_i", "comp_i", "dict_id", "offset")
+
+    def __init__(self, sec_type, vb_i, comp_i, dict_id, offset):
+        self.sec_type, self.vb_i, self.comp_i = sec_type, vb_i, comp_i
+        self.dict_id, self.offset = dict_id, offset
+
+    def __repr__(self):
+        return (f"<{SEC_NAMES.get(self.sec_type)} vb={self.vb_i} "
+                f"comp={self.comp_i} {self.dict_id.rstrip(b'\\0')} @{self.offset}>")
+
+
+class ZWriter:
+    """Writes sections sequentially; finalize() emits the footer.
+    (The reference's zriter background-flush becomes plain buffered writes —
+    ordering is decided by the caller, cf. src/zriter.c.)"""
+
+    def __init__(self, fileobj):
+        self.f = fileobj
+        self.offset = 0
+        self.index = []
+
+    def write_section(self, sec_type, payload: bytes, *, codec=codecs.NONE,
+                      vb_i=0, comp_i=-1, dict_id=b"", ltype=LT_TXT, param=0,
+                      flags=0, precompressed=None, uncomp_len=None):
+        """Compress (or accept precompressed) payload and append a section."""
+        if precompressed is not None:
+            comp = precompressed
+            assert uncomp_len is not None
+        else:
+            uncomp_len = len(payload)
+            comp = codecs.compress(payload, codec)
+        did = norm_dict_id(dict_id)
+        hdr = _HDR.pack(MAGIC, sec_type, codec, flags, ltype, vb_i, comp_i,
+                        did, uncomp_len, len(comp), param,
+                        zlib.adler32(comp) & 0xFFFFFFFF)
+        self.index.append(SectionEnt(sec_type, vb_i, comp_i, did, self.offset))
+        self.f.write(hdr)
+        self.f.write(comp)
+        self.offset += HDR_SIZE + len(comp)
+        return self.index[-1]
+
+    def finalize(self):
+        idx_raw = b"".join(
+            _IDX.pack(e.sec_type, e.vb_i, e.comp_i, e.dict_id, e.offset)
+            for e in self.index)
+        idx_comp = zlib.compress(idx_raw, 6)
+        idx_offset = self.offset
+        self.f.write(idx_comp)
+        file_size = idx_offset + len(idx_comp) + TAIL_SIZE
+        self.f.write(_TAIL.pack(idx_offset, len(idx_comp), file_size, TAIL_MAGIC))
+        self.f.flush()
+
+
+class ZReader:
+    """Random-access section reader driven by the footer index
+    (reference src/zfile.c:899 zfile_read_genozip_header reads backwards)."""
+
+    def __init__(self, fileobj):
+        self.f = fileobj
+        self.f.seek(0, io.SEEK_END)
+        file_size = self.f.tell()
+        if file_size < TAIL_SIZE:
+            raise ValueError("not a GXZ file (too small)")
+        self.f.seek(file_size - TAIL_SIZE)
+        idx_offset, idx_len, fsz, magic = _TAIL.unpack(self.f.read(TAIL_SIZE))
+        if magic != TAIL_MAGIC or fsz != file_size:
+            raise ValueError("not a GXZ file (bad footer)")
+        self.f.seek(idx_offset)
+        idx_raw = zlib.decompress(self.f.read(idx_len))
+        self.index = [SectionEnt(*_IDX.unpack(idx_raw[i:i + _IDX.size]))
+                      for i in range(0, len(idx_raw), _IDX.size)]
+
+    def sections(self, sec_type=None, vb_i=None, comp_i=None):
+        out = self.index
+        if sec_type is not None:
+            out = [e for e in out if e.sec_type == sec_type]
+        if vb_i is not None:
+            out = [e for e in out if e.vb_i == vb_i]
+        if comp_i is not None:
+            out = [e for e in out if e.comp_i == comp_i]
+        return out
+
+    def read_section(self, ent: SectionEnt):
+        """Returns (payload_bytes, header_dict)."""
+        self.f.seek(ent.offset)
+        hdr = _HDR.unpack(self.f.read(HDR_SIZE))
+        (magic, sec_type, codec, flags, ltype, vb_i, comp_i, did,
+         uncomp_len, comp_len, param, adler) = hdr
+        assert magic == MAGIC, "corrupt section header"
+        comp = self.f.read(comp_len)
+        assert (zlib.adler32(comp) & 0xFFFFFFFF) == adler, \
+            f"section digest mismatch at {ent!r}"
+        payload = codecs.decompress(comp, codec, uncomp_len)
+        meta = dict(sec_type=sec_type, codec=codec, flags=flags, ltype=ltype,
+                    vb_i=vb_i, comp_i=comp_i, dict_id=did, param=param,
+                    comp_len=comp_len, uncomp_len=uncomp_len)
+        return payload, meta
+
+    def read_one(self, sec_type, vb_i=None, comp_i=None, dict_id=None):
+        ents = self.sections(sec_type, vb_i, comp_i)
+        if dict_id is not None:
+            did = norm_dict_id(dict_id)
+            ents = [e for e in ents if e.dict_id == did]
+        if not ents:
+            return None, None
+        return self.read_section(ents[0])
+
+
+def json_payload(obj) -> bytes:
+    return json.dumps(obj, separators=(",", ":")).encode()
+
+
+def json_parse(payload: bytes):
+    return json.loads(payload.decode())

@@ -1,0 +1,92 @@
+"""Input text-file reading: VBlock chunking with record-boundary alignment.
+
+Reference parity: src/txtfile.c:1228 txtfile_read_vblock (unconsumed-tail
+handoff), src/mgzip.c (gz-family inflation — here the Python stdlib gz/bz2/xz
+decompressors feed the chunker; BGZF-exact re-emission is a later milestone).
+"""
+
+import bz2
+import gzip
+import io
+import lzma
+
+import numpy as np
+
+DEFAULT_VB_SIZE = 16 * 1024 * 1024
+
+
+def open_input(path: str):
+    if path == "-":
+        return io.BufferedReader(io.FileIO(0, "r", closefd=False))
+    if path.endswith((".gz", ".bgz")):
+        return gzip.open(path, "rb")
+    if path.endswith(".bz2"):
+        return bz2.open(path, "rb")
+    if path.endswith(".xz"):
+        return lzma.open(path, "rb")
+    return open(path, "rb")
+
+
+class TxtReader:
+    def __init__(self, path: str):
+        self.f = open_input(path)
+        self.buf = b""
+        self.eof = False
+
+    def peek(self, n: int) -> bytes:
+        while len(self.buf) < n and not self.eof:
+            chunk = self.f.read(n - len(self.buf))
+            if not chunk:
+                self.eof = True
+                break
+            self.buf += chunk
+        return self.buf[:n]
+
+    def read_header_lines(self, prefix: bytes) -> bytes:
+        """Consume leading lines starting with `prefix` (e.g. b'@' for SAM,
+        b'##'/b'#' for VCF handled by caller via repeated calls)."""
+        out = bytearray()
+        while True:
+            line = self._read_line_peek()
+            if line is None or not line.startswith(prefix):
+                break
+            out += line
+            self.buf = self.buf[len(line):]
+        return bytes(out)
+
+    def _read_line_peek(self):
+        """Peek one full line (incl. newline) without consuming."""
+        while b"\n" not in self.buf and not self.eof:
+            chunk = self.f.read(1 << 20)
+            if not chunk:
+                self.eof = True
+                break
+            self.buf += chunk
+        if not self.buf:
+            return None
+        i = self.buf.find(b"\n")
+        return self.buf[: i + 1] if i >= 0 else self.buf
+
+    def vblocks(self, dt, vb_size: int = DEFAULT_VB_SIZE):
+        """Yield np.uint8 arrays of whole records, ~vb_size each."""
+        while True:
+            while len(self.buf) < vb_size and not self.eof:
+                chunk = self.f.read(vb_size - len(self.buf))
+                if not chunk:
+                    self.eof = True
+                    break
+                self.buf += chunk
+            if not self.buf:
+                return
+            data = np.frombuffer(self.buf, dtype=np.uint8)
+            consumed = dt.vb_boundary(data, self.eof and len(self.buf) <= vb_size)
+            if consumed == 0:
+                if self.eof:
+                    raise ValueError("input ends mid-record")
+                vb_size *= 2
+                continue
+            yield data[:consumed].copy()
+            self.buf = self.buf[consumed:]
+
+    def close(self):
+        self.f.close()

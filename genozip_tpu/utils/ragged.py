@@ -1,0 +1,245 @@
+"""Ragged (arrow-style) byte-column utilities — the vectorized replacement for
+the reference's per-line seg/reconstruct loops (reference src/seg.c:1586
+seg_all_data_lines, src/reconstruct.c:671 reconstruct_from_ctx_do).
+
+A *column* is (data: uint8[], offsets: int64[n+1]): row i is
+data[offsets[i]:offsets[i+1]]. All operations are whole-column numpy ops; the
+same layouts stream to the device as (values, segment-offsets) pairs.
+"""
+
+import numpy as np
+
+
+class Col:
+    """Ragged byte column."""
+    __slots__ = ("data", "offsets")
+
+    def __init__(self, data: np.ndarray, offsets: np.ndarray):
+        self.data = np.asarray(data, dtype=np.uint8)
+        self.offsets = np.asarray(offsets, dtype=np.int64)
+
+    def __len__(self):
+        return self.offsets.shape[0] - 1
+
+    @property
+    def lens(self):
+        return np.diff(self.offsets)
+
+    def row(self, i: int) -> bytes:
+        return self.data[self.offsets[i]:self.offsets[i + 1]].tobytes()
+
+    def to_list(self):
+        return [self.row(i) for i in range(len(self))]
+
+    @staticmethod
+    def from_list(rows):
+        lens = np.fromiter((len(r) for r in rows), dtype=np.int64, count=len(rows))
+        offsets = np.concatenate([[0], np.cumsum(lens)])
+        data = np.frombuffer(b"".join(rows), dtype=np.uint8).copy() if rows else np.zeros(0, np.uint8)
+        return Col(data, offsets)
+
+    @staticmethod
+    def from_fixed(mat: np.ndarray):
+        """(n, w) byte matrix -> column of n rows of width w."""
+        n, w = mat.shape
+        return Col(np.ascontiguousarray(mat, dtype=np.uint8).reshape(-1),
+                   np.arange(n + 1, dtype=np.int64) * w)
+
+
+def gather_ranges(data: np.ndarray, starts: np.ndarray, lens: np.ndarray) -> Col:
+    """Build a column whose row i is data[starts[i] : starts[i]+lens[i]].
+    The classic repeat/cumsum ragged gather."""
+    starts = np.asarray(starts, dtype=np.int64)
+    lens = np.asarray(lens, dtype=np.int64)
+    total = int(lens.sum())
+    offsets = np.concatenate([[0], np.cumsum(lens)])
+    if total == 0:
+        return Col(np.zeros(0, np.uint8), offsets)
+    pos = np.arange(total, dtype=np.int64) - np.repeat(offsets[:-1], lens)
+    src = np.repeat(starts, lens) + pos
+    return Col(data[src], offsets)
+
+
+def take(col: Col, idx: np.ndarray) -> Col:
+    """Row-gather: new column with rows col[idx[0]], col[idx[1]], ..."""
+    idx = np.asarray(idx, dtype=np.int64)
+    starts = col.offsets[idx]
+    lens = col.offsets[idx + 1] - starts
+    return gather_ranges(col.data, starts, lens)
+
+
+def interleave(cols, sep_after=None) -> Col:
+    """Row-wise concatenation of k columns (all length n), each row of column j
+    optionally followed by separator bytes sep_after[j] (bytes or None).
+    Returns a column of n rows: c0[i] s0 c1[i] s1 ... c_{k-1}[i] s_{k-1}."""
+    n = len(cols[0])
+    k = len(cols)
+    if sep_after is None:
+        sep_after = [None] * k
+    lens = np.zeros((k, n), dtype=np.int64)
+    for j, c in enumerate(cols):
+        assert len(c) == n
+        lens[j] = c.lens
+        if sep_after[j]:
+            lens[j] += len(sep_after[j])
+    row_lens = lens.sum(axis=0)
+    offsets = np.concatenate([[0], np.cumsum(row_lens)])
+    out = np.empty(int(row_lens.sum()), dtype=np.uint8)
+    # per-column destination start within each row
+    intra = np.zeros(n, dtype=np.int64)
+    for j, c in enumerate(cols):
+        dst = offsets[:-1] + intra
+        clens = c.lens
+        total = int(clens.sum())
+        if total:
+            pos = np.arange(total, dtype=np.int64) - np.repeat(c.offsets[:-1], clens)
+            out[np.repeat(dst, clens) + pos] = c.data
+        s = sep_after[j]
+        if s:
+            sb = np.frombuffer(s, dtype=np.uint8)
+            base = dst + clens
+            for b_i, b in enumerate(sb):
+                out[base + b_i] = b
+            intra = intra + clens + len(sb)
+        else:
+            intra = intra + clens
+    return Col(out, offsets)
+
+
+def concat_rows(col: Col) -> bytes:
+    """Concatenate all rows (data is already contiguous)."""
+    return col.data.tobytes()
+
+
+def split_by(data: np.ndarray, sep: int):
+    """Split a byte buffer on separator byte -> Col of fields (separator not
+    included). A trailing field after the last separator is included only if
+    non-empty buffer semantics demand it; here: standard str.split keep-all."""
+    positions = np.nonzero(data == sep)[0]
+    starts = np.concatenate([[0], positions + 1])
+    ends = np.concatenate([positions, [data.shape[0]]])
+    return gather_ranges(data, starts, ends - starts)
+
+
+def split_fields_fixed(line_col: Col, sep: int, num_fields: int):
+    """Split every row of a column on `sep` into exactly num_fields columns.
+    Rows must all contain exactly num_fields-1 separators (validated).
+    Returns list of Cols."""
+    data = line_col.data
+    n = len(line_col)
+    sep_pos = np.nonzero(data == sep)[0]
+    # count separators per row
+    row_of = np.searchsorted(line_col.offsets[1:], sep_pos, side="right")
+    counts = np.bincount(row_of, minlength=n)
+    if not np.all(counts == num_fields - 1):
+        raise ValueError("row with wrong field count")
+    sp = sep_pos.reshape(n, num_fields - 1) if num_fields > 1 else np.zeros((n, 0), np.int64)
+    bounds = np.empty((n, num_fields + 1), dtype=np.int64)
+    bounds[:, 0] = line_col.offsets[:-1]
+    bounds[:, 1:-1] = sp + 1
+    bounds[:, -1] = line_col.offsets[1:]
+    cols = []
+    for f in range(num_fields):
+        starts = bounds[:, f]
+        ends = bounds[:, f + 1] - (1 if f < num_fields - 1 else 0)
+        cols.append(gather_ranges(data, starts, ends - starts))
+    return cols
+
+
+def count_sep_per_row(line_col: Col, sep: int) -> np.ndarray:
+    data = line_col.data
+    sep_pos = np.nonzero(data == sep)[0]
+    row_of = np.searchsorted(line_col.offsets[1:], sep_pos, side="right")
+    # drop separators that fall outside rows (shouldn't happen for contiguous)
+    return np.bincount(row_of, minlength=len(line_col))
+
+
+def merge_rows(n: int, parts) -> Col:
+    """Merge row-subsets into one n-row column. `parts` is a list of
+    (row_indices, Col) pairs covering all n rows exactly once."""
+    lens = np.zeros(n, dtype=np.int64)
+    for idx, c in parts:
+        lens[idx] = c.lens
+    offsets = np.concatenate([[0], np.cumsum(lens)])
+    out = np.empty(int(lens.sum()), dtype=np.uint8)
+    for idx, c in parts:
+        clens = c.lens
+        total = int(clens.sum())
+        if not total:
+            continue
+        pos = np.arange(total, dtype=np.int64) - np.repeat(c.offsets[:-1], clens)
+        out[np.repeat(offsets[:-1][idx], clens) + pos] = c.data
+    return Col(out, offsets)
+
+
+# ----------------------------------------------------------------------------
+# int <-> ascii, vectorized
+# ----------------------------------------------------------------------------
+
+def atoi(col: Col, dtype=np.int64):
+    """Parse every row as a decimal integer (optional leading '-').
+    Returns (values, ok_mask). Rows failing strict parse get ok=False."""
+    n = len(col)
+    lens = col.lens
+    if n == 0:
+        return np.zeros(0, dtype), np.zeros(0, bool)
+    safe_starts = np.minimum(col.offsets[:-1], max(col.data.shape[0] - 1, 0))
+    first = np.where(lens > 0, col.data[safe_starts] if col.data.shape[0] else 0, 0)
+    neg_mask = (first == ord("-")) & (lens > 1)
+    starts = col.offsets[:-1] + neg_mask
+    dlens = lens - neg_mask
+    maxw = int(dlens.max()) if n else 0
+    if maxw == 0 or maxw > 19:
+        ok_width = (dlens > 0) & (dlens <= 19)
+    else:
+        ok_width = dlens > 0
+    maxw = min(max(maxw, 1), 19)
+    # right-aligned digit matrix
+    idx = starts[:, None] + (np.arange(maxw)[None, :] - (maxw - dlens)[:, None])
+    valid = np.arange(maxw)[None, :] >= (maxw - dlens)[:, None]
+    idx = np.clip(idx, 0, max(col.data.shape[0] - 1, 0))
+    digs = np.where(valid, col.data[idx] if col.data.shape[0] else 0, ord("0"))
+    is_digit = ((digs >= ord("0")) & (digs <= ord("9"))) | ~valid
+    ok = ok_width & is_digit.all(axis=1)
+    vals = np.zeros(n, dtype=np.int64)
+    for j in range(maxw):
+        vals = vals * 10 + (digs[:, j].astype(np.int64) - ord("0"))
+    vals = np.where(neg_mask, -vals, vals)
+    # leading zeros make the round trip inexact ("007"): flag them not-ok
+    first_dig = digs[np.arange(n), np.clip(maxw - dlens, 0, maxw - 1)]
+    has_lead0 = (dlens > 1) & (first_dig == ord("0"))
+    ok &= ~has_lead0
+    return vals.astype(dtype), ok
+
+
+def itoa(vals: np.ndarray) -> Col:
+    """Vectorized int64 -> decimal ascii column."""
+    vals = np.asarray(vals, dtype=np.int64)
+    n = vals.shape[0]
+    if n == 0:
+        return Col(np.zeros(0, np.uint8), np.zeros(1, np.int64))
+    neg = vals < 0
+    a = np.abs(vals)
+    # number of digits
+    nd = np.ones(n, dtype=np.int64)
+    t = a // 10
+    while np.any(t > 0):
+        nd += (t > 0)
+        t //= 10
+    lens = nd + neg
+    offsets = np.concatenate([[0], np.cumsum(lens)])
+    out = np.empty(int(lens.sum()), dtype=np.uint8)
+    out[offsets[:-1][neg]] = ord("-")
+    # write digits right-to-left
+    end = offsets[1:]
+    rem = a.copy()
+    d = np.ones(n, dtype=np.int64)  # digit position from right
+    active = np.ones(n, dtype=bool)
+    while active.any():
+        pos = end - d
+        out[pos[active]] = (rem[active] % 10 + ord("0")).astype(np.uint8)
+        rem //= 10
+        d += 1
+        active = rem > 0
+        # ensure at least one digit written for zeros: handled by first pass
+    return Col(out, offsets)
