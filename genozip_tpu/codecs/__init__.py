@@ -45,15 +45,31 @@ def enable_device_rans(min_size: int = 256 * 1024):
     _JAX_MIN_SIZE = min_size
 
 
+def _bucket(n: int) -> int:
+    """Round up to 2^k or 1.5*2^k so device kernels see a bounded set of
+    shapes (compile-cache friendly; <= 33% padding)."""
+    b = 1 << 17
+    while b < n:
+        if b + (b >> 1) >= n:
+            return b + (b >> 1)
+        b <<= 1
+    return b
+
+
 def _rans_encode(data: bytes, order: int) -> bytes:
     if len(data) >= _JAX_MIN_SIZE:
         from ..ops import rans_jax
+        nb = _bucket(len(data))
+        if nb > len(data):
+            data = bytes(data) + b"\0" * (nb - len(data))
         return rans_jax.encode(data, order=order)
     return rans_np.encode(data, order=order)
 
 
 def _rans_decode(blob) -> bytes:
-    if len(blob) >= _JAX_MIN_SIZE:
+    """Decode; may return padded plaintext (caller slices to uncomp_len)."""
+    n = int.from_bytes(bytes(blob[2:6]), "little")
+    if n >= _JAX_MIN_SIZE:
         from ..ops import rans_jax
         return rans_jax.decode(blob)
     return rans_np.decode(blob)
@@ -109,9 +125,9 @@ def _acgt_decode(blob) -> bytes:
     off = 32
     packed = np.frombuffer(_rans_decode(blob[off:off + lp]), np.uint8)
     off += lp
-    exc_pos = np.cumsum(np.frombuffer(_rans_decode(blob[off:off + lep]), "<u4").astype(np.int64))
+    exc_pos = np.cumsum(np.frombuffer(_rans_decode(blob[off:off + lep]), "<u4")[:ne].astype(np.int64))
     off += lep
-    exc_bytes = np.frombuffer(_rans_decode(blob[off:]), np.uint8)
+    exc_bytes = np.frombuffer(_rans_decode(blob[off:]), np.uint8)[:ne]
     assert exc_pos.shape[0] == ne
     return packops.seq_unpack_2bit(packed, n, exc_pos, exc_bytes).tobytes()
 
@@ -199,5 +215,7 @@ def decompress(blob, codec: int, uncomp_len: int) -> bytes:
         out = _rle_decode(blob)
     else:
         raise ValueError(f"unknown codec {codec}")
+    if len(out) > uncomp_len and codec in (RANS0, RANS1, DELTA_RANS):
+        out = out[:uncomp_len]  # device-path bucket padding
     assert len(out) == uncomp_len, f"codec {NAMES.get(codec)} length mismatch: {len(out)} != {uncomp_len}"
     return out

@@ -43,13 +43,12 @@ class FastqDT(DataType):
         n = nlines // 4
         starts = np.concatenate([[0], nl[:-1] + 1])
         lens = nl - starts
-        lines = ragged.gather_ranges(data, starts, lens)
-
-        idx = np.arange(nlines)
-        desc = ragged.take(lines, idx[0::4])
-        seq = ragged.take(lines, idx[1::4])
-        plus = ragged.take(lines, idx[2::4])
-        qual = ragged.take(lines, idx[3::4])
+        # gather each stream directly from the raw VB (one pass per stream,
+        # no intermediate whole-VB lines column)
+        desc = ragged.gather_ranges(data, starts[0::4], lens[0::4])
+        seq = ragged.gather_ranges(data, starts[1::4], lens[1::4])
+        plus = ragged.gather_ranges(data, starts[2::4], lens[2::4])
+        qual = ragged.gather_ranges(data, starts[3::4], lens[3::4])
 
         seq_lens = seq.lens
         qual_lens = qual.lens

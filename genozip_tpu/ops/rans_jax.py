@@ -197,6 +197,13 @@ def decode(buf) -> bytes:
         s2s_d = jnp.asarray(slot2sym2.reshape(-1).astype(np.uint32))
 
     words = np.frombuffer(buf[off:], dtype="<u2").astype(np.uint32)
+    # pad the word buffer to a bounded shape set (compile-cache friendly;
+    # the decoder never reads past the true stream end)
+    wb = 1 << 12
+    while wb < words.shape[0]:
+        wb = wb + (wb >> 1) if wb + (wb >> 1) >= words.shape[0] else wb << 1
+    if wb > words.shape[0]:
+        words = np.concatenate([words, np.zeros(wb - words.shape[0], np.uint32)])
     K, lane_len = lane_layout(n, N)
     if K == 0:
         return b""

@@ -51,9 +51,14 @@ def _digit_runs(col: Col):
     return start_pos, run_len, run_row, tok_idx, keep
 
 
-def tokenizer_seg_col(prefix: str, col: Col):
+def tokenizer_seg_col(prefix: str, col: Col, single_stream: bool = False):
     """Segment a ragged string column into template dict + numeric streams.
     Returns dict of ctx_name -> VBCtx. Recon counterpart: tokenizer_recon_col.
+
+    single_stream=True routes ALL numeric runs (uncapped, any count per row)
+    into one value stream in (row, position) order — for fields with many or
+    variable-count numbers per row (VCF INFO/sample matrices), where one
+    section beats hundreds of per-position sections.
     """
     n = len(col)
     data = col.data
@@ -71,6 +76,11 @@ def tokenizer_seg_col(prefix: str, col: Col):
         return ctxs
 
     start_pos, run_len, run_row, tok_idx, keep = _digit_runs(col)
+    if single_stream:
+        # no per-position cap — all clean runs become tokens
+        data_ = col.data
+        lead0 = (run_len > 1) & (data_[start_pos] == ord("0"))
+        keep = (~lead0) & (run_len <= MAX_NUM_LEN)
 
     # template: replace each kept run with TOK_MARK
     drop = np.zeros(data.shape[0], dtype=bool)
@@ -100,7 +110,14 @@ def tokenizer_seg_col(prefix: str, col: Col):
     # absent from stream t (recon walks marks per row, so alignment is by
     # presence: stream t holds values for rows having >= t+1 kept runs, in
     # row order)
-    if kept_starts.shape[0]:
+    if kept_starts.shape[0] and single_stream:
+        # one stream, (row, position) order == start_pos order
+        vals_col = ragged.gather_ranges(data, kept_starts, kept_lens)
+        vals, ok = ragged.atoi(vals_col)
+        assert ok.all()
+        name = f"{prefix}S"
+        ctxs[name] = VBCtx(name, MODE_NUM, local=vals, cat="int", param=0)
+    elif kept_starts.shape[0]:
         kept_rows = run_row[keep]
         kept_tok = tok_idx[keep].copy()
         # re-number kept token indices per row (0,1,2,... among kept only)
@@ -135,21 +152,23 @@ def tokenizer_recon_col(prefix: str, pctxs, n: int) -> Col:
     if marks.shape[0] == 0:
         return tmpl
     mark_row = np.searchsorted(tmpl.offsets[1:], marks, side="right")
-    per_row = np.bincount(mark_row, minlength=n)
-    tok_of_mark = np.arange(marks.shape[0]) - np.concatenate(
-        [[0], np.cumsum(per_row)])[mark_row]
-    ntok = int(tok_of_mark.max()) + 1
-    # decode each numeric stream, then scatter values to marks
-    val_of_mark = np.zeros(marks.shape[0], dtype=np.int64)
-    for t in range(ntok):
-        name = f"{prefix}{t}"
-        pc = pctxs[name]
-        v = pc.local.astype(np.int64)
-        if pc.param == 1:
-            v = np.cumsum(v)
-        m = tok_of_mark == t
-        assert m.sum() == v.shape[0], f"{name}: {m.sum()} marks vs {v.shape[0]} vals"
-        val_of_mark[m] = v
+    if f"{prefix}S" in pctxs:   # single-stream mode: marks in row-major order
+        val_of_mark = pctxs[f"{prefix}S"].nums()
+        assert val_of_mark.shape[0] == marks.shape[0]
+    else:
+        per_row = np.bincount(mark_row, minlength=n)
+        tok_of_mark = np.arange(marks.shape[0]) - np.concatenate(
+            [[0], np.cumsum(per_row)])[mark_row]
+        ntok = int(tok_of_mark.max()) + 1
+        # decode each numeric stream, then scatter values to marks
+        val_of_mark = np.zeros(marks.shape[0], dtype=np.int64)
+        for t in range(ntok):
+            name = f"{prefix}{t}"
+            pc = pctxs[name]
+            v = pc.nums()
+            m = tok_of_mark == t
+            assert m.sum() == v.shape[0], f"{name}: {m.sum()} marks vs {v.shape[0]} vals"
+            val_of_mark[m] = v
     num_col = ragged.itoa(val_of_mark)
     # splice: replace each TOK_MARK byte with its rendered number
     piece_lens = np.ones(data.shape[0], dtype=np.int64)

@@ -51,12 +51,13 @@ def gather_ranges(data: np.ndarray, starts: np.ndarray, lens: np.ndarray) -> Col
     The classic repeat/cumsum ragged gather."""
     starts = np.asarray(starts, dtype=np.int64)
     lens = np.asarray(lens, dtype=np.int64)
-    total = int(lens.sum())
     offsets = np.concatenate([[0], np.cumsum(lens)])
+    total = int(offsets[-1])
     if total == 0:
         return Col(np.zeros(0, np.uint8), offsets)
-    pos = np.arange(total, dtype=np.int64) - np.repeat(offsets[:-1], lens)
-    src = np.repeat(starts, lens) + pos
+    # single repeat: src[i] = starts[row] + (i - offsets[row])
+    src = np.repeat(starts - offsets[:-1], lens)
+    src += np.arange(total, dtype=np.int64)
     return Col(data[src], offsets)
 
 

@@ -89,3 +89,55 @@ def test_generic_roundtrip(tmp_path):
 
 def test_empty_file(tmp_path):
     roundtrip(str(tmp_path), "empty.fastq", b"", dt_name="fastq")
+
+
+def synth_vcf(n=3000, samples=4):
+    hdr = (b"##fileformat=VCFv4.2\n"
+           b"##contig=<ID=chr21,length=46709983>\n"
+           b'##INFO=<ID=DP,Number=1,Type=Integer,Description="Depth">\n'
+           b'##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">\n'
+           b"#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT" +
+           b"".join(b"\tS%d" % i for i in range(samples)) + b"\n")
+    out = [hdr]
+    pos = 5000000
+    bases = b"ACGT"
+    for i in range(n):
+        pos += int(RNG.integers(1, 300))
+        ref = bases[RNG.integers(0, 4):][:1]
+        alt = bases[RNG.integers(0, 4):][:1]
+        rid = b"rs%d" % (100000 + i * 3) if RNG.random() < 0.7 else b"."
+        qual = b"%d.%02d" % (RNG.integers(20, 90), RNG.integers(0, 99))
+        info = b"DP=%d;AF=0.%03d" % (RNG.integers(5, 90), RNG.integers(0, 999))
+        gts = b"\t".join(b"%d/%d:%d" % (RNG.integers(0, 2), RNG.integers(0, 2),
+                                        RNG.integers(1, 99))
+                         for _ in range(samples))
+        out.append(b"chr21\t%d\t%s\t%s\t%s\t%s\tPASS\t%s\tGT:DP\t%s\n"
+                   % (pos, rid, ref, alt, qual, info, gts))
+    return b"".join(out)
+
+
+def test_vcf_roundtrip(tmp_path):
+    data = synth_vcf()
+    zsize = roundtrip(str(tmp_path), "t.vcf", data)
+    assert zsize < len(data) * 0.25
+
+
+def test_vcf_no_samples(tmp_path):
+    data = synth_vcf(n=200, samples=0).replace(b"\tGT:DP", b"")
+    # remove FORMAT column for sample-less VCF
+    lines = data.split(b"\n")
+    fixed = []
+    for ln in lines:
+        if ln.startswith(b"#") or not ln:
+            fixed.append(ln)
+        else:
+            fixed.append(b"\t".join(ln.split(b"\t")[:8]))
+    roundtrip(str(tmp_path), "ns.vcf", b"\n".join(fixed))
+
+
+def test_vcf_ragged_rows(tmp_path):
+    data = (b"##fileformat=VCFv4.2\n#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n"
+            b"chr1\t100\t.\tA\tG\t50\tPASS\tDP=3\n"
+            b"weird line without tabs\n"
+            b"chr1\t200\t.\tC\tT\t99\tPASS\tDP=4\n")
+    roundtrip(str(tmp_path), "rag.vcf", data, dt_name="vcf")
