@@ -147,6 +147,50 @@ def split_fields_fixed(line_col: Col, sep: int, num_fields: int):
     return cols
 
 
+def split_first_fields(line_col: Col, sep: int, k: int):
+    """Split each row into its first k sep-separated fields plus the raw
+    remainder (remainder INCLUDES its leading separator, or is empty for rows
+    with exactly k fields). Rows with fewer than k fields are reported in
+    `bad_rows` and excluded from the returned columns.
+
+    Returns (field_cols: list[k Col], rest: Col, good_rows: int64[],
+    bad_rows: int64[])."""
+    data = line_col.data
+    n = len(line_col)
+    sep_pos = np.nonzero(data == sep)[0]
+    row_of = np.searchsorted(line_col.offsets[1:], sep_pos, side="right")
+    counts = np.bincount(row_of, minlength=n)
+    good = counts >= k - 1
+    good_rows = np.nonzero(good)[0]
+    bad_rows = np.nonzero(~good)[0]
+    ng = good_rows.shape[0]
+    if ng == 0:
+        return [Col.from_list([]) for _ in range(k)], Col.from_list([]), good_rows, bad_rows
+    # first k-1 separator positions of each good row
+    first_sep_of_row = np.concatenate([[0], np.cumsum(counts)])[:-1]
+    sp = np.empty((ng, k - 1), dtype=np.int64)
+    for j in range(k - 1):
+        sp[:, j] = sep_pos[first_sep_of_row[good_rows] + j]
+    bounds = np.empty((ng, k + 1), dtype=np.int64)
+    bounds[:, 0] = line_col.offsets[:-1][good_rows]
+    bounds[:, 1:k] = sp + 1
+    row_ends = line_col.offsets[1:][good_rows]
+    # field k ends at the k-th separator if the row has >= k fields' seps
+    has_more = counts[good_rows] >= k
+    kth_sep = np.where(has_more,
+                       sep_pos[np.minimum(first_sep_of_row[good_rows] + k - 1,
+                                          sep_pos.shape[0] - 1)] if sep_pos.shape[0] else 0,
+                       row_ends)
+    bounds[:, k] = np.where(has_more, kth_sep, row_ends)
+    cols = []
+    for f in range(k):
+        starts = bounds[:, f]
+        ends = bounds[:, f + 1] if f == k - 1 else bounds[:, f + 1] - 1
+        cols.append(gather_ranges(data, starts, ends - starts))
+    rest = gather_ranges(data, bounds[:, k], row_ends - bounds[:, k])
+    return cols, rest, good_rows, bad_rows
+
+
 def count_sep_per_row(line_col: Col, sep: int) -> np.ndarray:
     data = line_col.data
     sep_pos = np.nonzero(data == sep)[0]
