@@ -63,6 +63,9 @@ def _rans_encode(data: bytes, order: int) -> bytes:
         if nb > len(data):
             data = bytes(data) + b"\0" * (nb - len(data))
         return rans_jax.encode(data, order=order)
+    from .. import native
+    if native.available():
+        return native.rans_encode(data, order)
     return rans_np.encode(data, order=order)
 
 
@@ -72,6 +75,9 @@ def _rans_decode(blob) -> bytes:
     if n >= _JAX_MIN_SIZE:
         from ..ops import rans_jax
         return rans_jax.decode(blob)
+    from .. import native
+    if native.available():
+        return native.rans_decode(blob)
     return rans_np.decode(blob)
 
 

@@ -1,0 +1,96 @@
+"""ctypes loader for the native host runtime (gxz_native.cpp).
+
+Builds libgxz.so on first use with g++ (cached beside the source; rebuilt when
+the source is newer). Falls back gracefully — callers must check `available()`.
+"""
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "gxz_native.cpp")
+_LIB = os.path.join(_DIR, "libgxz.so")
+
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _build():
+    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", _SRC,
+           "-o", _LIB + ".tmp", "-lz"]
+    subprocess.run(cmd, check=True, capture_output=True)
+    os.replace(_LIB + ".tmp", _LIB)
+
+
+def get():
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        try:
+            if (not os.path.exists(_LIB)
+                    or os.path.getmtime(_LIB) < os.path.getmtime(_SRC)):
+                _build()
+            lib = ctypes.CDLL(_LIB)
+            lib.gxz_rans_encode.restype = ctypes.c_int64
+            lib.gxz_rans_encode.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int,
+                ctypes.c_void_p, ctypes.c_int64]
+            lib.gxz_rans_decode.restype = ctypes.c_int64
+            lib.gxz_rans_decode.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+                ctypes.c_int64]
+            lib.gxz_bam_scan.restype = ctypes.c_int64
+            lib.gxz_bam_scan.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+                ctypes.c_int64, ctypes.c_void_p]
+            lib.gxz_adler32.restype = ctypes.c_uint32
+            lib.gxz_adler32.argtypes = [ctypes.c_uint32, ctypes.c_void_p,
+                                        ctypes.c_int64]
+            _lib = lib
+        except Exception:
+            _lib = None
+    return _lib
+
+
+def available() -> bool:
+    return get() is not None
+
+
+def rans_encode(data: bytes, order: int = 0) -> bytes:
+    lib = get()
+    a = np.frombuffer(data, np.uint8) if not isinstance(data, np.ndarray) else data
+    n = a.shape[0]
+    cap = 2 * n + (1 << 20)  # word buffer is 2*(n + 2N + 8) bytes + header
+    out = np.empty(cap, np.uint8)
+    r = lib.gxz_rans_encode(a.ctypes.data, n, order, out.ctypes.data, cap)
+    assert r > 0, "native rans encode failed"
+    return out[:r].tobytes()
+
+
+def rans_decode(blob, n_hint: int | None = None) -> bytes:
+    lib = get()
+    a = np.frombuffer(blob, np.uint8) if not isinstance(blob, np.ndarray) else blob
+    n = int.from_bytes(bytes(a[2:6]), "little")
+    out = np.empty(max(n, 1), np.uint8)
+    r = lib.gxz_rans_decode(a.ctypes.data, a.shape[0], out.ctypes.data, n)
+    assert r == n, f"native rans decode failed ({r})"
+    return out[:n].tobytes()
+
+
+def bam_scan(data: np.ndarray, max_records: int):
+    lib = get()
+    offsets = np.empty(max_records, np.int64)
+    consumed = ctypes.c_int64(0)
+    cnt = lib.gxz_bam_scan(data.ctypes.data, data.shape[0],
+                           offsets.ctypes.data, max_records,
+                           ctypes.byref(consumed))
+    return offsets[:cnt], int(consumed.value)
