@@ -61,14 +61,14 @@ def register(cls):
 
 
 def get(name: str) -> type:
-    from . import fastq, fasta, generic, vcf, sam, gff, bed, me23  # noqa: F401
+    from . import fastq, fasta, generic, vcf, sam, bam, gff, bed, me23  # noqa: F401
     return _REGISTRY[name]
 
 
 def detect(path: str, head: bytes) -> str:
     """File-type detection by extension then content sniffing
     (reference src/file.c file_get_data_type + src/flags.c --input)."""
-    from . import fastq, fasta, generic, vcf, sam, gff, bed, me23  # noqa: F401
+    from . import fastq, fasta, generic, vcf, sam, bam, gff, bed, me23  # noqa: F401
     p = path.lower()
     for ext in (".gz", ".bgz", ".bz2", ".xz"):
         if p.endswith(ext):
@@ -86,9 +86,9 @@ def detect(path: str, head: bytes) -> str:
     for ext, dt in ext_map.items():
         if p.endswith(ext) and dt:
             return dt
-    # content sniffing
-    if head[:4] == b"BAM\x01" or head[:2] == b"\x1f\x8b":
-        pass  # caller decompresses before sniffing
+    # content sniffing (head is already decompressed by the input layer)
+    if head[:4] == b"BAM\x01":
+        return "bam"
     if head[:1] == b">":
         return "fasta"
     if head[:1] == b"@":

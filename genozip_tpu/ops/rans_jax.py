@@ -52,11 +52,14 @@ def _lane_matrix(data_u8, K: int, N: int):
 
 
 def _onehot_fc(s, tab):
-    """Per-lane (f, c) via one-hot MXU matmul. s: (N,) u32; tab: (256, 2) f32.
-    Exact: all table values <= 4096."""
+    """Per-lane (f, c) via elementwise one-hot select (pure VPU — measured
+    faster than both gather and narrow MXU matmuls on v5e). s: (N,) u32;
+    tab: (256, 2) f32. Exact: one-hot rows have a single 1 and all table
+    values <= 4096 are exact f32, so the row-sum is exact."""
     oh = (s[:, None] == _iota2(1, 256, 1).astype(jnp.uint32)).astype(jnp.float32)
-    fc = jnp.dot(oh, tab, preferred_element_type=jnp.float32)
-    return fc[:, 0].astype(jnp.uint32), fc[:, 1].astype(jnp.uint32), oh
+    f = jnp.sum(oh * tab[:, 0][None, :], axis=1).astype(jnp.uint32)
+    c = jnp.sum(oh * tab[:, 1][None, :], axis=1).astype(jnp.uint32)
+    return f, c, oh
 
 
 def _onehot_fc2(s, ctx_rows_f, ctx_rows_c):
@@ -84,7 +87,8 @@ def _encode_device(data_u8, tab, tab2, K: int, N: int, order: int):
         if order == 1:
             s, act, cc = inp
             oh_c = (cc[:, None] == _iota2(1, 256, 1).astype(jnp.uint32)).astype(jnp.float32)
-            rows = jnp.dot(oh_c, tab2, preferred_element_type=jnp.float32)
+            rows = jnp.dot(oh_c, tab2, preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST)
             f, c, _ = _onehot_fc2(s, rows[:, :256], rows[:, 256:])
         else:
             s, act = inp
@@ -136,7 +140,8 @@ def _decode_device(words_u16, tab, tab2, cum_row, K: int, N: int, n: int,
         slot_f = slot.astype(jnp.float32)
         if order == 1:
             oh_c = (ctx[:, None] == _iota2(1, 256, 1).astype(jnp.uint32)).astype(jnp.float32)
-            rows = jnp.dot(oh_c, tab2, preferred_element_type=jnp.float32)
+            rows = jnp.dot(oh_c, tab2, preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST)
             rows_f, rows_c = rows[:, :256], rows[:, 256:]
             # slot -> sym: number of cum entries <= slot, minus 1 — but only
             # among present symbols; equivalently sum(cum_row <= slot where
@@ -146,18 +151,18 @@ def _decode_device(words_u16, tab, tab2, cum_row, K: int, N: int, n: int,
             # via interval membership matrix row-dot with iota.
             inmat = ((rows_c <= slot_f[:, None]) &
                      (slot_f[:, None] < rows_c + rows_f)).astype(jnp.float32)
-            s = jnp.dot(inmat, iota256f[:, None],
-                        preferred_element_type=jnp.float32)[:, 0].astype(jnp.uint32)
-            f, c, _ = _onehot_fc2(s, rows_f, rows_c)
+            s = jnp.sum(inmat * iota256f[None, :], axis=1).astype(jnp.uint32)
+            f = jnp.sum(inmat * rows_f, axis=1).astype(jnp.uint32)
+            c = jnp.sum(inmat * rows_c, axis=1).astype(jnp.uint32)
         else:
-            # order-0: same interval-membership trick with broadcast tables
+            # order-0: interval membership + elementwise row-sums (no matmul)
             fr = tab[:, 0][None, :]
             cr = tab[:, 1][None, :]
             inmat = ((cr <= slot_f[:, None]) &
                      (slot_f[:, None] < cr + fr)).astype(jnp.float32)
-            s = jnp.dot(inmat, iota256f[:, None],
-                        preferred_element_type=jnp.float32)[:, 0].astype(jnp.uint32)
-            f, c, _ = _onehot_fc(s, tab)
+            s = jnp.sum(inmat * iota256f[None, :], axis=1).astype(jnp.uint32)
+            f = jnp.sum(inmat * fr, axis=1).astype(jnp.uint32)
+            c = jnp.sum(inmat * cr, axis=1).astype(jnp.uint32)
         f = jnp.where(act, f, 1)
         xa = f * (x >> SCALE_BITS) + slot - jnp.where(act, c, 0)
         x = jnp.where(act, xa, x)

@@ -73,7 +73,13 @@ class PizReader:
 
 def piz_file(z_path: str, out_path: str | None = None, verify_only: bool = False):
     pr = PizReader(z_path)
-    sink = open(out_path, "wb") if out_path else None
+    sink = None
+    if out_path:
+        if out_path.endswith((".gz", ".bgz", ".bam")):
+            import gzip as _gzip
+            sink = _gzip.open(out_path, "wb", compresslevel=6)
+        else:
+            sink = open(out_path, "wb")
     adler = zlib.adler32(b"")
     total = 0
     hdr = pr.txt_header()

@@ -18,7 +18,7 @@ DEFAULT_VB_SIZE = 16 * 1024 * 1024
 def open_input(path: str):
     if path == "-":
         return io.BufferedReader(io.FileIO(0, "r", closefd=False))
-    if path.endswith((".gz", ".bgz")):
+    if path.endswith((".gz", ".bgz", ".bam")):
         return gzip.open(path, "rb")
     if path.endswith(".bz2"):
         return bz2.open(path, "rb")

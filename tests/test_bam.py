@@ -1,0 +1,74 @@
+"""BAM round-trip: byte-exact on the uncompressed BAM stream."""
+
+import gzip
+import os
+import struct
+
+import numpy as np
+import pytest
+
+from genozip_tpu import native
+from genozip_tpu.zip_pipeline import zip_file
+from genozip_tpu.piz_pipeline import piz_file
+
+RNG = np.random.default_rng(11)
+
+SEQ_NIBBLES = b"=ACMGRSVTWYHKDBN"
+
+
+def synth_bam(n=1500):
+    sam_hdr = b"@HD\tVN:1.6\tSO:coordinate\n@SQ\tSN:chr21\tLN:46709983\n"
+    refs = [(b"chr21", 46709983)]
+    out = [b"BAM\x01", struct.pack("<i", len(sam_hdr)), sam_hdr,
+           struct.pack("<i", len(refs))]
+    for name, ln in refs:
+        out.append(struct.pack("<i", len(name) + 1))
+        out.append(name + b"\x00")
+        out.append(struct.pack("<i", ln))
+    pos = 100000
+    for i in range(n):
+        pos += int(RNG.integers(0, 100))
+        qname = b"SIM.%d" % (5000000 + i)
+        l_seq = int(RNG.integers(80, 121))
+        cigar = [(l_seq << 4) | 0]  # <l_seq>M
+        seq_codes = RNG.integers(0, 16, l_seq).astype(np.uint8)
+        packed = bytearray((l_seq + 1) // 2)
+        for j, c in enumerate(seq_codes):
+            packed[j // 2] |= (int(c) << (4 if j % 2 == 0 else 0))
+        qual = RNG.integers(20, 40, l_seq).astype(np.uint8).tobytes()
+        aux = b"NMC" + bytes([int(RNG.integers(0, 5))]) + b"ASC" + bytes([int(RNG.integers(50, 100))])
+        rec = struct.pack("<iiBBHHHiiii", 0, pos, len(qname) + 1,
+                          int(RNG.integers(0, 61)), 4680, len(cigar),
+                          int(RNG.choice([99, 147, 83, 163])), l_seq, 0,
+                          pos + 50, 150)
+        rec += qname + b"\x00"
+        rec += b"".join(struct.pack("<I", c) for c in cigar)
+        rec += bytes(packed) + qual + aux
+        out.append(struct.pack("<I", len(rec)) + rec)
+    return b"".join(out)
+
+
+@pytest.mark.skipif(not native.available(), reason="native runtime required")
+def test_bam_roundtrip(tmp_path):
+    raw = synth_bam()
+    src = os.path.join(str(tmp_path), "t.bam")
+    with gzip.open(src, "wb") as f:
+        f.write(raw)
+    z = src + ".gxz"
+    out = os.path.join(str(tmp_path), "out.bam")
+    zip_file(src, z)
+    piz_file(z, out)
+    got = gzip.open(out, "rb").read()
+    assert got == raw
+    assert os.path.getsize(z) < len(raw) * 0.75
+
+
+@pytest.mark.skipif(not native.available(), reason="native runtime required")
+def test_bam_multi_vb(tmp_path):
+    raw = synth_bam(3000)
+    src = os.path.join(str(tmp_path), "m.bam")
+    with gzip.open(src, "wb") as f:
+        f.write(raw)
+    z = src + ".gxz"
+    zip_file(src, z, vb_size=100 * 1024)
+    piz_file(z, None)  # digest-verify only
