@@ -14,6 +14,7 @@
 #include <cstdlib>
 #include <algorithm>
 #include <vector>
+#include <memory>
 #include <zlib.h>
 
 namespace {
@@ -107,9 +108,41 @@ LaneLayout layout(int64_t n) {
 
 extern "C" {
 
+namespace {
+
+// Granlund-Montgomery magic division: q = (x * M) >> (32 + l), exact for all
+// x < 2^32 when e = M*d - 2^(32+l) satisfies 0 < e <= 2^l (checked at build).
+struct Magic {
+    uint64_t M;
+    int sh;
+    bool exact;
+};
+
+Magic make_magic(uint32_t d) {
+    if (d == 0) return {0, 0, false};
+    int l = 0;
+    while ((1u << l) < d) l++;            // l = ceil(log2(d)), d <= 2^12
+    if ((d & (d - 1)) == 0)               // power of two: M = 2^32, plain shift
+        return {(uint64_t)1 << 32, 32 + l, true};
+    uint64_t two_pow = (uint64_t)1 << (32 + l);
+    uint64_t M = (two_pow + d - 1) / d;   // ceil
+    uint64_t e = M * d - two_pow;         // Granlund-Montgomery exactness
+    return {M, 32 + l, e > 0 && e <= ((uint64_t)1 << l)};
+}
+
+inline uint32_t magic_div(uint32_t x, const Magic& m, uint32_t d) {
+    if (__builtin_expect(!m.exact, 0)) return x / d;
+    return (uint32_t)(((unsigned __int128)x * m.M) >> m.sh);
+}
+
+}  // namespace
+
 // ---------------------------------------------------------------------------
-// rANS order-0 / order-1 encode.  out must have capacity >= n + 16*N + 4096 +
-// header area.  Returns number of bytes written, or -1 on error.
+// rANS order-0 / order-1 encode.  Two cache-friendly passes: (A) per-lane
+// sequential encode into per-lane word buffers + emit bitsets (lane chunks
+// are contiguous input ranges); (B) bitset-driven merge into the single
+// interleaved stream in (step desc, lane desc) order.
+// Returns number of bytes written, or -1 on error.
 // ---------------------------------------------------------------------------
 int64_t gxz_rans_encode(const uint8_t* data, int64_t n, int order,
                         uint8_t* out, int64_t out_cap) {
@@ -176,31 +209,80 @@ int64_t gxz_rans_encode(const uint8_t* data, int64_t n, int order,
     memcpy(out + 2, &n32, 4);
     memcpy(out + 6, ftab.data(), ftab.size());
 
-    // encode backward into a word buffer
-    std::vector<uint16_t> words(max_words);
-    int64_t p = max_words;
-    std::vector<uint32_t> x(N, RANS_L);
+    // magic-division tables (one per distinct freq value)
+    size_t ntab = order == 0 ? 256 : 256 * 256;
+    std::vector<Magic> magic(ntab);
+    for (size_t i = 0; i < ntab; i++)
+        if (freq[i]) magic[i] = make_magic(freq[i]);
 
+    // pass A: per-lane sequential encode (lane chunk = contiguous input)
+    std::vector<uint32_t> x(N, RANS_L);
+    std::unique_ptr<uint16_t[]> lane_words(new uint16_t[n + N]);  // no init
+    std::vector<int64_t> lane_wcnt(N, 0);
+    int64_t bits_per_lane = (K + 63) / 64 + 1;
+    std::vector<uint64_t> flags((size_t)bits_per_lane * N, 0);
+    std::vector<int64_t> lane_wstart(N + 1, 0);
+    // capacity: lane l emits at most lane_len words
+    for (int l = 0; l < N; l++) {
+        int64_t lane_len = std::min((int64_t)(l + 1) * K, n) - (int64_t)l * K;
+        if (lane_len < 0) lane_len = 0;
+        lane_wstart[l + 1] = lane_wstart[l] + lane_len;
+    }
+    // 4-way lane interleaving breaks the per-lane serial dependency chain
+    // (the state update's div/mul latency would otherwise bound throughput)
+    for (int g = 0; g < N; g += 4) {
+        int nl = std::min(4, N - g);
+        int64_t s0[4], len[4], wc[4] = {0, 0, 0, 0};
+        uint32_t xx[4];
+        uint16_t* wbuf[4];
+        uint64_t* fl[4];
+        int64_t tmax = 0;
+        for (int j = 0; j < nl; j++) {
+            int l = g + j;
+            s0[j] = (int64_t)l * K;
+            len[j] = std::max((int64_t)0, std::min(s0[j] + K, n) - s0[j]);
+            xx[j] = RANS_L;
+            wbuf[j] = &lane_words[lane_wstart[l]];
+            fl[j] = &flags[(size_t)bits_per_lane * l];
+            tmax = std::max(tmax, len[j]);
+        }
+        for (int64_t t = tmax - 1; t >= 0; t--) {
+            for (int j = 0; j < nl; j++) {
+                if (t >= len[j]) continue;
+                uint8_t s = data[s0[j] + t];
+                size_t ix;
+                if (order == 0) ix = s;
+                else {
+                    uint8_t ctx = (t == 0) ? 0 : data[s0[j] + t - 1];
+                    ix = (size_t)ctx * 256 + s;
+                }
+                uint32_t f = freq[ix], c = cum[ix];
+                uint32_t v = xx[j];
+                if ((v >> 20) >= f) {
+                    wbuf[j][wc[j]++] = (uint16_t)(v & 0xFFFF);
+                    v >>= 16;
+                    fl[j][t >> 6] |= (uint64_t)1 << (t & 63);
+                }
+                uint32_t q = magic_div(v, magic[ix], f);
+                xx[j] = (q << SCALE_BITS) + (v - q * f) + c;
+            }
+        }
+        for (int j = 0; j < nl; j++) {
+            x[g + j] = xx[j];
+            lane_wcnt[g + j] = wc[j];
+        }
+    }
+
+    // pass B: merge in (step desc, lane desc) order, writing backward
+    std::unique_ptr<uint16_t[]> words(new uint16_t[max_words]);  // no init
+    int64_t p = max_words;
+    std::vector<int64_t> consumed(N, 0);  // words consumed per lane (from 0)
     for (int64_t t = K - 1; t >= 0; t--) {
-        for (int l = N - 1; l >= 0; l--) {  // descending lanes: backward write
-            int64_t i = (int64_t)l * K + t;
-            if (i >= n || t >= K) continue;
-            int64_t lane_end = std::min((int64_t)(l + 1) * K, n);
-            if (i >= lane_end) continue;
-            uint8_t s = data[i];
-            uint32_t f, c;
-            if (order == 0) { f = freq[s]; c = cum[s]; }
-            else {
-                uint8_t ctx = (t == 0) ? 0 : data[i - 1];
-                f = freq[(size_t)ctx * 256 + s];
-                c = cum[(size_t)ctx * 256 + s];
-            }
-            uint32_t xx = x[l];
-            if ((uint64_t)xx >= ((uint64_t)f << 20)) {
-                words[--p] = (uint16_t)(xx & 0xFFFF);
-                xx >>= 16;
-            }
-            x[l] = ((xx / f) << SCALE_BITS) + (xx % f) + c;
+        int64_t word_idx = t >> 6;
+        uint64_t bit = (uint64_t)1 << (t & 63);
+        for (int l = N - 1; l >= 0; l--) {
+            if (flags[(size_t)bits_per_lane * l + word_idx] & bit)
+                words[--p] = lane_words[lane_wstart[l] + consumed[l]++];
         }
     }
     // flush states backward: descending lane, lo then hi
@@ -278,12 +360,16 @@ int64_t gxz_rans_decode(const uint8_t* in, int64_t in_len, uint8_t* out,
         x[l] = ((uint32_t)words[2 * l] << 16) | words[2 * l + 1];
     int64_t p = 2 * N;
 
+    // decode into a row-major (K, N) plane (sequential writes), then do a
+    // cache-blocked transpose into the lane-chunk output layout
+    std::vector<uint8_t> plane((size_t)K * N);
     std::vector<uint8_t> ctxv(N, 0);
     for (int64_t t = 0; t < K; t++) {
+        uint8_t* row = &plane[(size_t)t * N];
         for (int l = 0; l < N; l++) {
             int64_t i = (int64_t)l * K + t;
             int64_t lane_end = std::min((int64_t)(l + 1) * K, n);
-            if (i >= lane_end) continue;
+            if (i >= lane_end) { row[l] = 0; continue; }
             uint32_t xx = x[l];
             uint32_t slot = xx & (SCALE - 1);
             uint8_t s;
@@ -304,9 +390,21 @@ int64_t gxz_rans_decode(const uint8_t* in, int64_t in_len, uint8_t* out,
                 xx = (xx << 16) | words[p++];
             }
             x[l] = xx;
-            out[i] = s;
+            row[l] = s;
         }
     }
+    // blocked transpose: out[l*K + t] = plane[t*N + l]
+    constexpr int64_t B = 64;
+    for (int64_t t0 = 0; t0 < K; t0 += B)
+        for (int64_t l0 = 0; l0 < N; l0 += B) {
+            int64_t t1 = std::min(t0 + B, K), l1 = std::min(l0 + B, (int64_t)N);
+            for (int64_t l = l0; l < l1; l++) {
+                int64_t lane_end = std::min((int64_t)(l + 1) * K, n);
+                int64_t tmax = std::min(t1, lane_end - l * K);
+                for (int64_t t = t0; t < tmax; t++)
+                    out[l * K + t] = plane[(size_t)t * N + l];
+            }
+        }
     return n;
 }
 

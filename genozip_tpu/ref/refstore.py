@@ -1,0 +1,189 @@
+"""Reference genome store: --make-reference (FASTA -> .ref.gxz), load, and
+in-memory genome representation.
+
+Reference parity: src/ref_make.c (FASTA -> 2-bit genome), src/reference.c
+(genome store), src/refhash_make.c (kmer->GPOS seed table), src/ref_contigs.c
+(contig catalog), src/ref_iupacs.c (non-ACGT exceptions). TPU-first redesign:
+the genome is a flat code array (2-bit packed on disk, bytes in RAM, u32-packed
+on device); the refhash is a single power-of-two open-addressed table built
+with one vectorized first-wins scatter (the reference's multi-layer
+occupancy dispatchers collapse into numpy/jnp ops); seeds are direct k-mers
+at every position (no 'G'-hook scan — batched gathers don't need the
+density trick).
+"""
+
+import json
+
+import numpy as np
+
+from ..format import sections as fmt
+from ..ops import pack as packops
+from .. import codecs
+from ..codecs import assign as codec_assign
+
+KMER = 16               # seed length (u32-packable)
+HASH_BITS_DEFAULT = 24  # refhash slots = 2^bits
+FIB = np.uint64(11400714819323198485)  # 2^64 / phi
+NO_GPOS = np.uint32(0xFFFFFFFF)
+
+
+class RefGenome:
+    def __init__(self, codes: np.ndarray, contigs, refhash=None,
+                 hash_bits=HASH_BITS_DEFAULT, iupac_pos=None, iupac_chars=None):
+        self.codes = codes          # (G,) uint8 in 0..3
+        self.contigs = contigs      # list of {name, gpos, length}
+        self.refhash = refhash      # (2^bits,) uint32 GPOS or NO_GPOS
+        self.hash_bits = hash_bits
+        self.iupac_pos = iupac_pos if iupac_pos is not None else np.zeros(0, np.int64)
+        self.iupac_chars = iupac_chars if iupac_chars is not None else np.zeros(0, np.uint8)
+
+    @property
+    def length(self):
+        return self.codes.shape[0]
+
+    def contig_of(self, name: str):
+        for c in self.contigs:
+            if c["name"] == name:
+                return c
+        return None
+
+
+def kmers_at(codes: np.ndarray, positions: np.ndarray, k: int = KMER):
+    """Pack k consecutive 2-bit codes starting at each position into u64
+    (vectorized; caller guarantees positions + k <= len)."""
+    out = np.zeros(positions.shape[0], dtype=np.uint64)
+    for j in range(k):
+        out = (out << np.uint64(2)) | codes[positions + j].astype(np.uint64)
+    return out
+
+
+def hash_kmer(kmer: np.ndarray, bits: int):
+    return ((kmer * FIB) >> np.uint64(64 - bits)).astype(np.int64)
+
+
+def build_refhash(codes: np.ndarray, bits: int = HASH_BITS_DEFAULT,
+                  stride: int = 1):
+    """kmer->GPOS first-wins table. One vectorized pass (chunked)."""
+    G = codes.shape[0]
+    table = np.full(1 << bits, NO_GPOS, dtype=np.uint32)
+    if G < KMER:
+        return table
+    chunk = 1 << 22
+    for start in range(0, G - KMER + 1, chunk):
+        end = min(start + chunk, G - KMER + 1)
+        pos = np.arange(start, end, stride, dtype=np.int64)
+        km = kmers_at(codes, pos)
+        h = hash_kmer(km, bits)
+        # first-wins within the chunk AND across chunks: minimum GPOS wins
+        np.minimum.at(table, h, pos.astype(np.uint32))
+    return table
+
+
+def fasta_to_genome(fa_data: bytes, hash_bits: int = HASH_BITS_DEFAULT):
+    """Parse FASTA bytes -> RefGenome (with refhash)."""
+    data = np.frombuffer(fa_data, dtype=np.uint8)
+    nl = np.nonzero(data == ord("\n"))[0]
+    if data.shape[0] and (nl.shape[0] == 0 or nl[-1] != data.shape[0] - 1):
+        nl = np.concatenate([nl, [data.shape[0]]])
+    starts = np.concatenate([[0], nl[:-1] + 1])
+    lens = nl - starts
+    first = np.where(lens > 0, data[np.minimum(starts, data.shape[0] - 1)], 0)
+    is_desc = first == ord(">")
+
+    contigs = []
+    code_parts = []
+    iupac_pos_parts = []
+    iupac_chr_parts = []
+    gpos = 0
+    cur_name = None
+    cur_len = 0
+    n = nl.shape[0]
+    i = 0
+    # contig boundaries: split on desc lines (few — python loop over contigs ok)
+    desc_rows = np.nonzero(is_desc)[0]
+    bounds = list(desc_rows) + [n]
+    for di in range(len(desc_rows)):
+        row = desc_rows[di]
+        name = bytes(data[starts[row] + 1: starts[row] + lens[row]]).split()[0].decode()
+        seq_rows = np.arange(bounds[di] + 1, bounds[di + 1])
+        seq_rows = seq_rows[~is_desc[seq_rows]] if seq_rows.shape[0] else seq_rows
+        if seq_rows.shape[0]:
+            total = int(lens[seq_rows].sum())
+            seq = np.empty(total, dtype=np.uint8)
+            o = 0
+            src = np.repeat(starts[seq_rows] - np.concatenate([[0], np.cumsum(lens[seq_rows])])[:-1], lens[seq_rows])
+            src += np.arange(total, dtype=np.int64)
+            seq = data[src]
+        else:
+            seq = np.zeros(0, np.uint8)
+        # uppercase (soft-masked references are lowercase)
+        seq = np.where((seq >= ord("a")) & (seq <= ord("z")), seq - 32, seq)
+        codes = packops.BASE2BIT[seq]
+        non_acgt = ~packops.IS_ACGT[seq]
+        if non_acgt.any():
+            iupac_pos_parts.append(np.nonzero(non_acgt)[0] + gpos)
+            iupac_chr_parts.append(seq[non_acgt])
+        code_parts.append(codes)
+        contigs.append({"name": name, "gpos": gpos, "length": int(seq.shape[0])})
+        gpos += int(seq.shape[0])
+
+    codes = np.concatenate(code_parts) if code_parts else np.zeros(0, np.uint8)
+    ref = RefGenome(codes, contigs, hash_bits=hash_bits,
+                    iupac_pos=np.concatenate(iupac_pos_parts) if iupac_pos_parts else None,
+                    iupac_chars=np.concatenate(iupac_chr_parts) if iupac_chr_parts else None)
+    ref.refhash = build_refhash(codes, hash_bits)
+    return ref
+
+
+def write_ref_file(ref: RefGenome, out_path: str):
+    """Write a .ref.gxz archive (reference parity: SEC_REFERENCE /
+    SEC_REF_HASH / SEC_REF_CONTIGS / SEC_REF_IUPACS sections)."""
+    with open(out_path, "wb") as f:
+        zw = fmt.ZWriter(f)
+        packed = packops.pack_np(ref.codes, 2)
+        zw.write_section(fmt.SEC_REFERENCE, packed.tobytes(),
+                         codec=codecs.RANS0, param=ref.length)
+        zw.write_section(fmt.SEC_REF_CONTIGS,
+                         fmt.json_payload(ref.contigs), codec=codecs.ZLIB)
+        ht = ref.refhash.astype("<u4").tobytes()
+        zw.write_section(fmt.SEC_REF_HASH, ht, codec=codecs.RANS0,
+                         param=ref.hash_bits)
+        iup = ref.iupac_pos.astype("<u8").tobytes() + ref.iupac_chars.tobytes()
+        zw.write_section(fmt.SEC_REF_IUPACS, iup, codec=codecs.ZLIB,
+                         param=ref.iupac_pos.shape[0])
+        hdr = {"version": 1, "dt": "ref", "genome_len": ref.length,
+               "hash_bits": ref.hash_bits, "kmer": KMER,
+               "num_vbs": 0, "num_lines": 0, "txt_len": 0, "adler": 1}
+        zw.write_section(fmt.SEC_FILE_HEADER, fmt.json_payload(hdr),
+                         codec=codecs.ZLIB)
+        zw.finalize()
+
+
+def load_ref_file(path: str) -> RefGenome:
+    with open(path, "rb") as f:
+        zr = fmt.ZReader(f)
+        hdr = fmt.json_parse(zr.read_one(fmt.SEC_FILE_HEADER)[0])
+        assert hdr["dt"] == "ref", "not a reference file"
+        payload, meta = zr.read_one(fmt.SEC_REFERENCE)
+        codes = packops.unpack_np(np.frombuffer(payload, np.uint8), 2,
+                                  meta["param"])
+        contigs = fmt.json_parse(zr.read_one(fmt.SEC_REF_CONTIGS)[0])
+        payload, meta = zr.read_one(fmt.SEC_REF_HASH)
+        refhash = np.frombuffer(payload, "<u4").copy()
+        hash_bits = meta["param"]
+        payload, meta = zr.read_one(fmt.SEC_REF_IUPACS)
+        ni = meta["param"]
+        iupac_pos = np.frombuffer(payload[:8 * ni], "<u8").astype(np.int64)
+        iupac_chars = np.frombuffer(payload[8 * ni:], np.uint8).copy()
+        return RefGenome(codes, contigs, refhash, hash_bits,
+                         iupac_pos, iupac_chars)
+
+
+def make_reference(fa_path: str, out_path: str,
+                   hash_bits: int = HASH_BITS_DEFAULT):
+    from ..txtfile import open_input
+    with open_input(fa_path) as f:
+        fa = f.read()
+    ref = fasta_to_genome(fa, hash_bits)
+    write_ref_file(ref, out_path)
+    return ref
