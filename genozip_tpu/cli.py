@@ -24,10 +24,14 @@ def build_parser():
                    help="verify by decompress+digest after compressing")
     z.add_argument("--reference", default=None)
 
+    z.add_argument("--make-reference", action="store_true",
+                   help="compress a FASTA into a .ref.gxz reference")
+
     u = sub.add_parser("unzip", help="decompress")
     u.add_argument("input")
     u.add_argument("-o", "--output")
     u.add_argument("--test", action="store_true", help="verify only")
+    u.add_argument("--reference", default=None)
 
     c = sub.add_parser("cat", help="decompress to stdout")
     c.add_argument("input")
@@ -44,27 +48,34 @@ def build_parser():
 def main(argv=None):
     args = build_parser().parse_args(argv)
     if args.cmd == "zip":
+        if args.make_reference:
+            from .ref.refstore import make_reference
+            out = args.output or args.input + ".ref.gxz"
+            ref = make_reference(args.input, out)
+            print(f"reference: {ref.length:,} bases, "
+                  f"{len(ref.contigs)} contigs -> {out}")
+            return 0
         from .zip_pipeline import zip_file
         from .txtfile import DEFAULT_VB_SIZE
         out = args.output or args.input + ".gxz"
         vb = (args.vblock * (1 << 20)) if args.vblock else DEFAULT_VB_SIZE
         stats = zip_file(args.input, out, dt_name=args.dt, vb_size=vb,
-                         show_stats=args.stats)
+                         show_stats=args.stats, reference=args.reference)
         if args.test:
             from .piz_pipeline import piz_file
-            piz_file(out, None)
+            piz_file(out, None, reference=args.reference)
             print("verified: round-trip digest OK")
         return 0
     if args.cmd == "unzip":
         from .piz_pipeline import piz_file
         if args.test:
-            piz_file(args.input, None)
+            piz_file(args.input, None, reference=args.reference)
             print("verified: round-trip digest OK")
             return 0
         out = args.output or args.input.removesuffix(".gxz")
         if out == args.input:
             out = args.input + ".out"
-        piz_file(args.input, out)
+        piz_file(args.input, out, reference=args.reference)
         return 0
     if args.cmd == "cat":
         from .piz_pipeline import PizReader

@@ -60,17 +60,54 @@ class FastqDT(DataType):
         ctxs["PLUS"] = VBCtx("PLUS", MODE_DICT, b250=inv, vb_words=uw, cat="b250")
         d = np.diff(seq_lens, prepend=np.int64(0))
         ctxs["LENS"] = VBCtx("LENS", MODE_NUM, local=d, cat="int", param=1)
-        ctxs["NONREF"] = VBCtx("NONREF", MODE_TXT, local=seq.data, cat="seq")
+
+        ref = getattr(self, "ref", None)
+        if ref is not None and n:
+            self._seg_seq_aligned(ctxs, seq, ref)
+        else:
+            ctxs["NONREF"] = VBCtx("NONREF", MODE_TXT, local=seq.data, cat="seq")
+
         ctxs["QUAL"] = VBCtx("QUAL", MODE_TXT, local=qual.data, cat="qual")
         meta = {"no_final_nl": bool(no_final_nl)}
         return VBSegResult(ctxs, n, meta)
+
+    def _seg_seq_aligned(self, ctxs, seq, ref):
+        """Reference-based SEQ seg (reference parity: fastq_seq.c:45
+        fastq_seg_SEQ aligner path; aligner.c:767 aligner_seg_seq)."""
+        from ..ops import pack as packops
+        from ..ref import aligner as al
+
+        seq_mat, lens = ragged.to_matrix(seq)
+        codes = packops.BASE2BIT[seq_mat]
+        res = al.align_batch(ref, codes, lens)
+        aligned = res["aligned"]
+        gpos = res["gpos"]
+        is_fwd = res["is_fwd"]
+        ridx, mpos, mbase = al.mismatch_lists(
+            ref, seq_mat, codes, lens, gpos, is_fwd, aligned)
+        nm = np.bincount(ridx, minlength=len(seq))[aligned]
+
+        ctxs["SQBITMAP"] = VBCtx("SQBITMAP", MODE_NUM,
+                                 local=aligned.astype(np.int64), cat="int")
+        ctxs["GPOS"] = VBCtx("GPOS", MODE_NUM, local=gpos[aligned], cat="int")
+        ctxs["STRAND"] = VBCtx("STRAND", MODE_NUM,
+                               local=is_fwd[aligned].astype(np.int64), cat="int")
+        ctxs["SEQNM"] = VBCtx("SEQNM", MODE_NUM, local=nm, cat="int")
+        ctxs["SEQMISP"] = VBCtx("SEQMISP", MODE_NUM, local=mpos, cat="int")
+        ctxs["SEQMISB"] = VBCtx("SEQMISB", MODE_TXT, local=mbase, cat="text")
+        un = ~aligned
+        nonref = ragged.take(seq, np.nonzero(un)[0])
+        ctxs["NONREF"] = VBCtx("NONREF", MODE_TXT, local=nonref.data, cat="seq")
 
     def recon_vb(self, pctxs: dict, meta: dict) -> bytes:
         n = meta["num_lines"]
         desc = tokenizer_recon_col("DESC", pctxs, n)
         plus = pctxs["PLUS"].dict_take()
         lens = pctxs["LENS"].nums()
-        seq = pctxs["NONREF"].txt_col(lens)
+        if "SQBITMAP" in pctxs:
+            seq = self._recon_seq_aligned(pctxs, lens)
+        else:
+            seq = pctxs["NONREF"].txt_col(lens)
         qual = pctxs["QUAL"].txt_col(lens)
         out = ragged.interleave([desc, seq, plus, qual],
                                 sep_after=[b"\n", b"\n", b"\n", b"\n"])
@@ -78,3 +115,28 @@ class FastqDT(DataType):
         if meta.get("no_final_nl"):
             raw = raw[:-1]
         return raw
+
+    def _recon_seq_aligned(self, pctxs, lens):
+        """PIZ aligner path (reference parity: fastq_seq.c:346
+        fastq_recon_aligned_SEQ — genome gather + mismatch patches)."""
+        from ..ref import aligner as al
+
+        ref = getattr(self, "ref", None)
+        assert ref is not None, \
+            "archive was compressed with --reference; supply it for unzip"
+        aligned = pctxs["SQBITMAP"].nums().astype(bool)
+        n = aligned.shape[0]
+        gpos = pctxs["GPOS"].nums()
+        is_fwd = pctxs["STRAND"].nums().astype(bool)
+        nm = pctxs["SEQNM"].nums()
+        mpos = pctxs["SEQMISP"].nums()
+        mbase = pctxs["SEQMISB"].local
+        a_lens = lens[aligned]
+        mm_ridx = np.repeat(np.arange(gpos.shape[0]), nm)
+        mat = al.reconstruct_batch(ref, gpos, a_lens, is_fwd,
+                                   mm_ridx, mpos, mbase)
+        a_col = ragged.from_matrix(mat, a_lens)
+        un_idx = np.nonzero(~aligned)[0]
+        nonref = pctxs["NONREF"].txt_col(lens[un_idx])
+        return ragged.merge_rows(n, [(np.nonzero(aligned)[0], a_col),
+                                     (un_idx, nonref)])

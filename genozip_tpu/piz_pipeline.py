@@ -18,13 +18,18 @@ FLAG_DELTA = 1
 
 
 class PizReader:
-    def __init__(self, z_path: str):
+    def __init__(self, z_path: str, reference: str | None = None):
         self.f = open(z_path, "rb")
         self.zr = fmt.ZReader(self.f)
         payload, _ = self.zr.read_one(fmt.SEC_FILE_HEADER)
         assert payload is not None, "missing file header"
         self.file_hdr = fmt.json_parse(payload)
         self.dt = get(self.file_hdr["dt"])(self.file_hdr.get("segconf") or {})
+        if self.file_hdr.get("reference"):
+            assert reference, (f"archive needs reference "
+                               f"{self.file_hdr['reference']} (--reference)")
+            from .ref.refstore import load_ref_file
+            self.dt.ref = load_ref_file(reference)
         self.dicts = {}
         for ent in self.zr.sections(fmt.SEC_DICT):
             payload, meta = self.zr.read_section(ent)
@@ -71,8 +76,9 @@ class PizReader:
         self.f.close()
 
 
-def piz_file(z_path: str, out_path: str | None = None, verify_only: bool = False):
-    pr = PizReader(z_path)
+def piz_file(z_path: str, out_path: str | None = None,
+             verify_only: bool = False, reference: str | None = None):
+    pr = PizReader(z_path, reference=reference)
     sink = None
     if out_path:
         if out_path.endswith((".gz", ".bgz", ".bam")):

@@ -199,6 +199,34 @@ def count_sep_per_row(line_col: Col, sep: int) -> np.ndarray:
     return np.bincount(row_of, minlength=len(line_col))
 
 
+def to_matrix(col: Col, fill: int = 0):
+    """Ragged column -> (n, maxlen) padded byte matrix."""
+    n = len(col)
+    lens = col.lens
+    w = int(lens.max()) if n and lens.shape[0] else 0
+    mat = np.full((n, max(w, 1)), fill, dtype=np.uint8)
+    total = int(lens.sum())
+    if total:
+        pos = np.arange(total, dtype=np.int64) - np.repeat(col.offsets[:-1], lens)
+        rows = np.repeat(np.arange(n, dtype=np.int64), lens)
+        mat[rows, pos] = col.data
+    return mat, lens
+
+
+def from_matrix(mat: np.ndarray, lens: np.ndarray) -> Col:
+    """Padded byte matrix + row lengths -> ragged column."""
+    n, w = mat.shape
+    lens = np.asarray(lens, dtype=np.int64)
+    total = int(lens.sum())
+    offsets = np.concatenate([[0], np.cumsum(lens)])
+    out = np.empty(total, dtype=np.uint8)
+    if total:
+        pos = np.arange(total, dtype=np.int64) - np.repeat(offsets[:-1], lens)
+        rows = np.repeat(np.arange(n, dtype=np.int64), lens)
+        out[:] = mat[rows, pos]
+    return Col(out, offsets)
+
+
 def merge_rows(n: int, parts) -> Col:
     """Merge row-subsets into one n-row column. `parts` is a list of
     (row_indices, Col) pairs covering all n rows exactly once."""

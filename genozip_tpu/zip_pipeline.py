@@ -42,11 +42,17 @@ def _b250_payload(b250_global: np.ndarray) -> np.ndarray:
 
 
 def zip_file(in_path: str, out_path: str, dt_name: str | None = None,
-             vb_size: int = DEFAULT_VB_SIZE, show_stats: bool = False):
+             vb_size: int = DEFAULT_VB_SIZE, show_stats: bool = False,
+             reference: str | None = None):
     reader = TxtReader(in_path)
     head = reader.peek(64 * 1024)
     dt_name = dt_name or detect(in_path, head)
     dt = get(dt_name)()
+    ref_name = None
+    if reference:
+        from .ref.refstore import load_ref_file
+        dt.ref = load_ref_file(reference)
+        ref_name = reference.rsplit("/", 1)[-1]
 
     stats = ZipStats()
     out = open(out_path, "wb")
@@ -127,6 +133,7 @@ def zip_file(in_path: str, out_path: str, dt_name: str | None = None,
         "num_lines": stats.num_lines, "txt_len": stats.txt_len,
         "adler": file_adler, "segconf": dt.segconf,
         "txt_name": in_path.rsplit("/", 1)[-1],
+        "reference": ref_name,
     }
     zw.write_section(fmt.SEC_FILE_HEADER, fmt.json_payload(file_hdr),
                      codec=codecs.ZLIB)

@@ -1,0 +1,113 @@
+"""Reference store + seed-hash aligner tests: make-reference round-trip,
+batch alignment correctness, and reference-based FASTQ compression."""
+
+import os
+
+import numpy as np
+import pytest
+
+from genozip_tpu.ref import refstore, aligner
+from genozip_tpu.ops import pack as packops
+
+RNG = np.random.default_rng(77)
+BASES = np.frombuffer(b"ACGT", np.uint8)
+
+
+def synth_genome(n=200000, n_contigs=2):
+    parts = []
+    for i in range(n_contigs):
+        seq = RNG.choice(BASES, n // n_contigs).tobytes()
+        lines = [b">ctg%d test\n" % i]
+        for j in range(0, len(seq), 70):
+            lines.append(seq[j:j + 70] + b"\n")
+        parts.append(b"".join(lines))
+    return b"".join(parts)
+
+
+def sample_reads(ref, n_reads=300, read_len=100, mut_rate=0.01):
+    reads = []
+    G = ref.length
+    for i in range(n_reads):
+        p = int(RNG.integers(0, G - read_len))
+        codes = ref.codes[p:p + read_len].copy()
+        nmut = RNG.binomial(read_len, mut_rate)
+        if nmut:
+            mp = RNG.integers(0, read_len, nmut)
+            codes[mp] = (codes[mp] + RNG.integers(1, 4, nmut)) % 4
+        seq = packops.ACGT[codes]
+        if RNG.random() < 0.5:
+            comp = codes ^ 3
+            seq = packops.ACGT[comp[::-1]]
+        if RNG.random() < 0.05:
+            seq = seq.copy()
+            seq[RNG.integers(0, read_len)] = ord("N")
+        reads.append(seq.tobytes())
+    return reads
+
+
+def test_ref_file_roundtrip(tmp_path):
+    fa = synth_genome()
+    fa_path = os.path.join(str(tmp_path), "g.fa")
+    open(fa_path, "wb").write(fa)
+    ref_path = os.path.join(str(tmp_path), "g.ref.gxz")
+    ref = refstore.make_reference(fa_path, ref_path)
+    ref2 = refstore.load_ref_file(ref_path)
+    assert (ref.codes == ref2.codes).all()
+    assert (ref.refhash == ref2.refhash).all()
+    assert ref.contigs == ref2.contigs
+
+
+def test_align_batch():
+    fa = synth_genome()
+    ref = refstore.fasta_to_genome(fa)
+    reads = sample_reads(ref)
+    from genozip_tpu.utils.ragged import Col
+    from genozip_tpu.utils import ragged as rg
+    col = Col.from_list(reads)
+    mat, lens = rg.to_matrix(col)
+    codes = packops.BASE2BIT[mat]
+    res = aligner.align_batch(ref, codes, lens)
+    # nearly all reads must align (sampled from the genome)
+    assert res["aligned"].mean() > 0.95
+    # round-trip via mismatch lists
+    ridx, mpos, mbase = aligner.mismatch_lists(
+        ref, mat, codes, lens, res["gpos"], res["is_fwd"], res["aligned"])
+    a = res["aligned"]
+    nm = np.bincount(ridx, minlength=len(reads))[a]
+    mm_ridx = np.repeat(np.arange(int(a.sum())), nm)
+    out = aligner.reconstruct_batch(ref, res["gpos"][a], lens[a],
+                                    res["is_fwd"][a], mm_ridx, mpos, mbase)
+    recon = rg.from_matrix(out, lens[a])
+    orig = rg.take(col, np.nonzero(a)[0])
+    assert recon.to_list() == orig.to_list()
+
+
+def test_fastq_with_reference_roundtrip(tmp_path):
+    fa = synth_genome(300000, 1)
+    fa_path = os.path.join(str(tmp_path), "g.fa")
+    open(fa_path, "wb").write(fa)
+    ref_path = os.path.join(str(tmp_path), "g.ref.gxz")
+    refstore.make_reference(fa_path, ref_path)
+    ref = refstore.load_ref_file(ref_path)
+
+    reads = sample_reads(ref, n_reads=2000, read_len=100)
+    out = []
+    for i, r in enumerate(reads):
+        qual = RNG.choice(np.frombuffer(b"FFFF:F,#", np.uint8), len(r))
+        out.append(b"@R%d/1\n" % i + r + b"\n+\n" + qual.tobytes() + b"\n")
+    data = b"".join(out)
+    src = os.path.join(str(tmp_path), "r.fastq")
+    open(src, "wb").write(data)
+
+    from genozip_tpu.zip_pipeline import zip_file
+    from genozip_tpu.piz_pipeline import piz_file
+    z = src + ".gxz"
+    zip_file(src, z, reference=ref_path)
+    o = src + ".out"
+    piz_file(z, o, reference=ref_path)
+    assert open(o, "rb").read() == data
+
+    # the aligner path must beat verbatim SEQ compression clearly
+    z2 = src + ".noref.gxz"
+    zip_file(src, z2)
+    assert os.path.getsize(z) < os.path.getsize(z2) * 0.75
