@@ -9,6 +9,18 @@ same layouts stream to the device as (values, segment-offsets) pairs.
 
 import numpy as np
 
+_ARANGE = np.arange(0, dtype=np.int64)
+
+
+def arange(n: int) -> np.ndarray:
+    """Cached arange — a read-only slice of one growing buffer (np.arange
+    showed up as the single largest host cost in profiles)."""
+    global _ARANGE
+    if _ARANGE.shape[0] < n:
+        _ARANGE = np.arange(max(n, 2 * _ARANGE.shape[0]), dtype=np.int64)
+        _ARANGE.setflags(write=False)
+    return _ARANGE[:n]
+
 
 class Col:
     """Ragged byte column."""
@@ -57,7 +69,7 @@ def gather_ranges(data: np.ndarray, starts: np.ndarray, lens: np.ndarray) -> Col
         return Col(np.zeros(0, np.uint8), offsets)
     # single repeat: src[i] = starts[row] + (i - offsets[row])
     src = np.repeat(starts - offsets[:-1], lens)
-    src += np.arange(total, dtype=np.int64)
+    src = src + arange(total)
     return Col(data[src], offsets)
 
 
@@ -93,7 +105,7 @@ def interleave(cols, sep_after=None) -> Col:
         clens = c.lens
         total = int(clens.sum())
         if total:
-            pos = np.arange(total, dtype=np.int64) - np.repeat(c.offsets[:-1], clens)
+            pos = arange(total) - np.repeat(c.offsets[:-1], clens)
             out[np.repeat(dst, clens) + pos] = c.data
         s = sep_after[j]
         if s:
@@ -207,8 +219,8 @@ def to_matrix(col: Col, fill: int = 0):
     mat = np.full((n, max(w, 1)), fill, dtype=np.uint8)
     total = int(lens.sum())
     if total:
-        pos = np.arange(total, dtype=np.int64) - np.repeat(col.offsets[:-1], lens)
-        rows = np.repeat(np.arange(n, dtype=np.int64), lens)
+        pos = arange(total) - np.repeat(col.offsets[:-1], lens)
+        rows = np.repeat(arange(n), lens)
         mat[rows, pos] = col.data
     return mat, lens
 
@@ -221,8 +233,8 @@ def from_matrix(mat: np.ndarray, lens: np.ndarray) -> Col:
     offsets = np.concatenate([[0], np.cumsum(lens)])
     out = np.empty(total, dtype=np.uint8)
     if total:
-        pos = np.arange(total, dtype=np.int64) - np.repeat(offsets[:-1], lens)
-        rows = np.repeat(np.arange(n, dtype=np.int64), lens)
+        pos = arange(total) - np.repeat(offsets[:-1], lens)
+        rows = np.repeat(arange(n), lens)
         out[:] = mat[rows, pos]
     return Col(out, offsets)
 
@@ -240,7 +252,7 @@ def merge_rows(n: int, parts) -> Col:
         total = int(clens.sum())
         if not total:
             continue
-        pos = np.arange(total, dtype=np.int64) - np.repeat(c.offsets[:-1], clens)
+        pos = arange(total) - np.repeat(c.offsets[:-1], clens)
         out[np.repeat(offsets[:-1][idx], clens) + pos] = c.data
     return Col(out, offsets)
 
