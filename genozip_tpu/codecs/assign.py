@@ -37,6 +37,9 @@ def candidates_for(data: np.ndarray, category: str):
         cands = [RANS0, RANS1, DELTA_RANS, ZLIB]
     elif category == "text":
         cands = [RANS1, ZLIB, BZ2, LZMA]
+    elif category == "pbwt":
+        # PBWT output is long runs: RLE first, entropy coders as backstop
+        cands = [RLE0, RANS1, PACK1, RANS0]
     return cands
 
 

@@ -70,10 +70,11 @@ class VcfDT(DataType):
                 elif fname == "INFO":
                     ctxs.update(tokenizer_seg_col("INFO", col, single_stream=True))
             if nf > 9:
-                # sample matrix: join sample fields back with \t, one column
-                smp = ragged.interleave(fields[9:],
-                                        sep_after=[b"\t"] * (nf - 10) + [None])
-                ctxs.update(tokenizer_seg_col("SMP", smp, single_stream=True))
+                if not self._try_seg_gt_pbwt(ctxs, fields, nf):
+                    # fallback: join sample fields with \t, one tokenized column
+                    smp = ragged.interleave(fields[9:],
+                                            sep_after=[b"\t"] * (nf - 10) + [None])
+                    ctxs.update(tokenizer_seg_col("SMP", smp, single_stream=True))
 
         if exc_idx.shape[0]:
             uw, inv = dedup_col(ragged.take(lines, exc_idx))
@@ -84,6 +85,81 @@ class VcfDT(DataType):
         ctxs["VARIANT"] = VBCtx("VARIANT", MODE_NUM, local=gd, cat="int")
         meta = {"no_final_nl": no_final_nl, "nf": nf}
         return VBSegResult(ctxs, n, meta)
+
+    def _try_seg_gt_pbwt(self, ctxs, fields, nf):
+        """GT-first sample matrices go through the PBWT haplotype transform
+        (reference parity: src/codec_pbwt.c, src/vcf_format_GT.c). Handles the
+        common shape: every sample cell is `a<sep>b[:rest]` with single-char
+        alleles (digit or '.') and sep in '/|'. Anything else falls back to
+        the tokenizer path (returns False)."""
+        from ..ops.pbwt import pbwt_encode
+
+        fmt_col = fields[8]
+        fm, fl = ragged.to_matrix(fmt_col)
+        if fm.shape[1] < 2:
+            return False
+        ok = (fl >= 2) & (fm[:, 0] == ord("G")) & (fm[:, 1] == ord("T"))
+        if fm.shape[1] > 2:
+            ok &= (fl == 2) | (fm[:, 2] == ord(":"))
+        if not ok.all():
+            return False
+
+        S = nf - 9
+        n = len(fields[9])
+        A = np.empty((n, 2 * S), dtype=np.uint8)
+        phase = np.empty((n, S), dtype=np.uint8)
+        rests = []
+        for s in range(S):
+            col = fields[9 + s]
+            mat, lens = ragged.to_matrix(col)
+            if mat.shape[1] < 3 or not (lens >= 3).all():
+                return False
+            a1, sep, a2 = mat[:, 0], mat[:, 1], mat[:, 2]
+            is_allele = lambda c: ((c >= ord("0")) & (c <= ord("9"))) | (c == ord("."))
+            good = is_allele(a1) & is_allele(a2) & \
+                ((sep == ord("/")) | (sep == ord("|")))
+            if mat.shape[1] > 3:
+                good &= (lens == 3) | (mat[:, 3] == ord(":"))
+            if not good.all():
+                return False
+            conv = lambda c: np.where(c == ord("."), 10, c - ord("0")).astype(np.uint8)
+            A[:, 2 * s] = conv(a1)
+            A[:, 2 * s + 1] = conv(a2)
+            phase[:, s] = (sep == ord("|")).astype(np.uint8)
+            rests.append(ragged.gather_ranges(col.data, col.offsets[:-1] + 3,
+                                              lens - 3))
+
+        Y = pbwt_encode(A)
+        ctxs["PBWT"] = VBCtx("PBWT", MODE_NUM, local=Y.reshape(-1).astype(np.int64),
+                             cat="pbwt")
+        ctxs["GTPHASE"] = VBCtx("GTPHASE", MODE_NUM,
+                                local=phase.reshape(-1).astype(np.int64),
+                                cat="int")
+        smpr = ragged.interleave(rests, sep_after=[b"\t"] * (S - 1) + [None])
+        ctxs.update(tokenizer_seg_col("SMPR", smpr, single_stream=True))
+        return True
+
+    def _recon_gt_pbwt(self, pctxs, ng, nf):
+        from ..ops.pbwt import pbwt_decode
+
+        S = nf - 9
+        Y = pctxs["PBWT"].nums().astype(np.uint8).reshape(ng, 2 * S)
+        A = pbwt_decode(Y)
+        phase = pctxs["GTPHASE"].nums().astype(np.uint8).reshape(ng, S)
+        smpr = tokenizer_recon_col("SMPR", pctxs, ng)
+        rests = ragged.split_fields_fixed(smpr, ord("\t"), S)
+        unconv = lambda c: np.where(c == 10, ord("."), c + ord("0")).astype(np.uint8)
+        cols, seps = [], []
+        for s in range(S):
+            gt3 = np.empty((ng, 3), dtype=np.uint8)
+            gt3[:, 0] = unconv(A[:, 2 * s])
+            gt3[:, 1] = np.where(phase[:, s] == 1, ord("|"), ord("/"))
+            gt3[:, 2] = unconv(A[:, 2 * s + 1])
+            sample = ragged.interleave([Col.from_fixed(gt3), rests[s]],
+                                       sep_after=[None, None])
+            cols.append(sample)
+            seps.append(b"\t" if s < S - 1 else None)
+        return ragged.interleave(cols, sep_after=seps)
 
     def recon_vb(self, pctxs: dict, meta: dict) -> bytes:
         n = meta["num_lines"]
@@ -106,7 +182,10 @@ class VcfDT(DataType):
                     cols.append(tokenizer_recon_col(fname, pctxs, ng))
                 seps.append(b"\t")
             if nf > 9:
-                cols.append(tokenizer_recon_col("SMP", pctxs, ng))
+                if "PBWT" in pctxs:
+                    cols.append(self._recon_gt_pbwt(pctxs, ng, nf))
+                else:
+                    cols.append(tokenizer_recon_col("SMP", pctxs, ng))
                 seps.append(None)
             else:
                 seps[-1] = None
