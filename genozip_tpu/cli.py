@@ -39,6 +39,10 @@ def build_parser():
     c.add_argument("--tail", type=int, default=None)
     c.add_argument("--grep", default=None)
     c.add_argument("--downsample", type=int, default=None)
+    c.add_argument("-r", "--regions", default=None,
+                   help="chr[:start-end][,...] region filter")
+    c.add_argument("--no-header", action="store_true")
+    c.add_argument("--reference", default=None)
 
     l = sub.add_parser("ls", help="list archive metadata")
     l.add_argument("inputs", nargs="+")

@@ -23,10 +23,11 @@ def _lines_of(buf: bytes):
 
 
 def cat_filtered(args, out):
-    pr = PizReader(args.input)
-    lines_per_rec = 4 if pr.file_hdr["dt"] == "fastq" else 1
+    pr = PizReader(args.input, reference=getattr(args, "reference", None))
+    dt_name = pr.file_hdr["dt"]
+    lines_per_rec = 4 if dt_name == "fastq" else 1
     hdr = pr.txt_header()
-    if hdr:
+    if hdr and not getattr(args, "no_header", False):
         out.write(hdr)
     emitted = 0
     rec_i = 0
@@ -34,9 +35,28 @@ def cat_filtered(args, out):
     head = getattr(args, "head", None)
     downsample = getattr(args, "downsample", None)
     tail = getattr(args, "tail", None)
+    regions = None
+    ra = None
+    if getattr(args, "regions", None):
+        from . import regions as regions_mod
+        from .format import sections as fmt
+        regions = regions_mod.parse_regions(args.regions)
+        payload, _ = pr.zr.read_one(fmt.SEC_RANDOM_ACCESS)
+        if payload is not None:
+            ra = fmt.json_parse(payload)
     tail_buf = []
     for vb_i in range(1, pr.num_vbs() + 1):
+        if regions is not None and ra is not None:
+            ents = ra.get(str(vb_i))
+            if ents is not None:
+                from . import regions as regions_mod
+                if not any(regions_mod.regions_overlap(regions, c, lo, hi)
+                           for (c, lo, hi) in ents):
+                    continue  # random-access VB skip
         buf = pr.read_vb(vb_i)
+        if regions is not None:
+            from . import regions as regions_mod
+            buf = regions_mod.filter_lines(buf, dt_name, regions)
         if grep is None and head is None and downsample is None and tail is None:
             out.write(buf)
             continue

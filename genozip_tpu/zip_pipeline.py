@@ -70,11 +70,26 @@ def zip_file(in_path: str, out_path: str, dt_name: str | None = None,
     dt.segconf_scan(np.frombuffer(head, dtype=np.uint8))
 
     gctxs: dict[str, ZCtxGlobal] = {}
+    ra_index = {}
 
     vb_i = 0
     for data in reader.vblocks(dt, vb_size):
         vb_i += 1
         res = dt.seg_vb(data)
+
+        # random-access index: per-VB chrom/pos ranges (reference
+        # src/random_access.c random_access_merge_in_vb)
+        cctx = res.ctxs.get("CHROM") or res.ctxs.get("RNAME")
+        pctx = res.ctxs.get("POS")
+        if cctx is not None and pctx is not None and \
+                cctx.b250 is not None and pctx.local is not None:
+            from . import regions as regions_mod
+            pv = pctx.local
+            if pctx.param == 1:
+                pv = np.cumsum(pv)
+            ents = regions_mod.ra_entries(cctx.vb_words, cctx.b250, pv)
+            if ents:
+                ra_index[str(vb_i)] = ents
         vb_adler = zlib.adler32(data.tobytes())
         file_adler = zlib.adler32(data.tobytes(), file_adler)
         stats.txt_len += data.shape[0]
@@ -127,6 +142,10 @@ def zip_file(in_path: str, out_path: str, dt_name: str | None = None,
             zw.write_section(fmt.SEC_COUNTS, cnt,
                              codec=codec_assign.assign_best(cnt, "int"),
                              dict_id=name, ltype=fmt.LT_U64)
+
+    if ra_index:
+        zw.write_section(fmt.SEC_RANDOM_ACCESS, fmt.json_payload(ra_index),
+                         codec=codecs.ZLIB)
 
     file_hdr = {
         "version": 1, "dt": dt_name, "num_vbs": vb_i,
