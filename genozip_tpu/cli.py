@@ -16,6 +16,10 @@ def build_parser():
 
     z = sub.add_parser("zip", help="compress")
     z.add_argument("input")
+    z.add_argument("input2", nargs="?", default=None,
+                   help="R2 FASTQ for --pair")
+    z.add_argument("--pair", action="store_true",
+                   help="co-compress paired R1/R2 FASTQ files")
     z.add_argument("-o", "--output")
     z.add_argument("--input-type", dest="dt", default=None)
     z.add_argument("--vblock", type=int, default=None, help="VB size in MB")
@@ -59,12 +63,17 @@ def main(argv=None):
             print(f"reference: {ref.length:,} bases, "
                   f"{len(ref.contigs)} contigs -> {out}")
             return 0
-        from .zip_pipeline import zip_file
+        from .zip_pipeline import zip_file, zip_pair
         from .txtfile import DEFAULT_VB_SIZE
         out = args.output or args.input + ".gxz"
         vb = (args.vblock * (1 << 20)) if args.vblock else DEFAULT_VB_SIZE
-        stats = zip_file(args.input, out, dt_name=args.dt, vb_size=vb,
-                         show_stats=args.stats, reference=args.reference)
+        if args.pair:
+            assert args.input2, "--pair needs two FASTQ inputs"
+            stats = zip_pair(args.input, args.input2, out, vb_size=vb,
+                             show_stats=args.stats, reference=args.reference)
+        else:
+            stats = zip_file(args.input, out, dt_name=args.dt, vb_size=vb,
+                             show_stats=args.stats, reference=args.reference)
         if args.test:
             from .piz_pipeline import piz_file
             piz_file(out, None, reference=args.reference)

@@ -47,7 +47,7 @@ def cat_filtered(args, out):
     tail_buf = []
     for vb_i in range(1, pr.num_vbs() + 1):
         if regions is not None and ra is not None:
-            ents = ra.get(str(vb_i))
+            ents = ra.get(f"0:{vb_i}")
             if ents is not None:
                 from . import regions as regions_mod
                 if not any(regions_mod.regions_overlap(regions, c, lo, hi)

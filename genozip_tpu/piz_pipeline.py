@@ -1,9 +1,12 @@
-"""PIZ pipeline: reconstruct the original txt file from a GXZ archive.
+"""PIZ pipeline: reconstruct the original txt file(s) from a GXZ archive.
 
 Reference parity: src/piz.c:880 piz_one_txt_file / :381 piz_reconstruct_one_vb
 — read global area (dicts) once, then per-VB: read + uncompress context
 sections, vectorized reconstruction by the datatype plugin, per-VB digest
-verification, whole-file digest at the end (src/digest.c:244).
+verification, whole-file digest at the end (src/digest.c:244). Paired (R2)
+components resolve "pair-identical" sections from the R1 component and add
+R1 GPOS back to delta-coded R2 GPOS (reference src/piz.c:450-544
+piz_read_all_ctxs pair loading).
 """
 
 import zlib
@@ -36,41 +39,92 @@ class PizReader:
             name = ent.dict_id.rstrip(b"\0").decode()
             self.dicts[name] = parse_dict_payload(payload)
 
-    def txt_header(self) -> bytes:
-        payload, _ = self.zr.read_one(fmt.SEC_TXT_HEADER)
+    def txt_header(self, comp_i: int = 0) -> bytes:
+        payload, _ = self.zr.read_one(fmt.SEC_TXT_HEADER, comp_i=comp_i)
+        if payload is None:
+            payload, _ = self.zr.read_one(fmt.SEC_TXT_HEADER)
         return payload or b""
 
     def num_vbs(self) -> int:
         return self.file_hdr["num_vbs"]
 
-    def read_vb(self, vb_i: int) -> bytes:
-        payload, _ = self.zr.read_one(fmt.SEC_VB_HEADER, vb_i=vb_i)
+    def components(self):
+        return self.file_hdr.get("components") or [
+            {"name": self.file_hdr.get("txt_name"),
+             "txt_len": self.file_hdr["txt_len"],
+             "adler": self.file_hdr["adler"],
+             "num_lines": self.file_hdr["num_lines"]}]
+
+    def _load_ctx_sections(self, vb_i, comp_i, names=None):
+        """Read B250/LOCAL payload arrays for a VB. Returns
+        {name: {'b250': arr|None, 'local': (arr, ltype)|None}}."""
+        out = {}
+        for ent in self.zr.sections(vb_i=vb_i, comp_i=comp_i):
+            if ent.sec_type not in (fmt.SEC_B250, fmt.SEC_LOCAL):
+                continue
+            name = ent.dict_id.rstrip(b"\0").decode()
+            if names is not None and name not in names:
+                continue
+            payload, meta = self.zr.read_section(ent)
+            d = out.setdefault(name, {})
+            if ent.sec_type == fmt.SEC_B250:
+                d["b250"] = np.frombuffer(
+                    payload, fmt.lt_dtype(meta["ltype"])).astype(np.int64)
+            else:
+                d["local"] = (np.frombuffer(payload, fmt.lt_dtype(meta["ltype"])),
+                              meta["ltype"])
+        return out
+
+    def read_vb(self, vb_i: int, comp_i: int = 0) -> bytes:
+        payload, _ = self.zr.read_one(fmt.SEC_VB_HEADER, vb_i=vb_i,
+                                      comp_i=comp_i)
+        if payload is None and comp_i == 0:
+            payload, _ = self.zr.read_one(fmt.SEC_VB_HEADER, vb_i=vb_i)
         vb_hdr = fmt.json_parse(payload)
+        sec = self._load_ctx_sections(vb_i, comp_i)
+        pair_names = [n for n, cm in vb_hdr["ctxs"].items() if "pair" in cm]
+        pair_sec = self._load_ctx_sections(vb_i, 0, pair_names) if pair_names else {}
+
         pctxs = {}
         for name, cm in vb_hdr["ctxs"].items():
-            mode = cm["mode"]
-            pc = PCtx(name, mode, param=cm.get("param", 0),
+            pc = PCtx(name, cm["mode"], param=cm.get("param", 0),
                       special=cm.get("special"))
-            did = fmt.norm_dict_id(name)
-            for ent in self.zr.sections(vb_i=vb_i):
-                if ent.dict_id != did:
-                    continue
-                payload, meta = self.zr.read_section(ent)
-                if ent.sec_type == fmt.SEC_B250:
-                    pc.b250 = np.frombuffer(
-                        payload, fmt.lt_dtype(meta["ltype"])).astype(np.int64)
-                    pc.dict_col = self.dicts[name]
-                elif ent.sec_type == fmt.SEC_LOCAL:
-                    pc.local = np.frombuffer(payload, fmt.lt_dtype(meta["ltype"]))
-                    pc.ltype = meta["ltype"]
+            src = sec.get(name, {})
+            pair = cm.get("pair")
+            if pair == "copy_b250":
+                src = {**src, "b250": pair_sec.get(name, {}).get("b250")}
+            elif pair == "copy_local":
+                src = {**src, "local": pair_sec.get(name, {}).get("local")}
+            if src.get("b250") is not None:
+                pc.b250 = src["b250"]
+                pc.dict_col = self.dicts[name]
+            if src.get("local") is not None:
+                pc.local, pc.ltype = src["local"]
             pctxs[name] = pc
+
         meta = dict(vb_hdr["meta"])
         meta["num_lines"] = vb_hdr["n"]
+        if meta.get("gpos_pair_delta") and comp_i == 1:
+            self._apply_gpos_pair_delta(pctxs, vb_i)
         out = self.dt.recon_vb(pctxs, meta)
         assert len(out) == vb_hdr["len"], \
             f"VB {vb_i}: length {len(out)} != {vb_hdr['len']}"
         assert zlib.adler32(out) == vb_hdr["adler"], f"VB {vb_i}: digest mismatch"
         return out
+
+    def _apply_gpos_pair_delta(self, pctxs, vb_i):
+        """R2 GPOS was stored as delta vs R1's gpos for reads aligned in both
+        (reference fastq_seg_gpos_R2 / fastq_seq.c:187)."""
+        r1 = self._load_ctx_sections(vb_i, 0, ["SQBITMAP", "GPOS"])
+        a1 = r1["SQBITMAP"]["local"][0].astype(bool)
+        g1 = np.zeros(a1.shape[0], np.int64)
+        g1[a1] = r1["GPOS"]["local"][0].astype(np.int64)
+        a2 = pctxs["SQBITMAP"].nums().astype(bool)
+        both = a2 & a1
+        g2 = pctxs["GPOS"].local.astype(np.int64).copy()
+        g2 = np.where(both[a2], g2 + g1[a2], g2)
+        pctxs["GPOS"].local = g2
+        pctxs["GPOS"].param = 0
 
     def close(self):
         self.f.close()
@@ -79,30 +133,41 @@ class PizReader:
 def piz_file(z_path: str, out_path: str | None = None,
              verify_only: bool = False, reference: str | None = None):
     pr = PizReader(z_path, reference=reference)
-    sink = None
-    if out_path:
-        if out_path.endswith((".gz", ".bgz", ".bam")):
-            import gzip as _gzip
-            sink = _gzip.open(out_path, "wb", compresslevel=6)
-        else:
-            sink = open(out_path, "wb")
-    adler = zlib.adler32(b"")
-    total = 0
-    hdr = pr.txt_header()
-    if hdr:
-        adler = zlib.adler32(hdr, adler)
-        total += len(hdr)
+    comps = pr.components()
+    total_all = 0
+    for comp_i, comp in enumerate(comps):
+        path = None
+        if out_path:
+            if len(comps) == 1:
+                path = out_path
+            else:
+                path = f"{out_path}.{comp_i + 1}"
+        sink = None
+        if path:
+            if path.endswith((".gz", ".bgz", ".bam")):
+                import gzip as _gzip
+                sink = _gzip.open(path, "wb", compresslevel=6)
+            else:
+                sink = open(path, "wb")
+        adler = zlib.adler32(b"")
+        total = 0
+        hdr = pr.txt_header(comp_i) if comp_i == 0 else b""
+        if hdr:
+            adler = zlib.adler32(hdr, adler)
+            total += len(hdr)
+            if sink:
+                sink.write(hdr)
+        for vb_i in range(1, pr.num_vbs() + 1):
+            out = pr.read_vb(vb_i, comp_i)
+            adler = zlib.adler32(out, adler)
+            total += len(out)
+            if sink:
+                sink.write(out)
+        assert total == comp["txt_len"], f"component {comp_i}: length mismatch"
+        if comp.get("adler") is not None:
+            assert adler == comp["adler"], f"component {comp_i}: digest mismatch"
         if sink:
-            sink.write(hdr)
-    for vb_i in range(1, pr.num_vbs() + 1):
-        out = pr.read_vb(vb_i)
-        adler = zlib.adler32(out, adler)
-        total += len(out)
-        if sink:
-            sink.write(out)
-    assert total == pr.file_hdr["txt_len"], "file length mismatch"
-    assert adler == pr.file_hdr["adler"], "file digest mismatch"
-    if sink:
-        sink.close()
+            sink.close()
+        total_all += total
     pr.close()
-    return total
+    return total_all

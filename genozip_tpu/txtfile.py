@@ -88,5 +88,27 @@ class TxtReader:
             yield data[:consumed].copy()
             self.buf = self.buf[consumed:]
 
+    def read_fastq_records(self, n: int) -> np.ndarray:
+        """Consume exactly n FASTQ records (4n lines); fewer only at EOF.
+        Used for R2 pairing (reference fastq_txtfile_sync_to_R1)."""
+        need_nl = 4 * n
+        while not self.eof:
+            if self.buf.count(b"\n") >= need_nl:
+                break
+            chunk = self.f.read(1 << 22)
+            if not chunk:
+                self.eof = True
+                break
+            self.buf += chunk
+        data = np.frombuffer(self.buf, dtype=np.uint8)
+        nl = np.nonzero(data == ord("\n"))[0]
+        take = min(need_nl, nl.shape[0])
+        end = int(nl[take - 1]) + 1 if take else 0
+        if take < need_nl and self.eof and len(self.buf) > end:
+            end = len(self.buf)  # trailing partial line at EOF
+        out = data[:end].copy()
+        self.buf = self.buf[end:]
+        return out
+
     def close(self):
         self.f.close()

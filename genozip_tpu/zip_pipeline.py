@@ -1,10 +1,13 @@
-"""ZIP pipeline: compress one txt file into a GXZ archive.
+"""ZIP pipeline: compress txt file(s) into a GXZ archive.
 
 Reference parity: src/zip.c:721 zip_one_file / :510 zip_compress_one_vb —
 per-VB seg → deterministic in-order dict merge → per-context codec
 auto-assignment (committed on first sight, src/codec.c:210) → section write;
-global area (dicts, counts, file header) at the end, cf. zip.c:416
-zip_write_global_area.
+global area (dicts, counts, random access, file header) at the end, cf.
+zip.c:416 zip_write_global_area. `zip_pair` implements R1/R2 FASTQ
+co-compression (reference src/fastq.c:224-245): R2 VBs are built 1:1 with R1
+VBs by read count, byte-identical R2 sections are dropped ("pair-identical",
+zip.c:223-234) and R2 GPOS is delta-coded against R1's ("pair-assisted").
 """
 
 import time
@@ -19,7 +22,7 @@ from .datatypes import detect, get
 from .format import sections as fmt
 from .txtfile import TxtReader, DEFAULT_VB_SIZE
 
-FLAG_DELTA = 1  # local is delta-coded (param==1 contexts)
+FLAG_DELTA = 1
 
 
 class ZipStats:
@@ -37,48 +40,26 @@ class ZipStats:
         e[1] += comp
 
 
-def _b250_payload(b250_global: np.ndarray) -> np.ndarray:
-    return narrow_int(b250_global)
+class ZipJob:
+    """Shared state for writing one archive (possibly multiple components)."""
 
+    def __init__(self, out_path: str):
+        self.out = open(out_path, "wb")
+        self.zw = fmt.ZWriter(self.out)
+        self.gctxs: dict[str, ZCtxGlobal] = {}
+        self.stats = ZipStats()
+        self.ra_index = {}
+        self.components = []
 
-def zip_file(in_path: str, out_path: str, dt_name: str | None = None,
-             vb_size: int = DEFAULT_VB_SIZE, show_stats: bool = False,
-             reference: str | None = None):
-    reader = TxtReader(in_path)
-    head = reader.peek(64 * 1024)
-    dt_name = dt_name or detect(in_path, head)
-    dt = get(dt_name)()
-    ref_name = None
-    if reference:
-        from .ref.refstore import load_ref_file
-        dt.ref = load_ref_file(reference)
-        ref_name = reference.rsplit("/", 1)[-1]
+    def write_vb(self, res, data, vb_i, comp_i, pair_payloads=None,
+                 collect=False):
+        """Write one VB's sections. pair_payloads: comp-0 payload map for
+        pair-identical dropping. collect=True returns {name: payload} map."""
+        zw, stats = self.zw, self.stats
+        out_payloads = {} if collect else None
+        ctx_meta = {}
 
-    stats = ZipStats()
-    out = open(out_path, "wb")
-    zw = fmt.ZWriter(out)
-
-    txt_header = dt.read_txt_header(reader)
-    file_adler = zlib.adler32(b"")
-    if txt_header:
-        file_adler = zlib.adler32(txt_header, file_adler)
-        codec = codec_assign.assign_best(txt_header, "text")
-        zw.write_section(fmt.SEC_TXT_HEADER, txt_header, codec=codec, comp_i=0)
-        stats.txt_len += len(txt_header)
-
-    # segconf: sample-driven knobs (vb sizing, codec hints) — calibration pass
-    dt.segconf_scan(np.frombuffer(head, dtype=np.uint8))
-
-    gctxs: dict[str, ZCtxGlobal] = {}
-    ra_index = {}
-
-    vb_i = 0
-    for data in reader.vblocks(dt, vb_size):
-        vb_i += 1
-        res = dt.seg_vb(data)
-
-        # random-access index: per-VB chrom/pos ranges (reference
-        # src/random_access.c random_access_merge_in_vb)
+        # random-access index (reference src/random_access.c)
         cctx = res.ctxs.get("CHROM") or res.ctxs.get("RNAME")
         pctx = res.ctxs.get("POS")
         if cctx is not None and pctx is not None and \
@@ -89,81 +70,195 @@ def zip_file(in_path: str, out_path: str, dt_name: str | None = None,
                 pv = np.cumsum(pv)
             ents = regions_mod.ra_entries(cctx.vb_words, cctx.b250, pv)
             if ents:
-                ra_index[str(vb_i)] = ents
-        vb_adler = zlib.adler32(data.tobytes())
-        file_adler = zlib.adler32(data.tobytes(), file_adler)
-        stats.txt_len += data.shape[0]
-        stats.num_vbs += 1
-        stats.num_lines += res.num_lines
+                self.ra_index[f"{comp_i}:{vb_i}"] = ents
 
-        ctx_meta = {}
         for name, c in res.ctxs.items():
-            g = gctxs.get(name)
+            g = self.gctxs.get(name)
             if g is None:
-                g = gctxs[name] = ZCtxGlobal(name)
+                g = self.gctxs[name] = ZCtxGlobal(name)
             ctx_meta[name] = c.meta()
             if c.b250 is not None:
                 counts = np.bincount(c.b250, minlength=len(c.vb_words))
                 lut = g.merge_words(c.vb_words, counts)
-                b250_g = lut[c.b250]
-                payload_arr = _b250_payload(b250_g)
+                payload_arr = narrow_int(lut[c.b250])
                 payload = payload_arr.tobytes()
-                if g.b250_codec is None:
-                    g.b250_codec = codec_assign.assign_best(payload, "b250")
-                ent = zw.write_section(
-                    fmt.SEC_B250, payload, codec=g.b250_codec, vb_i=vb_i,
-                    dict_id=name, ltype=fmt.lt_for_dtype(payload_arr.dtype))
-                stats.add_section(name, int(c.b250.shape[0]), zw.offset - ent.offset)
+                key = (name, fmt.SEC_B250)
+                if collect:
+                    out_payloads[key] = payload
+                if pair_payloads is not None and pair_payloads.get(key) == payload:
+                    ctx_meta[name]["pair"] = "copy_b250"
+                else:
+                    if g.b250_codec is None:
+                        g.b250_codec = codec_assign.assign_best(payload, "b250")
+                    ent = zw.write_section(
+                        fmt.SEC_B250, payload, codec=g.b250_codec, vb_i=vb_i,
+                        comp_i=comp_i, dict_id=name,
+                        ltype=fmt.lt_for_dtype(payload_arr.dtype))
+                    stats.add_section(name, int(c.b250.shape[0]),
+                                      zw.offset - ent.offset)
             if c.local is not None:
                 local = c.local
                 if c.mode == "num":
                     local = narrow_int(local)
                 payload = local.tobytes()
-                if g.local_codec is None:
-                    g.local_codec = codec_assign.assign_best(payload, c.cat)
-                ent = zw.write_section(
-                    fmt.SEC_LOCAL, payload, codec=g.local_codec, vb_i=vb_i,
-                    dict_id=name, ltype=fmt.lt_for_dtype(local.dtype),
-                    flags=FLAG_DELTA if c.param == 1 else 0)
-                stats.add_section(name, len(payload), zw.offset - ent.offset)
+                key = (name, fmt.SEC_LOCAL)
+                if collect:
+                    out_payloads[key] = payload
+                if pair_payloads is not None and pair_payloads.get(key) == payload:
+                    ctx_meta[name]["pair"] = "copy_local"
+                else:
+                    if g.local_codec is None:
+                        g.local_codec = codec_assign.assign_best(payload, c.cat)
+                    ent = zw.write_section(
+                        fmt.SEC_LOCAL, payload, codec=g.local_codec, vb_i=vb_i,
+                        comp_i=comp_i, dict_id=name,
+                        ltype=fmt.lt_for_dtype(local.dtype),
+                        flags=FLAG_DELTA if c.param == 1 else 0)
+                    stats.add_section(name, len(payload), zw.offset - ent.offset)
 
+        vb_adler = zlib.adler32(data.tobytes())
         vb_hdr = {"n": res.num_lines, "len": int(data.shape[0]),
                   "adler": vb_adler, "ctxs": ctx_meta, "meta": res.meta}
         zw.write_section(fmt.SEC_VB_HEADER, fmt.json_payload(vb_hdr),
-                         codec=codecs.ZLIB, vb_i=vb_i)
+                         codec=codecs.ZLIB, vb_i=vb_i, comp_i=comp_i)
+        stats.txt_len += data.shape[0]
+        stats.num_vbs += 1
+        stats.num_lines += res.num_lines
+        return out_payloads
 
-    # global area
-    for name, g in gctxs.items():
-        if g.words:
-            payload = g.dict_payload()
-            codec = codec_assign.assign_best(payload, "text")
-            zw.write_section(fmt.SEC_DICT, payload, codec=codec, dict_id=name)
-            cnt = np.asarray(g.counts, dtype="<u8").tobytes()
-            zw.write_section(fmt.SEC_COUNTS, cnt,
-                             codec=codec_assign.assign_best(cnt, "int"),
-                             dict_id=name, ltype=fmt.LT_U64)
-
-    if ra_index:
-        zw.write_section(fmt.SEC_RANDOM_ACCESS, fmt.json_payload(ra_index),
+    def write_global_area(self, file_hdr):
+        zw = self.zw
+        for name, g in self.gctxs.items():
+            if g.words:
+                payload = g.dict_payload()
+                codec = codec_assign.assign_best(payload, "text")
+                zw.write_section(fmt.SEC_DICT, payload, codec=codec, dict_id=name)
+                cnt = np.asarray(g.counts, dtype="<u8").tobytes()
+                zw.write_section(fmt.SEC_COUNTS, cnt,
+                                 codec=codec_assign.assign_best(cnt, "int"),
+                                 dict_id=name, ltype=fmt.LT_U64)
+        if self.ra_index:
+            zw.write_section(fmt.SEC_RANDOM_ACCESS,
+                             fmt.json_payload(self.ra_index), codec=codecs.ZLIB)
+        zw.write_section(fmt.SEC_FILE_HEADER, fmt.json_payload(file_hdr),
                          codec=codecs.ZLIB)
+        zw.finalize()
+        self.out.close()
+        self.stats.z_len = zw.offset
+
+
+def _open_component(in_path, dt_name, reference):
+    reader = TxtReader(in_path)
+    head = reader.peek(64 * 1024)
+    dt_name = dt_name or detect(in_path, head)
+    dt = get(dt_name)()
+    if reference:
+        from .ref.refstore import load_ref_file
+        dt.ref = load_ref_file(reference)
+    dt.segconf_scan(np.frombuffer(head, dtype=np.uint8))
+    return reader, dt, dt_name
+
+
+def zip_file(in_path: str, out_path: str, dt_name: str | None = None,
+             vb_size: int = DEFAULT_VB_SIZE, show_stats: bool = False,
+             reference: str | None = None):
+    reader, dt, dt_name = _open_component(in_path, dt_name, reference)
+    job = ZipJob(out_path)
+
+    txt_header = dt.read_txt_header(reader)
+    file_adler = zlib.adler32(b"")
+    if txt_header:
+        file_adler = zlib.adler32(txt_header, file_adler)
+        codec = codec_assign.assign_best(txt_header, "text")
+        job.zw.write_section(fmt.SEC_TXT_HEADER, txt_header, codec=codec, comp_i=0)
+        job.stats.txt_len += len(txt_header)
+
+    vb_i = 0
+    for data in reader.vblocks(dt, vb_size):
+        vb_i += 1
+        file_adler = zlib.adler32(data.tobytes(), file_adler)
+        job.write_vb(dt.seg_vb(data), data, vb_i, 0)
 
     file_hdr = {
         "version": 1, "dt": dt_name, "num_vbs": vb_i,
-        "num_lines": stats.num_lines, "txt_len": stats.txt_len,
+        "num_lines": job.stats.num_lines, "txt_len": job.stats.txt_len,
         "adler": file_adler, "segconf": dt.segconf,
         "txt_name": in_path.rsplit("/", 1)[-1],
-        "reference": ref_name,
+        "reference": reference.rsplit("/", 1)[-1] if reference else None,
     }
-    zw.write_section(fmt.SEC_FILE_HEADER, fmt.json_payload(file_hdr),
-                     codec=codecs.ZLIB)
-    zw.finalize()
-    out.close()
+    job.write_global_area(file_hdr)
     reader.close()
-
-    stats.z_len = zw.offset
     if show_stats:
-        print_stats(stats, gctxs)
-    return stats
+        print_stats(job.stats, job.gctxs)
+    return job.stats
+
+
+def zip_pair(in1: str, in2: str, out_path: str,
+             vb_size: int = DEFAULT_VB_SIZE, show_stats: bool = False,
+             reference: str | None = None):
+    """R1/R2 paired FASTQ co-compression into one two-component archive."""
+    r1, dt1, _ = _open_component(in1, "fastq", reference)
+    r2, dt2, _ = _open_component(in2, "fastq", reference)
+    job = ZipJob(out_path)
+
+    adler = [zlib.adler32(b""), zlib.adler32(b"")]
+    nvbs = 0
+    lines = [0, 0]
+    tlens = [0, 0]
+    for data1 in r1.vblocks(dt1, vb_size):
+        nvbs += 1
+        res1 = dt1.seg_vb(data1)
+        # R2 VB = same number of reads (reference fastq_txtfile_sync_to_R1)
+        data2 = r2.read_fastq_records(res1.num_lines)
+        res2 = dt2.seg_vb(data2)
+        assert res2.num_lines == res1.num_lines, \
+            f"R2 out of sync: {res2.num_lines} reads vs R1 {res1.num_lines}"
+
+        # pair-assisted GPOS: R2 gpos as delta vs R1's (same read index)
+        if "GPOS" in res1.ctxs and "GPOS" in res2.ctxs:
+            a1 = res1.ctxs["SQBITMAP"].local.astype(bool)
+            a2 = res2.ctxs["SQBITMAP"].local.astype(bool)
+            g1 = np.zeros(res1.num_lines, np.int64)
+            g1[a1] = res1.ctxs["GPOS"].local
+            both = a2 & a1
+            g2 = res2.ctxs["GPOS"].local.copy()
+            delta = g2 - g1[a2]
+            g2_assisted = np.where(both[a2], delta, g2)
+            res2.ctxs["GPOS"].local = g2_assisted
+            res2.ctxs["GPOS"].param = 0
+            res2.meta["gpos_pair_delta"] = True
+
+        p1 = job.write_vb(res1, data1, nvbs, 0, collect=True)
+        job.write_vb(res2, data2, nvbs, 1, pair_payloads=p1)
+        adler[0] = zlib.adler32(data1.tobytes(), adler[0])
+        adler[1] = zlib.adler32(data2.tobytes(), adler[1])
+        for ci, d in ((0, data1), (1, data2)):
+            tlens[ci] += d.shape[0]
+        lines[0] += res1.num_lines
+        lines[1] += res2.num_lines
+    leftover = r2.read_fastq_records(1)
+    assert leftover.shape[0] == 0, "R2 has more reads than R1"
+
+    file_hdr = {
+        "version": 1, "dt": "fastq", "num_vbs": nvbs,
+        "num_lines": sum(lines), "txt_len": sum(tlens),
+        "adler": None, "segconf": dt1.segconf,
+        "txt_name": in1.rsplit("/", 1)[-1],
+        "reference": reference.rsplit("/", 1)[-1] if reference else None,
+        "pair": True,
+        "components": [
+            {"name": in1.rsplit("/", 1)[-1], "txt_len": tlens[0],
+             "adler": adler[0], "num_lines": lines[0]},
+            {"name": in2.rsplit("/", 1)[-1], "txt_len": tlens[1],
+             "adler": adler[1], "num_lines": lines[1]},
+        ],
+    }
+    job.write_global_area(file_hdr)
+    r1.close()
+    r2.close()
+    if show_stats:
+        print_stats(job.stats, job.gctxs)
+    return job.stats
 
 
 def print_stats(stats: ZipStats, gctxs):
