@@ -75,7 +75,11 @@ class SamDT(DataType):
         ctxs.update(tokenizer_seg_col("CIGAR", cigar))
         ctxs.update(_num_or_tok("PNEXT", pnext, delta=True))
         ctxs.update(_num_or_tok("TLEN", tlen))
-        ctxs["NONREF"] = VBCtx("NONREF", MODE_TXT, local=seq.data, cat="seq")
+        ref = getattr(self, "ref", None)
+        if ref is not None and len(seq):
+            self._seg_seq_vs_ref(ctxs, seq, rname, pos, cigar, ref)
+        else:
+            ctxs["NONREF"] = VBCtx("NONREF", MODE_TXT, local=seq.data, cat="seq")
         ctxs["SQLEN"] = VBCtx("SQLEN", MODE_NUM,
                               local=np.diff(seq.lens, prepend=np.int64(0)),
                               cat="int", param=1)
@@ -92,6 +96,88 @@ class SamDT(DataType):
         gd[bad_rows] = 1
         ctxs["VARIANT"] = VBCtx("VARIANT", MODE_NUM, local=gd, cat="int")
         return VBSegResult(ctxs, n, {"no_final_nl": no_final_nl})
+
+    def _seg_seq_vs_ref(self, ctxs, seq, rname, pos, cigar, ref):
+        """CIGAR-driven SEQ-vs-reference diff (reference parity:
+        src/sam_seq.c sam_seg_SEQ). v1 scope: fully-matching CIGARs
+        ('<len>M'); anything else (indels, clips, '*') stays verbatim in
+        NONREF — correctness is never at stake, only ratio."""
+        from ..ops import pack as packops
+
+        n = len(seq)
+        pv, pok = ragged.atoi(pos)
+        # rname -> contig base gpos
+        uw, inv = dedup_col(rname)
+        base = np.full(len(uw), -1, dtype=np.int64)
+        for w in range(len(uw)):
+            c = ref.contig_of(uw.row(w).decode("utf-8", "replace"))
+            if c is not None:
+                base[w] = c["gpos"]
+        gbase = base[inv]
+
+        # CIGAR == "<seqlen>M"?
+        cmat, clens = ragged.to_matrix(cigar)
+        last = cmat[np.arange(n), np.maximum(clens - 1, 0)]
+        cig_digits = ragged.gather_ranges(cigar.data, cigar.offsets[:-1],
+                                          np.maximum(clens - 1, 0))
+        cval, cok = ragged.atoi(cig_digits)
+        seq_lens = seq.lens
+        by_ref = (pok & cok & (last == ord("M")) & (cval == seq_lens)
+                  & (gbase >= 0) & (pv > 0))
+        gpos = gbase + pv - 1
+        by_ref &= gpos + seq_lens <= ref.length
+
+        smat, slens = ragged.to_matrix(seq)
+        codes = packops.BASE2BIT[smat]
+        L = smat.shape[1]
+        pos_idx = np.arange(L)[None, :]
+        safe = np.where(by_ref, gpos, 0)
+        gwin = ref.codes[np.clip(safe[:, None] + pos_idx, 0, max(ref.length - 1, 0))]
+        valid = (pos_idx < seq_lens[:, None]) & by_ref[:, None]
+        mm = ((gwin != codes) | ~packops.IS_ACGT[smat]) & valid
+        ridx, ppos = np.nonzero(mm)
+        nm = np.bincount(ridx, minlength=n)[by_ref]
+
+        ctxs["SQBITMAP"] = VBCtx("SQBITMAP", MODE_NUM,
+                                 local=by_ref.astype(np.int64), cat="int")
+        ctxs["SEQNM"] = VBCtx("SEQNM", MODE_NUM, local=nm, cat="int")
+        ctxs["SEQMISP"] = VBCtx("SEQMISP", MODE_NUM, local=ppos, cat="int")
+        ctxs["SEQMISB"] = VBCtx("SEQMISB", MODE_TXT, local=smat[ridx, ppos],
+                                cat="text")
+        nonref = ragged.take(seq, np.nonzero(~by_ref)[0])
+        ctxs["NONREF"] = VBCtx("NONREF", MODE_TXT, local=nonref.data, cat="seq")
+
+    def _recon_seq_vs_ref(self, pctxs, lens, pos_col, rname_col):
+        from ..ops import pack as packops
+
+        ref = getattr(self, "ref", None)
+        assert ref is not None, "archive needs --reference for unzip"
+        by_ref = pctxs["SQBITMAP"].nums().astype(bool)
+        n = by_ref.shape[0]
+        pv, _ = ragged.atoi(pos_col)
+        uw, inv = dedup_col(rname_col)
+        base = np.full(len(uw), -1, dtype=np.int64)
+        for w in range(len(uw)):
+            c = ref.contig_of(uw.row(w).decode("utf-8", "replace"))
+            if c is not None:
+                base[w] = c["gpos"]
+        gpos = (base[inv] + pv - 1)[by_ref]
+        a_lens = lens[by_ref]
+        nm = pctxs["SEQNM"].nums()
+        mpos = pctxs["SEQMISP"].nums()
+        mbase = pctxs["SEQMISB"].local
+        L = int(a_lens.max()) if a_lens.shape[0] else 0
+        pos_idx = np.arange(max(L, 1))[None, :]
+        gwin = ref.codes[np.clip(gpos[:, None] + pos_idx, 0, max(ref.length - 1, 0))] \
+            if a_lens.shape[0] else np.zeros((0, 1), np.uint8)
+        mat = packops.ACGT[gwin]
+        mm_ridx = np.repeat(np.arange(gpos.shape[0]), nm)
+        mat[mm_ridx, mpos] = mbase
+        a_col = ragged.from_matrix(mat, a_lens)
+        un_idx = np.nonzero(~by_ref)[0]
+        nonref = pctxs["NONREF"].txt_col(lens[un_idx])
+        return ragged.merge_rows(n, [(np.nonzero(by_ref)[0], a_col),
+                                     (un_idx, nonref)])
 
     def recon_vb(self, pctxs: dict, meta: dict) -> bytes:
         n = meta["num_lines"]
@@ -110,7 +196,11 @@ class SamDT(DataType):
             rnext = pctxs["RNEXT"].dict_take()
             pnext = _recon_num_or_tok("PNEXT", pctxs, ng)
             tlen = _recon_num_or_tok("TLEN", pctxs, ng)
-            seq = pctxs["NONREF"].txt_col(pctxs["SQLEN"].nums())
+            sqlens = pctxs["SQLEN"].nums()
+            if "SQBITMAP" in pctxs:
+                seq = self._recon_seq_vs_ref(pctxs, sqlens, pos, rname)
+            else:
+                seq = pctxs["NONREF"].txt_col(sqlens)
             qual = pctxs["QUAL"].txt_col(pctxs["QLLEN"].nums())
             aux = tokenizer_recon_col("AUX", pctxs, ng)
             t = b"\t"

@@ -111,3 +111,45 @@ def test_fastq_with_reference_roundtrip(tmp_path):
     z2 = src + ".noref.gxz"
     zip_file(src, z2)
     assert os.path.getsize(z) < os.path.getsize(z2) * 0.75
+
+
+def test_sam_with_reference_roundtrip(tmp_path):
+    fa = synth_genome(200000, 1)
+    fa_path = os.path.join(str(tmp_path), "sg.fa")
+    open(fa_path, "wb").write(fa)
+    ref_path = os.path.join(str(tmp_path), "sg.ref.gxz")
+    refstore.make_reference(fa_path, ref_path)
+    ref = refstore.load_ref_file(ref_path)
+
+    out = [b"@HD\tVN:1.6\n@SQ\tSN:ctg0\tLN:200000\n"]
+    quals = np.frombuffer(b"FFFF:F,#", np.uint8)
+    pos = 1
+    for i in range(1200):
+        pos += int(RNG.integers(0, 100))
+        rl = 100
+        p = min(pos, ref.length - rl)
+        codes = ref.codes[p:p + rl].copy()
+        nmut = int(RNG.binomial(rl, 0.01))
+        if nmut:
+            mp = RNG.integers(0, rl, nmut)
+            codes[mp] = (codes[mp] + 1) % 4
+        seq = packops.ACGT[codes].tobytes()
+        q = RNG.choice(quals, rl).tobytes()
+        cig = b"100M" if i % 10 else b"50M2I48M"  # some non-simple CIGARs
+        out.append(b"READ.%d\t0\tctg0\t%d\t60\t%s\t*\t0\t0\t%s\t%s\tNM:i:%d\n"
+                   % (i, p + 1, cig, seq, q, nmut))
+    data = b"".join(out)
+    src = os.path.join(str(tmp_path), "t.sam")
+    open(src, "wb").write(data)
+
+    from genozip_tpu.zip_pipeline import zip_file
+    from genozip_tpu.piz_pipeline import piz_file
+    z = src + ".gxz"
+    zip_file(src, z, reference=ref_path)
+    o = src + ".out"
+    piz_file(z, o, reference=ref_path)
+    assert open(o, "rb").read() == data
+
+    z2 = src + ".noref.gxz"
+    zip_file(src, z2)
+    assert os.path.getsize(z) < os.path.getsize(z2) * 0.85
