@@ -31,10 +31,11 @@ LZMA = 7
 ACGT = 8      # DNA 2-bit pack + exception channel
 DELTA_RANS = 9   # byte-wise delta then rANS order-0 (pos-like streams)
 RLE0 = 10     # run-length (value,run) pairs, each rANS'd — long-run streams
+DOMQ = 11     # dominant-symbol quality: RLE'd dom-mask + rANS'd exceptions
 
 NAMES = {NONE: "NONE", RANS0: "RANS0", RANS1: "RANS1", PACK0: "PACK0",
          PACK1: "PACK1", ZLIB: "ZLIB", BZ2: "BZ2", LZMA: "LZMA", ACGT: "ACGT",
-         DELTA_RANS: "DELTA", RLE0: "RLE0"}
+         DELTA_RANS: "DELTA", RLE0: "RLE0", DOMQ: "DOMQ"}
 
 # toggled by the pipeline: use the JAX (device) rANS for large payloads
 _JAX_MIN_SIZE = 1 << 62   # effectively disabled until enabled
@@ -157,9 +158,11 @@ def _rle_encode(data: bytes) -> bytes:
     starts = np.nonzero(change)[0]
     vals = a[starts]
     runs = np.diff(np.concatenate([starts, [a.shape[0]]]))
-    # cap runs at 255 by splitting: values repeated; simpler: u32 runs
+    # u32 runs, STRIPE'd by byte plane (htscodecs-style) so order-0 rANS sees
+    # each byte position's own distribution (hi planes are ~all zero)
     v = _rans_encode(vals.tobytes(), 0)
-    r = _rans_encode(runs.astype("<u4").tobytes(), 0)
+    rb = np.ascontiguousarray(runs.astype("<u4").view(np.uint8).reshape(-1, 4).T)
+    r = _rans_encode(rb.tobytes(), 0)
     return len(vals).to_bytes(8, "little") + len(v).to_bytes(8, "little") + v + r
 
 
@@ -169,9 +172,40 @@ def _rle_decode(blob) -> bytes:
     if nr == 0:
         return b""
     lv = int.from_bytes(blob[8:16], "little")
-    vals = np.frombuffer(_rans_decode(blob[16:16 + lv]), np.uint8)
-    runs = np.frombuffer(_rans_decode(blob[16 + lv:]), "<u4").astype(np.int64)
+    vals = np.frombuffer(_rans_decode(blob[16:16 + lv]), np.uint8)[:nr]
+    rb = np.frombuffer(_rans_decode(blob[16 + lv:]), np.uint8)[:4 * nr]
+    runs = np.ascontiguousarray(rb.reshape(4, -1).T).view("<u4").reshape(-1).astype(np.int64)
     return np.repeat(vals, runs).tobytes()
+
+
+def _domq_encode(data: bytes) -> bytes:
+    """Dominant-quality codec (reference src/codec_domq.c): one score
+    dominates; store the dom-run structure (RLE of the dom mask) plus the
+    exception bytes order-1 coded."""
+    a = np.frombuffer(data, np.uint8)
+    if a.shape[0] == 0:
+        return bytes([0]) + (0).to_bytes(8, "little")
+    counts = np.bincount(a, minlength=256)
+    dom = int(np.argmax(counts))
+    mask = (a == dom).astype(np.uint8)
+    exc = a[mask == 0]
+    m = _rle_encode(mask.tobytes())
+    e = _rans_encode(exc.tobytes(), 1)
+    return bytes([dom]) + len(m).to_bytes(8, "little") + m + e
+
+
+def _domq_decode(blob) -> bytes:
+    blob = memoryview(blob)
+    dom = blob[0]
+    lm = int.from_bytes(blob[1:9], "little")
+    if lm == 0 and len(blob) == 9:
+        return b""
+    mask = np.frombuffer(_rle_decode(blob[9:9 + lm]), np.uint8)
+    exc = np.frombuffer(_rans_decode(blob[9 + lm:]), np.uint8)
+    out = np.full(mask.shape[0], dom, dtype=np.uint8)
+    nex = int((mask == 0).sum())
+    out[mask == 0] = exc[:nex]
+    return out.tobytes()
 
 
 def compress(data: bytes, codec: int) -> bytes:
@@ -197,6 +231,8 @@ def compress(data: bytes, codec: int) -> bytes:
         return _delta_encode(data)
     if codec == RLE0:
         return _rle_encode(data)
+    if codec == DOMQ:
+        return _domq_encode(data)
     raise ValueError(f"unknown codec {codec}")
 
 
@@ -219,6 +255,8 @@ def decompress(blob, codec: int, uncomp_len: int) -> bytes:
         out = _delta_decode(blob)
     elif codec == RLE0:
         out = _rle_decode(blob)
+    elif codec == DOMQ:
+        out = _domq_decode(blob)
     else:
         raise ValueError(f"unknown codec {codec}")
     if len(out) > uncomp_len and codec in (RANS0, RANS1, DELTA_RANS):

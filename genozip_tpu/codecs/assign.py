@@ -12,7 +12,7 @@ ZIP-side global context state.
 import numpy as np
 
 from . import (NONE, RANS0, RANS1, PACK0, PACK1, ZLIB, BZ2, LZMA, ACGT,
-               DELTA_RANS, RLE0, compress)
+               DELTA_RANS, RLE0, DOMQ, compress)
 
 SAMPLE_SIZE = 64 * 1024
 MIN_SIZE_TO_COMPRESS = 64
@@ -31,6 +31,10 @@ def candidates_for(data: np.ndarray, category: str):
         cands = [RANS1, RANS0]
         if nuniq is not None and nuniq <= 16:
             cands = [PACK1, RANS1, RANS0]
+        if data.shape[0]:
+            counts = np.bincount(data[:4096], minlength=256)
+            if counts.max() > 0.7 * min(data.shape[0], 4096):
+                cands = [DOMQ] + cands
     elif category == "b250":
         cands = [RANS0, RANS1, ZLIB]
     elif category == "int":

@@ -23,12 +23,13 @@ constexpr int SCALE_BITS = 12;
 constexpr uint32_t SCALE = 1u << SCALE_BITS;
 constexpr uint32_t RANS_L = 1u << 16;
 
+// must replicate rans_np.choose_num_lanes exactly
 int choose_log_lanes(int64_t n) {
-    if (n <= 0) return 5;
-    int64_t target = n / 64;
-    if (target <= 1) return 5;
+    if (n <= 0) return 4;
+    int64_t target = n / (n >= (1 << 20) ? 128 : 256);
+    if (target <= 1) return 4;
     int k = 64 - __builtin_clzll((uint64_t)(target - 1));  // ceil(log2(target))
-    return std::max(5, std::min(13, k));
+    return std::max(4, std::min(13, k));
 }
 
 // exact replica of rans_np.normalize_freqs (largest-remainder, ties by

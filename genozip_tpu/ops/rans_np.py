@@ -34,14 +34,15 @@ RANS_L = 1 << 16  # lower bound of state interval
 
 
 def choose_num_lanes(n: int) -> int:
-    """Pick the lane count for an n-symbol stream: power of two, targeting
-    ~64+ symbols per lane, in [32, 8192]. Deterministic in n (not stored per
-    lane; log2 is stored in the header for forward compatibility)."""
+    """Pick the lane count for an n-symbol stream (the decoder reads the
+    actual count from the header, so this is a free choice). Piecewise:
+    device-sized streams get many lanes (wide vectors), small host-side
+    streams get few (the 2N flushed state words are pure overhead)."""
     if n <= 0:
-        return 32
-    target = max(1, n // 64)
-    nl = 1 << max(5, min(13, int(np.ceil(np.log2(target))) if target > 1 else 5))
-    return nl
+        return 16
+    target = max(1, n // (128 if n >= (1 << 20) else 256))
+    k = int(np.ceil(np.log2(target))) if target > 1 else 4
+    return 1 << max(4, min(13, k))
 
 
 def normalize_freqs(hist: np.ndarray, scale_bits: int = SCALE_BITS) -> np.ndarray:

@@ -1,0 +1,61 @@
+"""Codec registry round-trips for every codec id."""
+
+import numpy as np
+import pytest
+
+from genozip_tpu import codecs
+
+RNG = np.random.default_rng(8)
+
+
+def payloads():
+    yield b""
+    yield b"A"
+    yield bytes(RNG.integers(0, 256, 5000).astype(np.uint8))
+    yield bytes(RNG.choice(np.frombuffer(b"ACGTN", np.uint8), 9000, p=[.24, .24, .24, .24, .04]).astype(np.uint8))
+    # dominant-qual-like
+    q = np.full(20000, ord("F"), np.uint8)
+    exc = RNG.random(20000) < 0.08
+    q[exc] = RNG.choice(np.frombuffer(b":,#AB", np.uint8), int(exc.sum()))
+    yield bytes(q)
+    yield b"x" * 10000
+
+
+ALL = [codecs.NONE, codecs.RANS0, codecs.RANS1, codecs.ZLIB, codecs.BZ2,
+       codecs.LZMA, codecs.ACGT, codecs.DELTA_RANS, codecs.RLE0, codecs.DOMQ]
+
+
+@pytest.mark.parametrize("codec", ALL, ids=lambda c: codecs.NAMES[c])
+def test_codec_roundtrip(codec):
+    for data in payloads():
+        blob = codecs.compress(data, codec)
+        back = codecs.decompress(blob, codec, len(data))
+        assert back == data, f"{codecs.NAMES[codec]} len={len(data)}"
+
+
+def test_pack_roundtrip():
+    for codec in (codecs.PACK0, codecs.PACK1):
+        for nsym in (1, 2, 4, 9, 16):
+            syms = RNG.choice(256, nsym, replace=False).astype(np.uint8)
+            data = bytes(RNG.choice(syms, 7777).astype(np.uint8))
+            blob = codecs.compress(data, codec)
+            assert codecs.decompress(blob, codec, len(data)) == data
+
+
+def test_domq_beats_rans_on_clustered_dominated():
+    # realistic binned-qual shape: long dominant runs with exception BURSTS
+    # (order-0 rANS is position-blind; the RLE'd dom-mask exploits clustering)
+    parts = []
+    total = 0
+    while total < 100000:
+        run = int(RNG.integers(300, 900))
+        burst = int(RNG.integers(5, 40))
+        parts.append(np.full(run, ord("F"), np.uint8))
+        parts.append(RNG.choice(np.frombuffer(b":,#", np.uint8), burst))
+        total += run + burst
+    data = bytes(np.concatenate(parts))
+    d = len(codecs.compress(data, codecs.DOMQ))
+    r = len(codecs.compress(data, codecs.RANS0))
+    assert d < r
+    assert codecs.decompress(codecs.compress(data, codecs.DOMQ),
+                             codecs.DOMQ, len(data)) == data
