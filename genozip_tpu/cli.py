@@ -24,6 +24,8 @@ def build_parser():
     z.add_argument("--input-type", dest="dt", default=None)
     z.add_argument("--vblock", type=int, default=None, help="VB size in MB")
     z.add_argument("--stats", action="store_true")
+    z.add_argument("--show-time", action="store_true",
+                   help="wall-clock region profile (reference --show-time)")
     z.add_argument("--test", action="store_true",
                    help="verify by decompress+digest after compressing")
     z.add_argument("--reference", default=None)
@@ -36,6 +38,7 @@ def build_parser():
     u.add_argument("-o", "--output")
     u.add_argument("--test", action="store_true", help="verify only")
     u.add_argument("--reference", default=None)
+    u.add_argument("--show-time", action="store_true")
 
     c = sub.add_parser("cat", help="decompress to stdout")
     c.add_argument("input")
@@ -50,6 +53,8 @@ def build_parser():
 
     l = sub.add_parser("ls", help="list archive metadata")
     l.add_argument("inputs", nargs="+")
+    l.add_argument("--stats", action="store_true",
+                   help="per-context compressed-size table (SEC_STATS)")
     return p
 
 
@@ -78,6 +83,9 @@ def main(argv=None):
             from .piz_pipeline import piz_file
             piz_file(out, None, reference=args.reference)
             print("verified: round-trip digest OK")
+        if args.show_time:
+            from .utils import profiler
+            print(profiler.report())
         return 0
     if args.cmd == "unzip":
         from .piz_pipeline import piz_file
@@ -89,6 +97,9 @@ def main(argv=None):
         if out == args.input:
             out = args.input + ".out"
         piz_file(args.input, out, reference=args.reference)
+        if args.show_time:
+            from .utils import profiler
+            print(profiler.report())
         return 0
     if args.cmd == "cat":
         from .piz_pipeline import PizReader
@@ -107,6 +118,14 @@ def main(argv=None):
             print(f"{h.get('txt_name', path):30s} {h['dt']:8s} "
                   f"{h['txt_len']:>14,} {zlen:>14,} "
                   f"{h['txt_len'] / max(zlen, 1):>6.1f}x {h['num_lines']:>12,}")
+            if args.stats:
+                payload, _ = pr.zr.read_one(fmt.SEC_STATS)
+                if payload is not None:
+                    per_ctx = fmt.json_parse(payload)
+                    for name, (u_, z_) in sorted(per_ctx.items(),
+                                                 key=lambda kv: -kv[1][1]):
+                        print(f"    {name:14s} z {z_:>12,} "
+                              f"({100.0 * z_ / max(zlen, 1):5.1f}%)")
             pr.close()
         return 0
     return 1

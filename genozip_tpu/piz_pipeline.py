@@ -14,6 +14,7 @@ import zlib
 import numpy as np
 
 from .contexts import PCtx, parse_dict_payload, MODE_DICT, MODE_NUM, MODE_TXT
+from .utils import profiler
 from .datatypes import get
 from .format import sections as fmt
 
@@ -81,7 +82,8 @@ class PizReader:
         if payload is None and comp_i == 0:
             payload, _ = self.zr.read_one(fmt.SEC_VB_HEADER, vb_i=vb_i)
         vb_hdr = fmt.json_parse(payload)
-        sec = self._load_ctx_sections(vb_i, comp_i)
+        with profiler.timer("piz:read+uncompress"):
+            sec = self._load_ctx_sections(vb_i, comp_i)
         pair_names = [n for n, cm in vb_hdr["ctxs"].items() if "pair" in cm]
         pair_sec = self._load_ctx_sections(vb_i, 0, pair_names) if pair_names else {}
 
@@ -106,7 +108,8 @@ class PizReader:
         meta["num_lines"] = vb_hdr["n"]
         if meta.get("gpos_pair_delta") and comp_i == 1:
             self._apply_gpos_pair_delta(pctxs, vb_i)
-        out = self.dt.recon_vb(pctxs, meta)
+        with profiler.timer("piz:recon"):
+            out = self.dt.recon_vb(pctxs, meta)
         assert len(out) == vb_hdr["len"], \
             f"VB {vb_i}: length {len(out)} != {vb_hdr['len']}"
         assert zlib.adler32(out) == vb_hdr["adler"], f"VB {vb_i}: digest mismatch"

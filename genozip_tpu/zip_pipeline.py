@@ -17,6 +17,7 @@ import numpy as np
 
 from . import codecs
 from .codecs import assign as codec_assign
+from .utils import profiler
 from .contexts import ZCtxGlobal, narrow_int
 from .datatypes import detect, get
 from .format import sections as fmt
@@ -128,6 +129,10 @@ class ZipJob:
 
     def write_global_area(self, file_hdr):
         zw = self.zw
+        # per-context compressed-size accounting (reference src/stats.c ->
+        # SEC_STATS, readable via `gxls --stats`)
+        zw.write_section(fmt.SEC_STATS, fmt.json_payload(self.stats.per_ctx),
+                         codec=codecs.ZLIB)
         for name, g in self.gctxs.items():
             if g.words:
                 payload = g.dict_payload()
@@ -173,11 +178,18 @@ def zip_file(in_path: str, out_path: str, dt_name: str | None = None,
         job.zw.write_section(fmt.SEC_TXT_HEADER, txt_header, codec=codec, comp_i=0)
         job.stats.txt_len += len(txt_header)
 
+    from .utils.progress import Progress
+    prog = Progress(f"zip {in_path.rsplit('/', 1)[-1]}", None)
     vb_i = 0
     for data in reader.vblocks(dt, vb_size):
         vb_i += 1
         file_adler = zlib.adler32(data.tobytes(), file_adler)
-        job.write_vb(dt.seg_vb(data), data, vb_i, 0)
+        with profiler.timer("zip:seg"):
+            res = dt.seg_vb(data)
+        with profiler.timer("zip:merge+write"):
+            job.write_vb(res, data, vb_i, 0)
+        prog.update(int(data.shape[0]))
+    prog.finish()
 
     file_hdr = {
         "version": 1, "dt": dt_name, "num_vbs": vb_i,
