@@ -29,6 +29,8 @@ def build_parser():
     z.add_argument("--test", action="store_true",
                    help="verify by decompress+digest after compressing")
     z.add_argument("--reference", default=None)
+    z.add_argument("--password", default=None,
+                   help="encrypt with AES-256 (reference --password)")
 
     z.add_argument("--make-reference", action="store_true",
                    help="compress a FASTA into a .ref.gxz reference")
@@ -38,6 +40,7 @@ def build_parser():
     u.add_argument("-o", "--output")
     u.add_argument("--test", action="store_true", help="verify only")
     u.add_argument("--reference", default=None)
+    u.add_argument("--password", default=None)
     u.add_argument("--show-time", action="store_true")
 
     c = sub.add_parser("cat", help="decompress to stdout")
@@ -78,10 +81,12 @@ def main(argv=None):
                              show_stats=args.stats, reference=args.reference)
         else:
             stats = zip_file(args.input, out, dt_name=args.dt, vb_size=vb,
-                             show_stats=args.stats, reference=args.reference)
+                             show_stats=args.stats, reference=args.reference,
+                             password=args.password)
         if args.test:
             from .piz_pipeline import piz_file
-            piz_file(out, None, reference=args.reference)
+            piz_file(out, None, reference=args.reference,
+                     password=args.password)
             print("verified: round-trip digest OK")
         if args.show_time:
             from .utils import profiler
@@ -90,13 +95,15 @@ def main(argv=None):
     if args.cmd == "unzip":
         from .piz_pipeline import piz_file
         if args.test:
-            piz_file(args.input, None, reference=args.reference)
+            piz_file(args.input, None, reference=args.reference,
+                     password=args.password)
             print("verified: round-trip digest OK")
             return 0
         out = args.output or args.input.removesuffix(".gxz")
         if out == args.input:
             out = args.input + ".out"
-        piz_file(args.input, out, reference=args.reference)
+        piz_file(args.input, out, reference=args.reference,
+                 password=args.password)
         if args.show_time:
             from .utils import profiler
             print(profiler.report())

@@ -104,6 +104,11 @@ class ZWriter:
         self.f = fileobj
         self.offset = 0
         self.index = []
+        self.crypt_key = None
+        self.crypt_salt = None
+
+    def set_encryption(self, key: bytes, salt: bytes):
+        self.crypt_key, self.crypt_salt = key, salt
 
     def write_section(self, sec_type, payload: bytes, *, codec=codecs.NONE,
                       vb_i=0, comp_i=-1, dict_id=b"", ltype=LT_TXT, param=0,
@@ -115,10 +120,15 @@ class ZWriter:
         else:
             uncomp_len = len(payload)
             comp = codecs.compress(payload, codec)
+        adl = zlib.adler32(comp) & 0xFFFFFFFF  # over plaintext-compressed
+        if self.crypt_key is not None and sec_type != SEC_FILE_HEADER:
+            from .. import crypt
+            comp = crypt.crypt_payload(self.crypt_key, self.crypt_salt,
+                                       self.offset, comp)
+            flags |= crypt.FLAG_ENCRYPTED
         did = norm_dict_id(dict_id)
         hdr = _HDR.pack(MAGIC, sec_type, codec, flags, ltype, vb_i, comp_i,
-                        did, uncomp_len, len(comp), param,
-                        zlib.adler32(comp) & 0xFFFFFFFF)
+                        did, uncomp_len, len(comp), param, adl)
         self.index.append(SectionEnt(sec_type, vb_i, comp_i, did, self.offset))
         self.f.write(hdr)
         self.f.write(comp)
@@ -155,6 +165,11 @@ class ZReader:
         idx_raw = zlib.decompress(self.f.read(idx_len))
         self.index = [SectionEnt(*_IDX.unpack(idx_raw[i:i + _IDX.size]))
                       for i in range(0, len(idx_raw), _IDX.size)]
+        self.crypt_key = None
+        self.crypt_salt = None
+
+    def set_encryption(self, key: bytes, salt: bytes):
+        self.crypt_key, self.crypt_salt = key, salt
 
     def sections(self, sec_type=None, vb_i=None, comp_i=None):
         out = self.index
@@ -174,8 +189,14 @@ class ZReader:
          uncomp_len, comp_len, param, adler) = hdr
         assert magic == MAGIC, "corrupt section header"
         comp = self.f.read(comp_len)
+        if flags & 2:  # FLAG_ENCRYPTED
+            from .. import crypt
+            assert self.crypt_key is not None, \
+                "archive is encrypted — password required"
+            comp = crypt.crypt_payload(self.crypt_key, self.crypt_salt,
+                                       ent.offset, comp)
         assert (zlib.adler32(comp) & 0xFFFFFFFF) == adler, \
-            f"section digest mismatch at {ent!r}"
+            f"section digest mismatch at {ent!r} (wrong password?)"
         payload = codecs.decompress(comp, codec, uncomp_len)
         meta = dict(sec_type=sec_type, codec=codec, flags=flags, ltype=ltype,
                     vb_i=vb_i, comp_i=comp_i, dict_id=did, param=param,

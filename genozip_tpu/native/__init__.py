@@ -55,6 +55,9 @@ def get():
             lib.gxz_adler32.restype = ctypes.c_uint32
             lib.gxz_adler32.argtypes = [ctypes.c_uint32, ctypes.c_void_p,
                                         ctypes.c_int64]
+            lib.gxz_aes256_ctr.restype = None
+            lib.gxz_aes256_ctr.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                           ctypes.c_void_p, ctypes.c_int64]
             _lib = lib
         except Exception:
             _lib = None
@@ -84,6 +87,18 @@ def rans_decode(blob, n_hint: int | None = None) -> bytes:
     r = lib.gxz_rans_decode(a.ctypes.data, a.shape[0], out.ctypes.data, n)
     assert r == n, f"native rans decode failed ({r})"
     return out[:n].tobytes()
+
+
+def aes256_ctr(key: bytes, counter0: bytes, data) -> bytes:
+    """XOR data with the AES-256-CTR keystream (encrypt == decrypt)."""
+    lib = get()
+    assert len(key) == 32 and len(counter0) == 16
+    buf = np.frombuffer(bytes(data), np.uint8).copy()
+    k = np.frombuffer(key, np.uint8)
+    c0 = np.frombuffer(counter0, np.uint8)
+    lib.gxz_aes256_ctr(k.ctypes.data, c0.ctypes.data, buf.ctypes.data,
+                       buf.shape[0])
+    return buf.tobytes()
 
 
 def bam_scan(data: np.ndarray, max_records: int):

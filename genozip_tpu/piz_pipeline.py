@@ -22,12 +22,21 @@ FLAG_DELTA = 1
 
 
 class PizReader:
-    def __init__(self, z_path: str, reference: str | None = None):
+    def __init__(self, z_path: str, reference: str | None = None,
+                 password: str | None = None):
         self.f = open(z_path, "rb")
         self.zr = fmt.ZReader(self.f)
         payload, _ = self.zr.read_one(fmt.SEC_FILE_HEADER)
         assert payload is not None, "missing file header"
         self.file_hdr = fmt.json_parse(payload)
+        enc = self.file_hdr.get("enc")
+        if enc:
+            from . import crypt
+            assert password, "archive is encrypted — --password required"
+            salt = bytes.fromhex(enc["salt"])
+            key = crypt.derive_key(password, salt)
+            assert crypt.key_tag(key) == enc["tag"], "wrong password"
+            self.zr.set_encryption(key, salt)
         self.dt = get(self.file_hdr["dt"])(self.file_hdr.get("segconf") or {})
         if self.file_hdr.get("reference"):
             assert reference, (f"archive needs reference "
@@ -134,8 +143,9 @@ class PizReader:
 
 
 def piz_file(z_path: str, out_path: str | None = None,
-             verify_only: bool = False, reference: str | None = None):
-    pr = PizReader(z_path, reference=reference)
+             verify_only: bool = False, reference: str | None = None,
+             password: str | None = None):
+    pr = PizReader(z_path, reference=reference, password=password)
     comps = pr.components()
     total_all = 0
     for comp_i, comp in enumerate(comps):

@@ -152,6 +152,16 @@ class ZipJob:
         self.stats.z_len = zw.offset
 
 
+def _setup_encryption(job, password):
+    if not password:
+        return None
+    from . import crypt
+    salt = crypt.new_salt()
+    key = crypt.derive_key(password, salt)
+    job.zw.set_encryption(key, salt)
+    return {"salt": salt.hex(), "tag": crypt.key_tag(key)}
+
+
 def _open_component(in_path, dt_name, reference):
     reader = TxtReader(in_path)
     head = reader.peek(64 * 1024)
@@ -166,9 +176,10 @@ def _open_component(in_path, dt_name, reference):
 
 def zip_file(in_path: str, out_path: str, dt_name: str | None = None,
              vb_size: int = DEFAULT_VB_SIZE, show_stats: bool = False,
-             reference: str | None = None):
+             reference: str | None = None, password: str | None = None):
     reader, dt, dt_name = _open_component(in_path, dt_name, reference)
     job = ZipJob(out_path)
+    enc = _setup_encryption(job, password)
 
     txt_header = dt.read_txt_header(reader)
     file_adler = zlib.adler32(b"")
@@ -197,6 +208,7 @@ def zip_file(in_path: str, out_path: str, dt_name: str | None = None,
         "adler": file_adler, "segconf": dt.segconf,
         "txt_name": in_path.rsplit("/", 1)[-1],
         "reference": reference.rsplit("/", 1)[-1] if reference else None,
+        "enc": enc,
     }
     job.write_global_area(file_hdr)
     reader.close()

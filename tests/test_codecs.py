@@ -59,3 +59,26 @@ def test_domq_beats_rans_on_clustered_dominated():
     assert d < r
     assert codecs.decompress(codecs.compress(data, codecs.DOMQ),
                              codecs.DOMQ, len(data)) == data
+
+
+def test_encryption_roundtrip(tmp_path=None):
+    import os, tempfile
+    from genozip_tpu.zip_pipeline import zip_file
+    from genozip_tpu.piz_pipeline import piz_file
+    import pytest
+    d = tempfile.mkdtemp()
+    data = b"".join(b"@r%d\nACGTACGTAC\n+\nFFFF:FFFFF\n" % i for i in range(500))
+    src = os.path.join(d, "e.fastq")
+    open(src, "wb").write(data)
+    z = src + ".gxz"
+    zip_file(src, z, password="hunter2")
+    out = src + ".out"
+    piz_file(z, out, password="hunter2")
+    assert open(out, "rb").read() == data
+    with pytest.raises(AssertionError):
+        piz_file(z, None, password="wrong")
+    with pytest.raises(AssertionError):
+        piz_file(z, None)
+    # plaintext must not appear in the archive
+    zbytes = open(z, "rb").read()
+    assert b"ACGTACGTAC" not in zbytes
