@@ -32,10 +32,11 @@ ACGT = 8      # DNA 2-bit pack + exception channel
 DELTA_RANS = 9   # byte-wise delta then rANS order-0 (pos-like streams)
 RLE0 = 10     # run-length (value,run) pairs, each rANS'd — long-run streams
 DOMQ = 11     # dominant-symbol quality: RLE'd dom-mask + rANS'd exceptions
+STRIPE4 = 12  # 4-byte-plane transpose then order-1 rANS (u32/f32 arrays)
 
 NAMES = {NONE: "NONE", RANS0: "RANS0", RANS1: "RANS1", PACK0: "PACK0",
          PACK1: "PACK1", ZLIB: "ZLIB", BZ2: "BZ2", LZMA: "LZMA", ACGT: "ACGT",
-         DELTA_RANS: "DELTA", RLE0: "RLE0", DOMQ: "DOMQ"}
+         DELTA_RANS: "DELTA", RLE0: "RLE0", DOMQ: "DOMQ", STRIPE4: "STRIPE4"}
 
 # toggled by the pipeline: use the JAX (device) rANS for large payloads
 _JAX_MIN_SIZE = 1 << 62   # effectively disabled until enabled
@@ -208,6 +209,30 @@ def _domq_decode(blob) -> bytes:
     return out.tobytes()
 
 
+def _stripe4_encode(data: bytes) -> bytes:
+    """Byte-plane transpose for 4-byte-element arrays (htscodecs STRIPE):
+    each byte position of u32/f32 values gets its own run of the stream so
+    order-1 rANS models per-plane distributions. Tail bytes (len%4) pass
+    through uncoded."""
+    n4 = len(data) // 4
+    head = data[: n4 * 4]
+    tail = data[n4 * 4:]
+    a = np.frombuffer(head, np.uint8).reshape(-1, 4)
+    planes = np.ascontiguousarray(a.T).tobytes()
+    sub = _rans_encode(planes, 1)
+    return len(tail).to_bytes(1, "little") + tail + sub
+
+
+def _stripe4_decode(blob) -> bytes:
+    blob = memoryview(blob)
+    lt = blob[0]
+    tail = bytes(blob[1:1 + lt])
+    planes = np.frombuffer(_rans_decode(blob[1 + lt:]), np.uint8)
+    n4 = planes.shape[0] // 4
+    a = np.ascontiguousarray(planes[:4 * n4].reshape(4, -1).T)
+    return a.tobytes() + tail
+
+
 def compress(data: bytes, codec: int) -> bytes:
     if codec == NONE:
         return bytes(data)
@@ -233,6 +258,8 @@ def compress(data: bytes, codec: int) -> bytes:
         return _rle_encode(data)
     if codec == DOMQ:
         return _domq_encode(data)
+    if codec == STRIPE4:
+        return _stripe4_encode(data)
     raise ValueError(f"unknown codec {codec}")
 
 
@@ -257,6 +284,8 @@ def decompress(blob, codec: int, uncomp_len: int) -> bytes:
         out = _rle_decode(blob)
     elif codec == DOMQ:
         out = _domq_decode(blob)
+    elif codec == STRIPE4:
+        out = _stripe4_decode(blob)
     else:
         raise ValueError(f"unknown codec {codec}")
     if len(out) > uncomp_len and codec in (RANS0, RANS1, DELTA_RANS):

@@ -12,7 +12,7 @@ ZIP-side global context state.
 import numpy as np
 
 from . import (NONE, RANS0, RANS1, PACK0, PACK1, ZLIB, BZ2, LZMA, ACGT,
-               DELTA_RANS, RLE0, DOMQ, compress)
+               DELTA_RANS, RLE0, DOMQ, STRIPE4, compress)
 
 SAMPLE_SIZE = 64 * 1024
 MIN_SIZE_TO_COMPRESS = 64
@@ -38,7 +38,9 @@ def candidates_for(data: np.ndarray, category: str):
     elif category == "b250":
         cands = [RANS0, RANS1, ZLIB]
     elif category == "int":
-        cands = [RANS0, RANS1, DELTA_RANS, ZLIB]
+        cands = [RANS0, RANS1, DELTA_RANS, STRIPE4, ZLIB]
+    elif category == "float":
+        cands = [STRIPE4, RANS1, ZLIB]
     elif category == "text":
         cands = [RANS1, ZLIB, BZ2, LZMA]
     elif category == "pbwt":

@@ -61,14 +61,14 @@ def register(cls):
 
 
 def get(name: str) -> type:
-    from . import fastq, fasta, generic, vcf, sam, bam, gff, bed, me23  # noqa: F401
+    from . import fastq, fasta, generic, vcf, sam, bam, gff, bed, me23, locs  # noqa: F401
     return _REGISTRY[name]
 
 
 def detect(path: str, head: bytes) -> str:
     """File-type detection by extension then content sniffing
     (reference src/file.c file_get_data_type + src/flags.c --input)."""
-    from . import fastq, fasta, generic, vcf, sam, bam, gff, bed, me23  # noqa: F401
+    from . import fastq, fasta, generic, vcf, sam, bam, gff, bed, me23, locs  # noqa: F401
     p = path.lower()
     for ext in (".gz", ".bgz", ".bz2", ".xz"):
         if p.endswith(ext):
@@ -81,6 +81,7 @@ def detect(path: str, head: bytes) -> str:
         ".sam": "sam", ".bam": "bam",
         ".gff": "gff", ".gff3": "gff", ".gvf": "gff", ".gtf": "gff",
         ".bed": "bed",
+        ".locs": "locs",
         ".txt": None, ".genome": None,
     }
     for ext, dt in ext_map.items():
