@@ -52,12 +52,12 @@ def align_batch(ref: RefGenome, codes_mat: np.ndarray, lens: np.ndarray,
         for si in range(num_seeds):
             off = (lens - KMER) * si // max(num_seeds - 1, 1)
             off = np.clip(off, 0, np.maximum(lens - KMER, 0))
-            km = np.zeros(R, dtype=np.uint64)
+            km = np.zeros(R, dtype=np.uint32)
             idx = off[:, None] + np.arange(KMER)[None, :]
             idx = np.clip(idx, 0, L - 1)
             window = np.take_along_axis(mat, idx, axis=1)
             for j in range(KMER):
-                km = (km << np.uint64(2)) | window[:, j].astype(np.uint64)
+                km = (km << np.uint32(2)) | window[:, j].astype(np.uint32)
             h = hash_kmer(km, ref.hash_bits)
             g = ref.refhash[h].astype(np.int64)
             miss = g == int(NO_GPOS)

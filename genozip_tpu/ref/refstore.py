@@ -23,7 +23,7 @@ from ..codecs import assign as codec_assign
 
 KMER = 16               # seed length (u32-packable)
 HASH_BITS_DEFAULT = 24  # refhash slots = 2^bits
-FIB = np.uint64(11400714819323198485)  # 2^64 / phi
+FIB32 = np.uint32(2654435761)  # 2^32 / phi (u32 math: device-safe without x64)
 NO_GPOS = np.uint32(0xFFFFFFFF)
 
 
@@ -49,16 +49,19 @@ class RefGenome:
 
 
 def kmers_at(codes: np.ndarray, positions: np.ndarray, k: int = KMER):
-    """Pack k consecutive 2-bit codes starting at each position into u64
-    (vectorized; caller guarantees positions + k <= len)."""
-    out = np.zeros(positions.shape[0], dtype=np.uint64)
+    """Pack k consecutive 2-bit codes starting at each position into u32
+    (k == 16 fills exactly 32 bits; vectorized; caller guarantees
+    positions + k <= len)."""
+    out = np.zeros(positions.shape[0], dtype=np.uint32)
     for j in range(k):
-        out = (out << np.uint64(2)) | codes[positions + j].astype(np.uint64)
+        out = (out << np.uint32(2)) | codes[positions + j].astype(np.uint32)
     return out
 
 
 def hash_kmer(kmer: np.ndarray, bits: int):
-    return ((kmer * FIB) >> np.uint64(64 - bits)).astype(np.int64)
+    """32-bit Fibonacci hash — identical results in numpy and on-device
+    uint32 (wrapping) arithmetic."""
+    return ((kmer.astype(np.uint32) * FIB32) >> np.uint32(32 - bits)).astype(np.int64)
 
 
 def build_refhash(codes: np.ndarray, bits: int = HASH_BITS_DEFAULT,
