@@ -58,6 +58,10 @@ def get():
             lib.gxz_aes256_ctr.restype = None
             lib.gxz_aes256_ctr.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
                                            ctypes.c_void_p, ctypes.c_int64]
+            lib.gxz_copy_ranges.restype = None
+            lib.gxz_copy_ranges.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                            ctypes.c_void_p, ctypes.c_void_p,
+                                            ctypes.c_void_p, ctypes.c_int64]
             _lib = lib
         except Exception:
             _lib = None
@@ -99,6 +103,18 @@ def aes256_ctr(key: bytes, counter0: bytes, data) -> bytes:
     lib.gxz_aes256_ctr(k.ctypes.data, c0.ctypes.data, buf.ctypes.data,
                        buf.shape[0])
     return buf.tobytes()
+
+
+def copy_ranges(src: np.ndarray, src_starts: np.ndarray, dst: np.ndarray,
+                dst_starts: np.ndarray, lens: np.ndarray):
+    lib = get()
+    n = lens.shape[0]
+    src_starts = np.ascontiguousarray(src_starts, dtype=np.int64)
+    dst_starts = np.ascontiguousarray(dst_starts, dtype=np.int64)
+    lens = np.ascontiguousarray(lens, dtype=np.int64)
+    lib.gxz_copy_ranges(src.ctypes.data, src_starts.ctypes.data,
+                        dst.ctypes.data, dst_starts.ctypes.data,
+                        lens.ctypes.data, n)
 
 
 def bam_scan(data: np.ndarray, max_records: int):

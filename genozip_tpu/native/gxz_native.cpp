@@ -428,6 +428,19 @@ int64_t gxz_bam_scan(const uint8_t* data, int64_t len, int64_t* offsets,
     return cnt;
 }
 
+// ---------------------------------------------------------------------------
+// Ragged range copy: for each row i, copy lens[i] bytes from
+// src + src_starts[i] to dst + dst_starts[i]. The backbone of all ragged
+// column ops (gather/scatter/interleave) — one pass, no index
+// materialization (numpy needed an 8x-sized index array).
+// ---------------------------------------------------------------------------
+void gxz_copy_ranges(const uint8_t* src, const int64_t* src_starts,
+                     uint8_t* dst, const int64_t* dst_starts,
+                     const int64_t* lens, int64_t n) {
+    for (int64_t i = 0; i < n; i++)
+        memcpy(dst + dst_starts[i], src + src_starts[i], (size_t)lens[i]);
+}
+
 // adler32 passthrough (zlib's is fast)
 uint32_t gxz_adler32(uint32_t seed, const uint8_t* data, int64_t len) {
     return (uint32_t)adler32(seed, data, (uInt)len);

@@ -60,13 +60,20 @@ class Col:
 
 def gather_ranges(data: np.ndarray, starts: np.ndarray, lens: np.ndarray) -> Col:
     """Build a column whose row i is data[starts[i] : starts[i]+lens[i]].
-    The classic repeat/cumsum ragged gather."""
+    Native single-pass range copy when available; numpy repeat/cumsum
+    fallback."""
     starts = np.asarray(starts, dtype=np.int64)
     lens = np.asarray(lens, dtype=np.int64)
     offsets = np.concatenate([[0], np.cumsum(lens)])
     total = int(offsets[-1])
     if total == 0:
         return Col(np.zeros(0, np.uint8), offsets)
+    from .. import native
+    if native.available() and starts.shape[0] > 64:
+        out = np.empty(total, dtype=np.uint8)
+        data = np.ascontiguousarray(data)
+        native.copy_ranges(data, starts, out, offsets[:-1], lens)
+        return Col(out, offsets)
     # single repeat: src[i] = starts[row] + (i - offsets[row])
     src = np.repeat(starts - offsets[:-1], lens)
     src = src + arange(total)
@@ -98,13 +105,17 @@ def interleave(cols, sep_after=None) -> Col:
     row_lens = lens.sum(axis=0)
     offsets = np.concatenate([[0], np.cumsum(row_lens)])
     out = np.empty(int(row_lens.sum()), dtype=np.uint8)
+    from .. import native
+    use_native = native.available() and n > 64
     # per-column destination start within each row
     intra = np.zeros(n, dtype=np.int64)
     for j, c in enumerate(cols):
         dst = offsets[:-1] + intra
         clens = c.lens
         total = int(clens.sum())
-        if total:
+        if total and use_native:
+            native.copy_ranges(c.data, c.offsets[:-1], out, dst, clens)
+        elif total:
             pos = arange(total) - np.repeat(c.offsets[:-1], clens)
             out[np.repeat(dst, clens) + pos] = c.data
         s = sep_after[j]
@@ -247,13 +258,19 @@ def merge_rows(n: int, parts) -> Col:
         lens[idx] = c.lens
     offsets = np.concatenate([[0], np.cumsum(lens)])
     out = np.empty(int(lens.sum()), dtype=np.uint8)
+    from .. import native
+    use_native = native.available()
     for idx, c in parts:
         clens = c.lens
         total = int(clens.sum())
         if not total:
             continue
-        pos = arange(total) - np.repeat(c.offsets[:-1], clens)
-        out[np.repeat(offsets[:-1][idx], clens) + pos] = c.data
+        if use_native and len(c) > 64:
+            native.copy_ranges(c.data, c.offsets[:-1], out,
+                               offsets[:-1][idx], clens)
+        else:
+            pos = arange(total) - np.repeat(c.offsets[:-1], clens)
+            out[np.repeat(offsets[:-1][idx], clens) + pos] = c.data
     return Col(out, offsets)
 
 

@@ -191,15 +191,36 @@ def zip_file(in_path: str, out_path: str, dt_name: str | None = None,
 
     from .utils.progress import Progress
     prog = Progress(f"zip {in_path.rsplit('/', 1)[-1]}", None)
+
+    # 2-stage pipeline (the dispatcher analog, reference src/dispatcher.c:544):
+    # seg VB n+1 on a worker thread while the main thread merges/codes/writes
+    # VB n. Dict merge stays in VB order — determinism preserved. numpy and
+    # the native coder release the GIL, so both cores stay busy.
+    from concurrent.futures import ThreadPoolExecutor
     vb_i = 0
-    for data in reader.vblocks(dt, vb_size):
-        vb_i += 1
-        file_adler = zlib.adler32(data.tobytes(), file_adler)
-        with profiler.timer("zip:seg"):
-            res = dt.seg_vb(data)
-        with profiler.timer("zip:merge+write"):
-            job.write_vb(res, data, vb_i, 0)
-        prog.update(int(data.shape[0]))
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        def seg_one(data):
+            with profiler.timer("zip:seg"):
+                return dt.seg_vb(data)
+
+        pending = None  # (data, future)
+        for data in reader.vblocks(dt, vb_size):
+            fut = pool.submit(seg_one, data)
+            if pending is not None:
+                pdata, pfut = pending
+                vb_i += 1
+                file_adler = zlib.adler32(pdata.tobytes(), file_adler)
+                with profiler.timer("zip:merge+write"):
+                    job.write_vb(pfut.result(), pdata, vb_i, 0)
+                prog.update(int(pdata.shape[0]))
+            pending = (data, fut)
+        if pending is not None:
+            pdata, pfut = pending
+            vb_i += 1
+            file_adler = zlib.adler32(pdata.tobytes(), file_adler)
+            with profiler.timer("zip:merge+write"):
+                job.write_vb(pfut.result(), pdata, vb_i, 0)
+            prog.update(int(pdata.shape[0]))
     prog.finish()
 
     file_hdr = {
