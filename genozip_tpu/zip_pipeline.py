@@ -210,16 +210,20 @@ def zip_file(in_path: str, out_path: str, dt_name: str | None = None,
                 pdata, pfut = pending
                 vb_i += 1
                 file_adler = zlib.adler32(pdata.tobytes(), file_adler)
+                with profiler.timer("zip:seg-wait"):
+                    pres = pfut.result()
                 with profiler.timer("zip:merge+write"):
-                    job.write_vb(pfut.result(), pdata, vb_i, 0)
+                    job.write_vb(pres, pdata, vb_i, 0)
                 prog.update(int(pdata.shape[0]))
             pending = (data, fut)
         if pending is not None:
             pdata, pfut = pending
             vb_i += 1
             file_adler = zlib.adler32(pdata.tobytes(), file_adler)
+            with profiler.timer("zip:seg-wait"):
+                pres = pfut.result()
             with profiler.timer("zip:merge+write"):
-                job.write_vb(pfut.result(), pdata, vb_i, 0)
+                job.write_vb(pres, pdata, vb_i, 0)
             prog.update(int(pdata.shape[0]))
     prog.finish()
 
