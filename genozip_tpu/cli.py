@@ -53,6 +53,11 @@ def build_parser():
                    help="chr[:start-end][,...] region filter")
     c.add_argument("--no-header", action="store_true")
     c.add_argument("--reference", default=None)
+    c.add_argument("--password", default=None)
+    c.add_argument("--sam", action="store_true",
+                   help="translate a BAM archive to SAM text (reference: genocat --sam)")
+    c.add_argument("--interleave", action="store_true",
+                   help="interleave R1/R2 records of a paired archive")
 
     l = sub.add_parser("ls", help="list archive metadata")
     l.add_argument("inputs", nargs="+")
@@ -110,8 +115,13 @@ def main(argv=None):
         return 0
     if args.cmd == "cat":
         from .piz_pipeline import PizReader
-        from .filters import cat_filtered
-        cat_filtered(args, sys.stdout.buffer)
+        from .filters import cat_filtered, cat_translated_sam, cat_interleaved
+        if args.sam:
+            cat_translated_sam(args, sys.stdout.buffer)
+        elif args.interleave:
+            cat_interleaved(args, sys.stdout.buffer)
+        else:
+            cat_filtered(args, sys.stdout.buffer)
         return 0
     if args.cmd == "ls":
         from .format import sections as fmt

@@ -84,3 +84,47 @@ def cat_filtered(args, out):
     for rec in tail_buf:
         out.write(rec)
     pr.close()
+
+
+def cat_translated_sam(args, out):
+    """BAM archive -> SAM text (reference parity: genocat --sam translation,
+    src/data_types.h:253-259)."""
+    from .translate import bam_header_to_sam, bam_vb_to_sam
+    pr = PizReader(args.input, reference=getattr(args, "reference", None),
+                   password=getattr(args, "password", None))
+    assert pr.file_hdr["dt"] == "bam", "--sam translation needs a BAM archive"
+    hdr = pr.txt_header()
+    sam_hdr, ref_names = bam_header_to_sam(hdr)
+    if not getattr(args, "no_header", False):
+        out.write(sam_hdr)
+    for vb_i in range(1, pr.num_vbs() + 1):
+        out.write(bam_vb_to_sam(pr.read_vb(vb_i), ref_names))
+    pr.close()
+
+
+def cat_interleaved(args, out):
+    """Paired archive -> interleaved R1/R2 records (reference parity:
+    genocat --interleave)."""
+    import numpy as np
+    from .utils import ragged
+    pr = PizReader(args.input, reference=getattr(args, "reference", None),
+                   password=getattr(args, "password", None))
+    comps = pr.file_hdr.get("components")
+    assert comps and len(comps) == 2, "--interleave needs a paired archive"
+    lpr = 4 if pr.file_hdr["dt"] == "fastq" else 1
+    for vb_i in range(1, pr.num_vbs() + 1):
+        bufs = [pr.read_vb(vb_i, 0), pr.read_vb(vb_i, 1)]
+        cols = []
+        for b in bufs:
+            a = np.frombuffer(b, np.uint8)
+            nl = np.nonzero(a == ord("\n"))[0]
+            starts = np.concatenate([[0], nl[:-1] + 1])
+            lines = ragged.gather_ranges(a, starts, nl - starts + 1)
+            # group lines into records
+            nrec = len(lines) // lpr
+            rec_lens = lines.lens.reshape(nrec, lpr).sum(axis=1)
+            cols.append(ragged.Col(lines.data,
+                                   np.concatenate([[0], np.cumsum(rec_lens)])))
+        merged = ragged.interleave(cols)
+        out.write(merged.data.tobytes())
+    pr.close()

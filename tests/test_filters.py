@@ -70,3 +70,45 @@ def test_regions_vcf(tmp_path):
 
     out = cat(z, regions="chrNOPE", no_header=True)
     assert out == b""
+
+
+def test_bam_to_sam_translation(tmp_path):
+    import gzip
+    from tests.test_bam import synth_bam
+    from genozip_tpu import native
+    if not native.available():
+        return
+    raw = synth_bam(300)
+    src = os.path.join(str(tmp_path), "t.bam")
+    with gzip.open(src, "wb") as f:
+        f.write(raw)
+    z = src + ".gxz"
+    zip_file(src, z)
+    buf = io.BytesIO()
+    from genozip_tpu.filters import cat_translated_sam
+    cat_translated_sam(Args(input=z), buf)
+    sam = buf.getvalue()
+    lines = [l for l in sam.split(b"\n") if l and not l.startswith(b"@")]
+    assert len(lines) == 300
+    f0 = lines[0].split(b"\t")
+    assert f0[2] == b"chr21" and f0[5].endswith(b"M")
+    assert b"NM:i:" in lines[0] and b"AS:i:" in lines[0]
+    # SEQ/QUAL lengths agree
+    assert len(f0[9]) == len(f0[10])
+
+
+def test_pair_interleave(tmp_path):
+    from genozip_tpu.zip_pipeline import zip_pair
+    d1 = b"".join(b"@X%d/1\nACGTACGT\n+\nFFFFFFFF\n" % i for i in range(30))
+    d2 = b"".join(b"@X%d/2\nTTTTACGT\n+\nFFFF::FF\n" % i for i in range(30))
+    p1 = os.path.join(str(tmp_path), "i1.fastq")
+    p2 = os.path.join(str(tmp_path), "i2.fastq")
+    open(p1, "wb").write(d1)
+    open(p2, "wb").write(d2)
+    z = os.path.join(str(tmp_path), "i.gxz")
+    zip_pair(p1, p2, z)
+    from genozip_tpu.filters import cat_interleaved
+    buf = io.BytesIO()
+    cat_interleaved(Args(input=z), buf)
+    lines = buf.getvalue().split(b"\n")
+    assert lines[0] == b"@X0/1" and lines[4] == b"@X0/2" and lines[8] == b"@X1/1"
