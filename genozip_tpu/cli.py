@@ -16,8 +16,8 @@ def build_parser():
 
     z = sub.add_parser("zip", help="compress")
     z.add_argument("input")
-    z.add_argument("input2", nargs="?", default=None,
-                   help="R2 FASTQ for --pair")
+    z.add_argument("input2", nargs="*", default=[],
+                   help="more inputs (R2 for --pair; multiple files with --tar)")
     z.add_argument("--pair", action="store_true",
                    help="co-compress paired R1/R2 FASTQ files")
     z.add_argument("-o", "--output")
@@ -34,6 +34,12 @@ def build_parser():
 
     z.add_argument("--make-reference", action="store_true",
                    help="compress a FASTA into a .ref.gxz reference")
+    z.add_argument("--md5", action="store_true",
+                   help="use MD5 for the whole-file digest (reference --md5)")
+    z.add_argument("--tar", default=None,
+                   help="write archives into a tar file (reference --tar)")
+    z.add_argument("--biopsy", type=int, default=None,
+                   help="extract VB N's raw text for debugging (reference --biopsy)")
 
     u = sub.add_parser("unzip", help="decompress")
     u.add_argument("input")
@@ -58,6 +64,10 @@ def build_parser():
                    help="translate a BAM archive to SAM text (reference: genocat --sam)")
     c.add_argument("--interleave", action="store_true",
                    help="interleave R1/R2 records of a paired archive")
+    c.add_argument("--coverage", action="store_true",
+                   help="per-contig read/base counts (reference --coverage)")
+    c.add_argument("--idxstats", action="store_true",
+                   help="samtools-idxstats-style output (reference --idxstats)")
 
     l = sub.add_parser("ls", help="list archive metadata")
     l.add_argument("inputs", nargs="+")
@@ -80,14 +90,34 @@ def main(argv=None):
         from .txtfile import DEFAULT_VB_SIZE
         out = args.output or args.input + ".gxz"
         vb = (args.vblock * (1 << 20)) if args.vblock else DEFAULT_VB_SIZE
+        if args.biopsy is not None:
+            from .biopsy import biopsy_take
+            path = biopsy_take(args.input, args.biopsy, dt_name=args.dt,
+                               vb_size=vb)
+            print(f"biopsy: VB {args.biopsy} -> {path}")
+            return 0
+        if args.tar:
+            import tarfile, tempfile
+            inputs = [args.input] + list(args.input2)
+            with tarfile.open(args.tar, "w") as tf:
+                for inp in inputs:
+                    tmp = tempfile.NamedTemporaryFile(delete=False, suffix=".gxz")
+                    tmp.close()
+                    zip_file(inp, tmp.name, dt_name=args.dt, vb_size=vb,
+                             reference=args.reference, password=args.password,
+                             use_md5=args.md5)
+                    tf.add(tmp.name, arcname=inp.rsplit("/", 1)[-1] + ".gxz")
+                    os.unlink(tmp.name)
+            print(f"tar: {len(inputs)} archive(s) -> {args.tar}")
+            return 0
         if args.pair:
             assert args.input2, "--pair needs two FASTQ inputs"
-            stats = zip_pair(args.input, args.input2, out, vb_size=vb,
+            stats = zip_pair(args.input, args.input2[0], out, vb_size=vb,
                              show_stats=args.stats, reference=args.reference)
         else:
             stats = zip_file(args.input, out, dt_name=args.dt, vb_size=vb,
                              show_stats=args.stats, reference=args.reference,
-                             password=args.password)
+                             password=args.password, use_md5=args.md5)
         if args.test:
             from .piz_pipeline import piz_file
             piz_file(out, None, reference=args.reference,
@@ -116,7 +146,10 @@ def main(argv=None):
     if args.cmd == "cat":
         from .piz_pipeline import PizReader
         from .filters import cat_filtered, cat_translated_sam, cat_interleaved
-        if args.sam:
+        if args.coverage or args.idxstats:
+            from .coverage import show_coverage
+            show_coverage(args, sys.stdout)
+        elif args.sam:
             cat_translated_sam(args, sys.stdout.buffer)
         elif args.interleave:
             cat_interleaved(args, sys.stdout.buffer)

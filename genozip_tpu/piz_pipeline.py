@@ -162,6 +162,8 @@ def piz_file(z_path: str, out_path: str | None = None,
                 sink = _gzip.open(path, "wb", compresslevel=6)
             else:
                 sink = open(path, "wb")
+        import hashlib
+        md5 = hashlib.md5() if (comp_i == 0 and pr.file_hdr.get("md5")) else None
         adler = zlib.adler32(b"")
         total = 0
         hdr = pr.txt_header(comp_i) if comp_i == 0 else b""
@@ -170,15 +172,21 @@ def piz_file(z_path: str, out_path: str | None = None,
             total += len(hdr)
             if sink:
                 sink.write(hdr)
+        if hdr and md5:
+            md5.update(hdr)
         for vb_i in range(1, pr.num_vbs() + 1):
             out = pr.read_vb(vb_i, comp_i)
             adler = zlib.adler32(out, adler)
+            if md5:
+                md5.update(out)
             total += len(out)
             if sink:
                 sink.write(out)
         assert total == comp["txt_len"], f"component {comp_i}: length mismatch"
         if comp.get("adler") is not None:
             assert adler == comp["adler"], f"component {comp_i}: digest mismatch"
+        if md5 is not None:
+            assert md5.hexdigest() == pr.file_hdr["md5"], "MD5 mismatch"
         if sink:
             sink.close()
         total_all += total

@@ -176,15 +176,20 @@ def _open_component(in_path, dt_name, reference):
 
 def zip_file(in_path: str, out_path: str, dt_name: str | None = None,
              vb_size: int = DEFAULT_VB_SIZE, show_stats: bool = False,
-             reference: str | None = None, password: str | None = None):
+             reference: str | None = None, password: str | None = None,
+             use_md5: bool = False):
     reader, dt, dt_name = _open_component(in_path, dt_name, reference)
     job = ZipJob(out_path)
     enc = _setup_encryption(job, password)
 
+    import hashlib
+    md5 = hashlib.md5() if use_md5 else None
     txt_header = dt.read_txt_header(reader)
     file_adler = zlib.adler32(b"")
     if txt_header:
         file_adler = zlib.adler32(txt_header, file_adler)
+        if md5:
+            md5.update(txt_header)
         codec = codec_assign.assign_best(txt_header, "text")
         job.zw.write_section(fmt.SEC_TXT_HEADER, txt_header, codec=codec, comp_i=0)
         job.stats.txt_len += len(txt_header)
@@ -210,6 +215,8 @@ def zip_file(in_path: str, out_path: str, dt_name: str | None = None,
                 pdata, pfut = pending
                 vb_i += 1
                 file_adler = zlib.adler32(pdata.tobytes(), file_adler)
+                if md5:
+                    md5.update(pdata.tobytes())
                 with profiler.timer("zip:seg-wait"):
                     pres = pfut.result()
                 with profiler.timer("zip:merge+write"):
@@ -220,6 +227,8 @@ def zip_file(in_path: str, out_path: str, dt_name: str | None = None,
             pdata, pfut = pending
             vb_i += 1
             file_adler = zlib.adler32(pdata.tobytes(), file_adler)
+            if md5:
+                md5.update(pdata.tobytes())
             with profiler.timer("zip:seg-wait"):
                 pres = pfut.result()
             with profiler.timer("zip:merge+write"):
@@ -234,6 +243,7 @@ def zip_file(in_path: str, out_path: str, dt_name: str | None = None,
         "txt_name": in_path.rsplit("/", 1)[-1],
         "reference": reference.rsplit("/", 1)[-1] if reference else None,
         "enc": enc,
+        "md5": md5.hexdigest() if md5 else None,
     }
     job.write_global_area(file_hdr)
     reader.close()

@@ -112,3 +112,37 @@ def test_pair_interleave(tmp_path):
     cat_interleaved(Args(input=z), buf)
     lines = buf.getvalue().split(b"\n")
     assert lines[0] == b"@X0/1" and lines[4] == b"@X0/2" and lines[8] == b"@X1/1"
+
+
+def test_md5_tar_biopsy_coverage(tmp_path):
+    import subprocess, tarfile
+    from genozip_tpu.cli import main
+    from tests.test_datatypes2 import synth_sam
+    d = str(tmp_path)
+    fq = os.path.join(d, "a.fastq")
+    open(fq, "wb").write(synth_fastq(n_reads=200))
+    sm = os.path.join(d, "b.sam")
+    open(sm, "wb").write(synth_sam(300))
+    # md5
+    z = os.path.join(d, "a.gxz")
+    main(["zip", fq, "-o", z, "--md5", "--test"])
+    # tar
+    tarp = os.path.join(d, "x.tar")
+    main(["zip", fq, sm, "--tar", tarp])
+    with tarfile.open(tarp) as tf:
+        assert len(tf.getnames()) == 2
+    # biopsy
+    main(["zip", fq, "--biopsy", "1"])
+    assert os.path.exists(fq + ".vb1")
+    assert open(fq + ".vb1", "rb").read() == open(fq, "rb").read()
+    # coverage/idxstats
+    zs = os.path.join(d, "b.gxz")
+    main(["zip", sm, "-o", zs])
+    import io as _io
+    from genozip_tpu.coverage import show_coverage
+    buf = _io.StringIO()
+    show_coverage(Args(input=zs, coverage=True), buf)
+    assert "chr21" in buf.getvalue()
+    buf = _io.StringIO()
+    show_coverage(Args(input=zs, idxstats=True), buf)
+    assert buf.getvalue().startswith("chr21\t")
