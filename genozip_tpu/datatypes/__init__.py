@@ -41,8 +41,19 @@ class DataType:
         return int(nl[-1]) + 1 if nl.shape[0] else 0
 
     def segconf_scan(self, sample: np.ndarray):
-        """Inspect a sample VB to set segconf knobs (reference
-        src/segconf.c:459 segconf_calculate)."""
+        """Inspect a sample to set segconf knobs (reference src/segconf.c:459
+        segconf_calculate — the reference segs a whole sample VB; here a
+        cheap whole-buffer scan sets sizing/codec hints, and per-VB seg is
+        already adaptive where the reference needed pre-commitment)."""
+        if sample.shape[0] == 0:
+            return
+        nl = np.nonzero(sample == ord("\n"))[0]
+        nlines = int(nl.shape[0])
+        avg = float(sample.shape[0] / max(nlines, 1))
+        self.segconf["avg_line_len"] = round(avg, 1)
+
+    def suggested_vb_size(self) -> int | None:
+        return None
 
     def seg_vb(self, data: np.ndarray) -> VBSegResult:
         raise NotImplementedError

@@ -24,6 +24,35 @@ class FastqDT(DataType):
     NAME = "fastq"
     EXTS = (".fastq", ".fq")
 
+    def segconf_scan(self, sample):
+        """FASTQ calibration: read-length profile, long-read detection
+        (switches VB sizing, reference segconf.is_long_reads), qual alphabet
+        size (PACK/DOMQ candidacy)."""
+        super().segconf_scan(sample)
+        nl = np.nonzero(sample == ord("\n"))[0]
+        if nl.shape[0] < 4:
+            return
+        starts = np.concatenate([[0], nl[:-1] + 1])
+        lens = (nl - starts)[1::4]  # seq lines
+        if lens.shape[0] == 0:
+            return
+        self.segconf["read_len_avg"] = round(float(lens.mean()), 1)
+        self.segconf["read_len_max"] = int(lens.max())
+        self.segconf["is_long_reads"] = bool(lens.mean() > 2000)
+        qstarts = starts[3::4]
+        qlens = (nl - starts)[3::4]
+        k = min(qstarts.shape[0], 200)
+        if k:
+            qs = ragged.gather_ranges(sample, qstarts[:k], qlens[:k])
+            self.segconf["qual_alphabet"] = int(np.unique(qs.data).shape[0])
+
+    def suggested_vb_size(self):
+        # long reads want bigger VBs so per-VB dict/codec overheads amortize
+        # (reference: vb sizing segconf.c:101,459)
+        if self.segconf.get("is_long_reads"):
+            return 64 << 20
+        return None
+
     def vb_boundary(self, data: np.ndarray, is_eof: bool) -> int:
         if is_eof:
             return data.shape[0]

@@ -179,6 +179,8 @@ def zip_file(in_path: str, out_path: str, dt_name: str | None = None,
              reference: str | None = None, password: str | None = None,
              use_md5: bool = False):
     reader, dt, dt_name = _open_component(in_path, dt_name, reference)
+    if vb_size == DEFAULT_VB_SIZE and dt.suggested_vb_size():
+        vb_size = dt.suggested_vb_size()
     job = ZipJob(out_path)
     enc = _setup_encryption(job, password)
 
