@@ -158,8 +158,8 @@ def piz_file(z_path: str, out_path: str | None = None,
         sink = None
         if path:
             if path.endswith((".gz", ".bgz", ".bam")):
-                import gzip as _gzip
-                sink = _gzip.open(path, "wb", compresslevel=6)
+                from .utils.bgzf import open_bgzf
+                sink = open_bgzf(path)
             else:
                 sink = open(path, "wb")
         import hashlib
