@@ -43,6 +43,8 @@ class PizReader:
                                f"{self.file_hdr['reference']} (--reference)")
             from .ref.refstore import load_ref_file
             self.dt.ref = load_ref_file(reference)
+        import threading
+        self.io_lock = threading.Lock()
         self.dicts = {}
         for ent in self.zr.sections(fmt.SEC_DICT):
             payload, meta = self.zr.read_section(ent)
@@ -85,17 +87,26 @@ class PizReader:
                               meta["ltype"])
         return out
 
-    def read_vb(self, vb_i: int, comp_i: int = 0) -> bytes:
-        payload, _ = self.zr.read_one(fmt.SEC_VB_HEADER, vb_i=vb_i,
-                                      comp_i=comp_i)
-        if payload is None and comp_i == 0:
-            payload, _ = self.zr.read_one(fmt.SEC_VB_HEADER, vb_i=vb_i)
-        vb_hdr = fmt.json_parse(payload)
-        with profiler.timer("piz:read+uncompress"):
-            sec = self._load_ctx_sections(vb_i, comp_i)
-        pair_names = [n for n, cm in vb_hdr["ctxs"].items() if "pair" in cm]
-        pair_sec = self._load_ctx_sections(vb_i, 0, pair_names) if pair_names else {}
+    def load_vb(self, vb_i: int, comp_i: int = 0):
+        """I/O + decompress phase (thread-safe under self.io_lock): returns
+        everything recon_loaded_vb needs."""
+        with self.io_lock:
+            payload, _ = self.zr.read_one(fmt.SEC_VB_HEADER, vb_i=vb_i,
+                                          comp_i=comp_i)
+            if payload is None and comp_i == 0:
+                payload, _ = self.zr.read_one(fmt.SEC_VB_HEADER, vb_i=vb_i)
+            vb_hdr = fmt.json_parse(payload)
+            with profiler.timer("piz:read+uncompress"):
+                sec = self._load_ctx_sections(vb_i, comp_i)
+            pair_names = [n for n, cm in vb_hdr["ctxs"].items() if "pair" in cm]
+            pair_sec = self._load_ctx_sections(vb_i, 0, pair_names) if pair_names else {}
+        return vb_hdr, sec, pair_sec
 
+    def read_vb(self, vb_i: int, comp_i: int = 0) -> bytes:
+        return self.recon_loaded_vb(self.load_vb(vb_i, comp_i), vb_i, comp_i)
+
+    def recon_loaded_vb(self, loaded, vb_i: int, comp_i: int = 0) -> bytes:
+        vb_hdr, sec, pair_sec = loaded
         pctxs = {}
         for name, cm in vb_hdr["ctxs"].items():
             pc = PCtx(name, cm["mode"], param=cm.get("param", 0),
@@ -174,14 +185,25 @@ def piz_file(z_path: str, out_path: str | None = None,
                 sink.write(hdr)
         if hdr and md5:
             md5.update(hdr)
-        for vb_i in range(1, pr.num_vbs() + 1):
-            out = pr.read_vb(vb_i, comp_i)
-            adler = zlib.adler32(out, adler)
-            if md5:
-                md5.update(out)
-            total += len(out)
-            if sink:
-                sink.write(out)
+        # 2-stage pipeline: load/decompress VB n+1 on a worker while the main
+        # thread reconstructs VB n (reference: piz_read_one_vb on the main
+        # thread + compute threads, src/piz.c:770)
+        from concurrent.futures import ThreadPoolExecutor
+        nvb = pr.num_vbs()
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            fut = pool.submit(pr.load_vb, 1, comp_i) if nvb else None
+            for vb_i in range(1, nvb + 1):
+                loaded = fut.result()
+                fut = pool.submit(pr.load_vb, vb_i + 1, comp_i) \
+                    if vb_i < nvb else None
+                with profiler.timer("piz:recon+digest"):
+                    out = pr.recon_loaded_vb(loaded, vb_i, comp_i)
+                    adler = zlib.adler32(out, adler)
+                    if md5:
+                        md5.update(out)
+                total += len(out)
+                if sink:
+                    sink.write(out)
         assert total == comp["txt_len"], f"component {comp_i}: length mismatch"
         if comp.get("adler") is not None:
             assert adler == comp["adler"], f"component {comp_i}: digest mismatch"
