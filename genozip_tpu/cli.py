@@ -20,6 +20,8 @@ def build_parser():
                    help="more inputs (R2 for --pair; multiple files with --tar)")
     z.add_argument("--pair", action="store_true",
                    help="co-compress paired R1/R2 FASTQ files")
+    z.add_argument("--deep", action="store_true",
+                   help="co-compress a BAM with its FASTQ(s) (reference --deep)")
     z.add_argument("-o", "--output")
     z.add_argument("--input-type", dest="dt", default=None)
     z.add_argument("--vblock", type=int, default=None, help="VB size in MB")
@@ -109,6 +111,16 @@ def main(argv=None):
                     tf.add(tmp.name, arcname=inp.rsplit("/", 1)[-1] + ".gxz")
                     os.unlink(tmp.name)
             print(f"tar: {len(inputs)} archive(s) -> {args.tar}")
+            return 0
+        if args.deep:
+            from .zip_pipeline import zip_deep
+            assert args.input2, "--deep needs a BAM plus FASTQ input(s)"
+            stats = zip_deep(args.input, list(args.input2), out, vb_size=vb,
+                             show_stats=args.stats, reference=args.reference)
+            if args.test:
+                from .piz_pipeline import piz_file
+                piz_file(out, None, reference=args.reference)
+                print("verified: round-trip digest OK")
             return 0
         if args.pair:
             assert args.input2, "--pair needs two FASTQ inputs"

@@ -90,15 +90,70 @@ class FastqDT(DataType):
         d = np.diff(seq_lens, prepend=np.int64(0))
         ctxs["LENS"] = VBCtx("LENS", MODE_NUM, local=d, cat="int", param=1)
 
-        ref = getattr(self, "ref", None)
-        if ref is not None and n:
-            self._seg_seq_aligned(ctxs, seq, ref)
+        deep = getattr(self, "deep_index", None)
+        if deep is not None and n:
+            self._seg_deep(ctxs, desc, seq, qual)
         else:
-            ctxs["NONREF"] = VBCtx("NONREF", MODE_TXT, local=seq.data, cat="seq")
-
-        ctxs["QUAL"] = VBCtx("QUAL", MODE_TXT, local=qual.data, cat="qual")
+            ref = getattr(self, "ref", None)
+            if ref is not None and n:
+                self._seg_seq_aligned(ctxs, seq, ref)
+            else:
+                ctxs["NONREF"] = VBCtx("NONREF", MODE_TXT, local=seq.data,
+                                       cat="seq")
+            ctxs["QUAL"] = VBCtx("QUAL", MODE_TXT, local=qual.data, cat="qual")
         meta = {"no_final_nl": bool(no_final_nl)}
         return VBSegResult(ctxs, n, meta)
+
+    def _seg_deep(self, ctxs, desc, seq, qual):
+        """Deep path (reference parity: fastq_deep.c:680 fastq_deep_seg_SEQ):
+        reads whose SEQ matches their BAM alignment store only a hit flag
+        (0 = miss, 1 = seq hit, 2 = seq+qual hit); the PIZ side re-derives
+        the alignment by the same qname lookup, so no id stream is needed."""
+        from ..deep import cols_equal_rows
+        from ..utils import ragged as rg
+
+        deep = self.deep_index
+        rows = deep.lookup_rows(desc)
+        found = rows >= 0
+        fidx = np.nonzero(found)[0]
+        flag = np.zeros(len(desc), dtype=np.int64)
+        if fidx.shape[0]:
+            cs, cq = deep.fetch(rows[fidx])
+            seq_eq = cols_equal_rows(rg.take(seq, fidx), cs)
+            qual_eq = cols_equal_rows(rg.take(qual, fidx), cq) & seq_eq
+            flag[fidx[seq_eq]] = 1
+            flag[fidx[qual_eq]] = 2
+        ctxs["DEEP"] = VBCtx("DEEP", MODE_NUM, local=flag, cat="int")
+        keep_seq = np.nonzero(flag == 0)[0]
+        nonref = rg.take(seq, keep_seq)
+        ctxs["NONREF"] = VBCtx("NONREF", MODE_TXT, local=nonref.data, cat="seq")
+        keep_qual = np.nonzero(flag < 2)[0]
+        qv = rg.take(qual, keep_qual)
+        ctxs["QUAL"] = VBCtx("QUAL", MODE_TXT, local=qv.data, cat="qual")
+
+    def _recon_deep(self, pctxs, desc, lens):
+        from ..utils import ragged as rg
+
+        deep = getattr(self, "deep_index", None)
+        assert deep is not None, "deep archive: BAM component index missing"
+        flag = pctxs["DEEP"].nums()
+        n = flag.shape[0]
+        rows = deep.lookup_rows(desc)
+        hit = flag >= 1
+        assert (rows[hit] >= 0).all(), "deep qname lookup failed at PIZ"
+        hs, hq = deep.fetch(rows[hit])
+        miss_idx = np.nonzero(~hit)[0]
+        nonref = pctxs["NONREF"].txt_col(lens[miss_idx])
+        seq = rg.merge_rows(n, [(np.nonzero(hit)[0], hs), (miss_idx, nonref)])
+        qkeep_idx = np.nonzero(flag < 2)[0]
+        qv = pctxs["QUAL"].txt_col(lens[qkeep_idx])
+        hit2 = np.nonzero(flag == 2)[0]
+        hq2 = rg.take(hq, np.nonzero(flag[hit] == 2)[0]) if hit2.shape[0] else hq
+        parts = [(qkeep_idx, qv)]
+        if hit2.shape[0]:
+            parts.append((hit2, hq2))
+        qual = rg.merge_rows(n, parts)
+        return seq, qual
 
     def _seg_seq_aligned(self, ctxs, seq, ref):
         """Reference-based SEQ seg (reference parity: fastq_seq.c:45
@@ -133,11 +188,14 @@ class FastqDT(DataType):
         desc = tokenizer_recon_col("DESC", pctxs, n)
         plus = pctxs["PLUS"].dict_take()
         lens = pctxs["LENS"].nums()
-        if "SQBITMAP" in pctxs:
+        if "DEEP" in pctxs:
+            seq, qual = self._recon_deep(pctxs, desc, lens)
+        elif "SQBITMAP" in pctxs:
             seq = self._recon_seq_aligned(pctxs, lens)
+            qual = pctxs["QUAL"].txt_col(lens)
         else:
             seq = pctxs["NONREF"].txt_col(lens)
-        qual = pctxs["QUAL"].txt_col(lens)
+            qual = pctxs["QUAL"].txt_col(lens)
         out = ragged.interleave([desc, seq, plus, qual],
                                 sep_after=[b"\n", b"\n", b"\n", b"\n"])
         raw = out.data.tobytes()

@@ -45,6 +45,20 @@ class PizReader:
             self.dt.ref = load_ref_file(reference)
         import threading
         self.io_lock = threading.Lock()
+        # per-component datatype instances (deep archives mix bam + fastq)
+        segconf = self.file_hdr.get("segconf") or {}
+        self.dts = []
+        for comp in self.components():
+            cdt = get(comp.get("dt", self.file_hdr["dt"]))(segconf)
+            if getattr(self.dt, "ref", None) is not None:
+                cdt.ref = self.dt.ref
+            self.dts.append(cdt)
+        self.deep_index = None
+        if self.file_hdr.get("deep"):
+            from .deep import DeepIndex
+            self.deep_index = DeepIndex()
+            for d in self.dts[1:]:
+                d.deep_index = self.deep_index
         self.dicts = {}
         for ent in self.zr.sections(fmt.SEC_DICT):
             payload, meta = self.zr.read_section(ent)
@@ -128,8 +142,11 @@ class PizReader:
         meta["num_lines"] = vb_hdr["n"]
         if meta.get("gpos_pair_delta") and comp_i == 1:
             self._apply_gpos_pair_delta(pctxs, vb_i)
+        dt = self.dts[comp_i] if comp_i < len(self.dts) else self.dt
         with profiler.timer("piz:recon"):
-            out = self.dt.recon_vb(pctxs, meta)
+            out = dt.recon_vb(pctxs, meta)
+        if self.deep_index is not None and comp_i == 0:
+            self.deep_index.add_bam_records(out)
         assert len(out) == vb_hdr["len"], \
             f"VB {vb_i}: length {len(out)} != {vb_hdr['len']}"
         assert zlib.adler32(out) == vb_hdr["adler"], f"VB {vb_i}: digest mismatch"
@@ -189,7 +206,7 @@ def piz_file(z_path: str, out_path: str | None = None,
         # thread reconstructs VB n (reference: piz_read_one_vb on the main
         # thread + compute threads, src/piz.c:770)
         from concurrent.futures import ThreadPoolExecutor
-        nvb = pr.num_vbs()
+        nvb = comp.get("num_vbs", pr.num_vbs())
         with ThreadPoolExecutor(max_workers=1) as pool:
             fut = pool.submit(pr.load_vb, 1, comp_i) if nvb else None
             for vb_i in range(1, nvb + 1):

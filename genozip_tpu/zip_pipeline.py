@@ -322,6 +322,80 @@ def zip_pair(in1: str, in2: str, out_path: str,
     return job.stats
 
 
+def zip_deep(bam_path: str, fastq_paths: list[str], out_path: str,
+             vb_size: int = DEFAULT_VB_SIZE, show_stats: bool = False,
+             reference: str | None = None):
+    """Deep: BAM + FASTQ(s) into one archive; FASTQ reads matching BAM
+    alignments store only hit flags (reference src/fastq_deep.c,
+    src/sam_deep.c; genozip --deep)."""
+    from .deep import DeepIndex
+
+    job = ZipJob(out_path)
+    index = DeepIndex()
+    comps = []
+    nvbs_max = 0
+
+    # component 0: BAM (feeding the deep index with raw records)
+    reader, dt, _ = _open_component(bam_path, "bam", None)
+    hdr = dt.read_txt_header(reader)
+    adler = zlib.adler32(b"")
+    if hdr:
+        adler = zlib.adler32(hdr, adler)
+        job.zw.write_section(fmt.SEC_TXT_HEADER, hdr,
+                             codec=codec_assign.assign_best(hdr, "text"),
+                             comp_i=0)
+    vb_i = 0
+    tlen = len(hdr)
+    nlines = 0
+    for data in reader.vblocks(dt, vb_size):
+        vb_i += 1
+        adler = zlib.adler32(data.tobytes(), adler)
+        index.add_bam_records(data.tobytes())
+        res = dt.seg_vb(data)
+        job.write_vb(res, data, vb_i, 0)
+        tlen += data.shape[0]
+        nlines += res.num_lines
+    reader.close()
+    comps.append({"name": bam_path.rsplit("/", 1)[-1], "dt": "bam",
+                  "txt_len": tlen, "adler": adler, "num_lines": nlines,
+                  "num_vbs": vb_i})
+    nvbs_max = max(nvbs_max, vb_i)
+
+    for ci, fq in enumerate(fastq_paths, start=1):
+        reader, dt, _ = _open_component(fq, "fastq", reference)
+        dt.deep_index = index
+        adler = zlib.adler32(b"")
+        vb_i = 0
+        tlen = 0
+        nlines = 0
+        for data in reader.vblocks(dt, vb_size):
+            vb_i += 1
+            adler = zlib.adler32(data.tobytes(), adler)
+            res = dt.seg_vb(data)
+            job.write_vb(res, data, vb_i, ci)
+            tlen += data.shape[0]
+            nlines += res.num_lines
+        reader.close()
+        comps.append({"name": fq.rsplit("/", 1)[-1], "dt": "fastq",
+                      "txt_len": tlen, "adler": adler, "num_lines": nlines,
+                      "num_vbs": vb_i})
+        nvbs_max = max(nvbs_max, vb_i)
+
+    file_hdr = {
+        "version": 1, "dt": "bam", "num_vbs": nvbs_max,
+        "num_lines": sum(c["num_lines"] for c in comps),
+        "txt_len": sum(c["txt_len"] for c in comps),
+        "adler": None, "segconf": {}, "deep": True,
+        "txt_name": bam_path.rsplit("/", 1)[-1],
+        "reference": reference.rsplit("/", 1)[-1] if reference else None,
+        "components": comps,
+    }
+    job.write_global_area(file_hdr)
+    if show_stats:
+        print_stats(job.stats, job.gctxs)
+    return job.stats
+
+
 def print_stats(stats: ZipStats, gctxs):
     dt_sec = time.time() - stats.start
     ratio = stats.txt_len / max(stats.z_len, 1)
