@@ -1,0 +1,220 @@
+"""Pallas TPU kernel for wide-interleaved rANS decode (order-0).
+
+STATUS (round 1): bit-exact vs ops/rans_np.py in pallas interpret mode across
+sizes/lane-counts; on-TPU bring-up is blocked by the axon relay environment
+(one kernel-fault crash of the shared TPU worker with the DMA variant, then
+>9-minute remote compiles for the all-VMEM variant). Not yet wired into the
+codec registry; the XLA lax.scan path (ops/rans_jax.py) remains the device
+coder. Round-2 plan: bring up on a direct-attached TPU, then switch to a
+grid=(K,) formulation with BlockSpec-pipelined output and double-buffered
+word-window DMA.
+
+Bit-exact with ops/rans_np.py. The lax.scan path is lowering-bound
+(~20 MB/s measured); this kernel keeps all hot state in VMEM
+and replaces every data-dependent memory access with vector primitives:
+
+- table lookup: interval-membership one-hot row-sums (pure VPU, exact f32);
+- stream-position ranks: flat cumsum over the (LR, 128) lane grid via
+  log-stage rolls;
+- the per-lane renorm word fetch — the classic rANS decode gather — becomes
+  a log-shift gather: conditional flat-rolls route window word rank-1 to
+  lane l (a general variable-distance backward gather, offset = l-(rank-1));
+- the word stream stays in HBM; a VMEM window of N words is DMA'd per step.
+
+Lane grid: N lanes as (LR, 128) row-major (flat lane l = (l//128, l%128)),
+matching the stream format's lane order for cumsum semantics. Initial decoder
+states are parsed host-side (they are plain data at the stream head).
+Output is laid out (K*LR, 128) — row-major identical to the (K, N) symbol
+plane — so per-step writes stay tile-aligned.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from functools import partial
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .rans_np import SCALE_BITS, SCALE, RANS_L, lane_layout
+
+LANE_COLS = 128
+
+
+def _flat_roll(arr, k: int, LR: int):
+    """result[flat l] = arr[flat (l - k) mod N], flat = row-major."""
+    q, r = divmod(k, LANE_COLS)
+    a_q = pltpu.roll(arr, q, axis=0)
+    if r == 0:
+        return a_q
+    ar = pltpu.roll(a_q, r, axis=1)
+    a_q1 = pltpu.roll(arr, q + 1, axis=0)
+    ar1 = pltpu.roll(a_q1, r, axis=1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (LR, LANE_COLS), 1)
+    return jnp.where(col >= r, ar, ar1)
+
+
+def _flat_cumsum(x, LR: int):
+    """Inclusive prefix sum over the flat row-major lane order (int32)."""
+    s = x
+    col = jax.lax.broadcasted_iota(jnp.int32, (LR, LANE_COLS), 1)
+    for k in (1, 2, 4, 8, 16, 32, 64):
+        sh = pltpu.roll(s, k, axis=1)
+        s = s + jnp.where(col >= k, sh, 0)
+    row_tot = jnp.broadcast_to(s[:, LANE_COLS - 1:LANE_COLS], (LR, LANE_COLS))
+    row = jax.lax.broadcasted_iota(jnp.int32, (LR, LANE_COLS), 0)
+    p = row_tot
+    k = 1
+    while k < LR:
+        sh = pltpu.roll(p, k, axis=0)
+        p = p + jnp.where(row >= k, sh, 0)
+        k *= 2
+    return s + (p - row_tot)
+
+
+def _logshift_gather(arr, offset, LR: int):
+    """result[l] = arr[flat (l - offset_l) mod N] for arbitrary offsets."""
+    out = arr
+    max_log = max(1, (LR * LANE_COLS - 1).bit_length())
+    for b in range(max_log):
+        rolled = _flat_roll(out, 1 << b, LR)
+        bit = (offset >> b) & 1
+        out = jnp.where(bit == 1, rolled, out)
+    return out
+
+
+def _decode_kernel(words_ref, tab_ref, x0_ref, out_ref, x_ref,
+                   sym_ref, *, K: int, LR: int, n: int, W: int):
+    N = LR * LANE_COLS
+
+    fr = tab_ref[0:1, :]
+    cr = tab_ref[1:2, :]
+    iota256 = jax.lax.broadcasted_iota(jnp.int32, (1, 256), 1).astype(jnp.float32)
+    col_i = jax.lax.broadcasted_iota(jnp.int32, (1, LANE_COLS), 1)
+    iota128col = jax.lax.broadcasted_iota(
+        jnp.int32, (LANE_COLS, LANE_COLS), 1)  # per-dest candidate index
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (LR + 8, 1), 0)
+
+    def step(t, p):
+        # aligned window: 8-row-aligned base (provable for Mosaic), span
+        # covers [p, p + N + 1024)
+        base8 = pl.multiple_of(8 * (p // (8 * LANE_COLS)), 8)
+        win = words_ref[pl.ds(base8, LR + 8), :]
+
+        q = p - base8 * LANE_COLS
+        for b in range(LR):  # static unroll: aligned refs, no dynamic slices
+            lane_flat_row = b * LANE_COLS + col_i
+            act = t < jnp.clip(n - lane_flat_row * K, 0, K)
+
+            xr = x_ref[b:b + 1, :]
+            slot = xr & (SCALE - 1)
+            # Mosaic lacks direct u32<->f32 casts; bounce through i32
+            slot_f = slot.astype(jnp.int32).astype(jnp.float32)
+            slc = jnp.transpose(slot_f)                  # (128, 1)
+            inm = ((cr <= slc) & (slc < cr + fr)).astype(jnp.float32)
+            s_row = jnp.sum(inm * iota256, axis=1).reshape(1, LANE_COLS) \
+                .astype(jnp.int32)
+            f_row = jnp.sum(inm * fr, axis=1).reshape(1, LANE_COLS) \
+                .astype(jnp.int32).astype(jnp.uint32)
+            c_row = jnp.sum(inm * cr, axis=1).reshape(1, LANE_COLS) \
+                .astype(jnp.int32).astype(jnp.uint32)
+            f_row = jnp.where(act, f_row, jnp.uint32(1))
+            c_row = jnp.where(act, c_row, jnp.uint32(0))
+
+            xa = f_row * (xr >> SCALE_BITS) + slot - c_row
+            xr = jnp.where(act, xa, xr)
+            need = act & (xr < RANS_L)
+
+            # within-row inclusive rank (7 log rolls on the 128 cols)
+            rk = need.astype(jnp.int32)
+            for k in (1, 2, 4, 8, 16, 32, 64):
+                sh = pltpu.roll(rk, k, axis=1)
+                rk = rk + jnp.where(col_i >= k, sh, 0)
+            total = rk[0, LANE_COLS - 1]
+
+            # this row consumes window words [q, q+total); word for a need
+            # lane = window word q + rank - 1. Select the two covering rows
+            # by one-hot row reduction (dynamic sublane slices are not
+            # 8-aligned -> not lowerable).
+            r0 = q // LANE_COLS
+            c0 = q - r0 * LANE_COLS
+            selA = (row_iota == r0).astype(jnp.int32)
+            selB = (row_iota == r0 + 1).astype(jnp.int32)
+            rowA = jnp.sum(win * selA, axis=0).reshape(1, LANE_COLS)
+            rowB = jnp.sum(win * selB, axis=0).reshape(1, LANE_COLS)
+            idx2 = c0 + rk - 1                    # in [c0-1, c0+128)
+            inA = (iota128col == jnp.transpose(
+                jnp.broadcast_to(idx2, (1, LANE_COLS)))).astype(jnp.int32)
+            gotA = jnp.sum(inA * jnp.broadcast_to(rowA, (LANE_COLS, LANE_COLS)),
+                           axis=1).reshape(1, LANE_COLS)
+            inB = (iota128col == jnp.transpose(
+                jnp.broadcast_to(idx2 - LANE_COLS, (1, LANE_COLS)))) \
+                .astype(jnp.int32)
+            gotB = jnp.sum(inB * jnp.broadcast_to(rowB, (LANE_COLS, LANE_COLS)),
+                           axis=1).reshape(1, LANE_COLS)
+            got = jnp.where(idx2 >= LANE_COLS, gotB, gotA).astype(jnp.uint32)
+
+            xr = jnp.where(need, (xr << 16) | got, xr)
+            x_ref[b:b + 1, :] = xr
+            sym_ref[b:b + 1, :] = jnp.where(act, s_row, 0)
+            q = q + total
+
+        # flush the step's symbol plane (aligned dynamic row base: LR>=8)
+        orow = pl.multiple_of(t * LR, 8)
+        out_ref[pl.ds(orow, LR), :] = sym_ref[...]
+        return base8 * LANE_COLS + q
+
+    x_ref[...] = x0_ref[...].astype(jnp.uint32)
+    jax.lax.fori_loop(0, K, step, jnp.int32(0))
+
+
+@partial(jax.jit, static_argnames=("K", "LR", "n", "W", "interpret"))
+def decode_order0_device(words, tab, x0, K: int, LR: int, n: int, W: int,
+                         interpret: bool = False):
+    """words: (W, 128)-shaped? No: (W,) i32 data words (u16 values), padded
+    to W >= data_words + N and reshaped (W//128, 128) for DMA tiling.
+    tab: (2, 256) f32; x0: (LR, 128) i32 initial states.
+    Returns (K*LR, 128) u8 == row-major (K, N) symbol plane."""
+    LRW = words.shape[0] // LANE_COLS
+    wmat = words.reshape(LRW, LANE_COLS)
+    return pl.pallas_call(
+        partial(_decode_kernel, K=K, LR=LR, n=n, W=W),
+        out_shape=jax.ShapeDtypeStruct((K * LR, LANE_COLS), jnp.int32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((LR, LANE_COLS), jnp.uint32),
+                        pltpu.VMEM((LR, LANE_COLS), jnp.int32)],
+        interpret=interpret,
+    )(wmat, tab, x0)
+
+
+def decode(buf, interpret: bool = False) -> bytes:
+    """Order-0 stream decode via the Pallas kernel (host wrapper)."""
+    from . import rans_np
+    buf = memoryview(buf)
+    logN, order = buf[0], buf[1]
+    assert order == 0, "pallas kernel: order-0 only"
+    N = 1 << logN
+    assert N >= LANE_COLS, "pallas kernel needs >= 128 lanes"
+    LR = N // LANE_COLS
+    n = int.from_bytes(buf[2:6], "little")
+    off = 6
+    freq, off = rans_np._freqs_deserialize(buf, off)
+    cum = np.concatenate([[0], np.cumsum(freq)[:-1]]).astype(np.uint32)
+    tab = np.stack([freq.astype(np.float32), cum.astype(np.float32)])
+    words = np.frombuffer(buf[off:], dtype="<u2")
+    K, _ = lane_layout(n, N)
+    if K == 0:
+        return b""
+    st = words[: 2 * N].astype(np.uint32)
+    x0 = ((st[0::2] << 16) | st[1::2]).reshape(LR, LANE_COLS).astype(np.int32)
+    data_words = words[2 * N:].astype(np.int32)
+    W = ((data_words.shape[0] + N + 9 * LANE_COLS)
+         + LANE_COLS - 1) // LANE_COLS * LANE_COLS
+    wpad = np.zeros(W, np.int32)
+    wpad[: data_words.shape[0]] = data_words
+    out = decode_order0_device(jnp.asarray(wpad), jnp.asarray(tab),
+                               jnp.asarray(x0), K, LR, n, W, interpret)
+    plane = np.asarray(out).astype(np.uint8).reshape(K, N)
+    return plane.T.reshape(-1)[:n].tobytes()

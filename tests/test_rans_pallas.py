@@ -1,0 +1,24 @@
+"""Pallas rANS decode kernel — interpret-mode bit-exactness vs the numpy
+spec (on-TPU bring-up tracked in ops/rans_pallas.py docstring)."""
+
+import numpy as np
+import pytest
+
+from genozip_tpu.ops import rans_np, rans_pallas
+
+RNG = np.random.default_rng(17)
+
+
+@pytest.mark.parametrize("n", [33000, 200000, 517])
+def test_pallas_decode_interpret(n):
+    if n < 33000:
+        # small streams use < 128 lanes — kernel not applicable
+        data = RNG.integers(0, 256, n).astype(np.uint8).tobytes()
+        e = rans_np.encode(data, order=0)
+        if (1 << e[0]) < rans_pallas.LANE_COLS:
+            with pytest.raises(AssertionError):
+                rans_pallas.decode(e, interpret=True)
+            return
+    data = RNG.choice(np.frombuffer(b"FFFFF:F,#AB", np.uint8), n).astype(np.uint8).tobytes()
+    e = rans_np.encode(data, order=0)
+    assert rans_pallas.decode(e, interpret=True) == data
