@@ -36,6 +36,10 @@ def build_parser():
 
     z.add_argument("--make-reference", action="store_true",
                    help="compress a FASTA into a .ref.gxz reference")
+    z.add_argument("--fast", action="store_true",
+                   help="favor speed: fewer codec trials, 2-seed aligner")
+    z.add_argument("--best", action="store_true",
+                   help="favor ratio: wider codec trials, larger samples")
     z.add_argument("--md5", action="store_true",
                    help="use MD5 for the whole-file digest (reference --md5)")
     z.add_argument("--tar", default=None,
@@ -89,6 +93,13 @@ def main(argv=None):
                   f"{len(ref.contigs)} contigs -> {out}")
             return 0
         from .zip_pipeline import zip_file, zip_pair
+        from .codecs import assign as _assign
+        if args.fast:
+            _assign.set_mode("fast")
+            from .ref import aligner as _al
+            _al.NUM_SEEDS = 2
+        elif args.best:
+            _assign.set_mode("best")
         from .txtfile import DEFAULT_VB_SIZE
         out = args.output or args.input + ".gxz"
         vb = (args.vblock * (1 << 20)) if args.vblock else DEFAULT_VB_SIZE

@@ -17,6 +17,16 @@ from . import (NONE, RANS0, RANS1, PACK0, PACK1, ZLIB, BZ2, LZMA, ACGT,
 SAMPLE_SIZE = 64 * 1024
 MIN_SIZE_TO_COMPRESS = 64
 
+# 'fast' trims trial candidates (reference --fast), 'best' widens them and
+# samples more (reference --best, codec.c:196 5-VB agreement analog)
+_mode = "normal"
+
+
+def set_mode(mode: str):
+    global _mode
+    assert mode in ("fast", "normal", "best")
+    _mode = mode
+
 
 def candidates_for(data: np.ndarray, category: str):
     """Candidate codec list by payload category ('seq', 'qual', 'b250',
@@ -46,6 +56,12 @@ def candidates_for(data: np.ndarray, category: str):
     elif category == "pbwt":
         # PBWT output is long runs: RLE first, entropy coders as backstop
         cands = [RLE0, RANS1, PACK1, RANS0]
+    if _mode == "fast":
+        cands = [c for c in cands if c not in (BZ2, LZMA)][:2] or cands[:1]
+    elif _mode == "best":
+        for extra in (BZ2, LZMA, ZLIB):
+            if extra not in cands:
+                cands.append(extra)
     return cands
 
 
@@ -53,7 +69,8 @@ def assign_best(data: bytes | np.ndarray, category: str = "text") -> int:
     a = np.frombuffer(data, np.uint8) if isinstance(data, (bytes, bytearray, memoryview)) else data.view(np.uint8).reshape(-1)
     if a.shape[0] < MIN_SIZE_TO_COMPRESS:
         return NONE
-    sample = a[:SAMPLE_SIZE].tobytes()
+    size = SAMPLE_SIZE * (4 if _mode == "best" else 1)
+    sample = a[:size].tobytes()
     best, best_size = NONE, len(sample)
     for codec in candidates_for(a, category):
         try:

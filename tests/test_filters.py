@@ -146,3 +146,19 @@ def test_md5_tar_biopsy_coverage(tmp_path):
     buf = _io.StringIO()
     show_coverage(Args(input=zs, idxstats=True), buf)
     assert buf.getvalue().startswith("chr21\t")
+
+
+def test_fast_best_modes(tmp_path):
+    from genozip_tpu.codecs import assign as _assign
+    d = str(tmp_path)
+    fq = os.path.join(d, "fb.fastq")
+    open(fq, "wb").write(synth_fastq(n_reads=300))
+    try:
+        for mode in ("fast", "best"):
+            _assign.set_mode(mode)
+            z = os.path.join(d, f"{mode}.gxz")
+            zip_file(fq, z)
+            from genozip_tpu.piz_pipeline import piz_file
+            piz_file(z, None)
+    finally:
+        _assign.set_mode("normal")
