@@ -115,7 +115,11 @@ def _pack_decode(blob) -> bytes:
 
 def _acgt_encode(data: bytes) -> bytes:
     a = np.frombuffer(data, np.uint8)
-    packed, exc_pos, exc_bytes = packops.seq_pack_2bit(a)
+    from .. import native
+    if native.available():
+        packed, exc_pos, exc_bytes = native.acgt_pack(a)
+    else:
+        packed, exc_pos, exc_bytes = packops.seq_pack_2bit(a)
     p = _rans_encode(packed.tobytes(), 0)
     e_pos = _rans_encode(np.diff(exc_pos, prepend=np.uint32(0)).astype("<u4").tobytes(), 0)
     e_b = _rans_encode(exc_bytes.tobytes(), 0)
@@ -137,6 +141,9 @@ def _acgt_decode(blob) -> bytes:
     off += lep
     exc_bytes = np.frombuffer(_rans_decode(blob[off:]), np.uint8)[:ne]
     assert exc_pos.shape[0] == ne
+    from .. import native
+    if native.available():
+        return native.acgt_unpack(packed, n, exc_pos, exc_bytes).tobytes()
     return packops.seq_unpack_2bit(packed, n, exc_pos, exc_bytes).tobytes()
 
 

@@ -58,6 +58,14 @@ def get():
             lib.gxz_aes256_ctr.restype = None
             lib.gxz_aes256_ctr.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
                                            ctypes.c_void_p, ctypes.c_int64]
+            lib.gxz_acgt_pack.restype = ctypes.c_int64
+            lib.gxz_acgt_pack.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                                          ctypes.c_void_p, ctypes.c_void_p,
+                                          ctypes.c_void_p]
+            lib.gxz_acgt_unpack.restype = None
+            lib.gxz_acgt_unpack.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                                            ctypes.c_void_p, ctypes.c_void_p,
+                                            ctypes.c_int64, ctypes.c_void_p]
             lib.gxz_copy_ranges.restype = None
             lib.gxz_copy_ranges.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
                                             ctypes.c_void_p, ctypes.c_void_p,
@@ -103,6 +111,28 @@ def aes256_ctr(key: bytes, counter0: bytes, data) -> bytes:
     lib.gxz_aes256_ctr(k.ctypes.data, c0.ctypes.data, buf.ctypes.data,
                        buf.shape[0])
     return buf.tobytes()
+
+
+def acgt_pack(seq: np.ndarray):
+    lib = get()
+    n = seq.shape[0]
+    packed = np.empty((n + 3) // 4, np.uint8)
+    exc_pos = np.empty(n, np.uint32)
+    exc_bytes = np.empty(n, np.uint8)
+    ne = lib.gxz_acgt_pack(seq.ctypes.data, n, packed.ctypes.data,
+                           exc_pos.ctypes.data, exc_bytes.ctypes.data)
+    return packed, exc_pos[:ne].copy(), exc_bytes[:ne].copy()
+
+
+def acgt_unpack(packed: np.ndarray, n: int, exc_pos: np.ndarray,
+                exc_bytes: np.ndarray):
+    lib = get()
+    out = np.empty(max(n, 1), np.uint8)
+    ep = np.ascontiguousarray(exc_pos, dtype=np.uint32)
+    eb = np.ascontiguousarray(exc_bytes, dtype=np.uint8)
+    lib.gxz_acgt_unpack(packed.ctypes.data, n, ep.ctypes.data,
+                        eb.ctypes.data, ep.shape[0], out.ctypes.data)
+    return out[:n]
 
 
 def copy_ranges(src: np.ndarray, src_starts: np.ndarray, dst: np.ndarray,

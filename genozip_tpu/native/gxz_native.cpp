@@ -441,6 +441,44 @@ void gxz_copy_ranges(const uint8_t* src, const int64_t* src_starts,
         memcpy(dst + dst_starts[i], src + src_starts[i], (size_t)lens[i]);
 }
 
+// ---------------------------------------------------------------------------
+// ACGT one-pass pack/unpack (reference src/codec_acgt.c): 2-bit codes packed
+// 4/byte little-endian-within-byte; non-ACGT positions+bytes to exception
+// channels. Returns exception count.
+// ---------------------------------------------------------------------------
+int64_t gxz_acgt_pack(const uint8_t* seq, int64_t n, uint8_t* packed,
+                      uint32_t* exc_pos, uint8_t* exc_bytes) {
+    static uint8_t code[256];
+    static bool init = false;
+    if (!init) {
+        memset(code, 0xFF, 256);
+        code['A'] = 0; code['C'] = 1; code['G'] = 2; code['T'] = 3;
+        init = true;
+    }
+    int64_t ne = 0;
+    int64_t nb = (n + 3) / 4;
+    memset(packed, 0, (size_t)nb);
+    for (int64_t i = 0; i < n; i++) {
+        uint8_t c = code[seq[i]];
+        if (c == 0xFF) {
+            exc_pos[ne] = (uint32_t)i;
+            exc_bytes[ne++] = seq[i];
+            c = 0;
+        }
+        packed[i >> 2] |= (uint8_t)(c << ((i & 3) * 2));
+    }
+    return ne;
+}
+
+void gxz_acgt_unpack(const uint8_t* packed, int64_t n, const uint32_t* exc_pos,
+                     const uint8_t* exc_bytes, int64_t ne, uint8_t* out) {
+    static const uint8_t ACGT[4] = {'A', 'C', 'G', 'T'};
+    for (int64_t i = 0; i < n; i++)
+        out[i] = ACGT[(packed[i >> 2] >> ((i & 3) * 2)) & 3];
+    for (int64_t e = 0; e < ne; e++)
+        out[exc_pos[e]] = exc_bytes[e];
+}
+
 // adler32 passthrough (zlib's is fast)
 uint32_t gxz_adler32(uint32_t seed, const uint8_t* data, int64_t len) {
     return (uint32_t)adler32(seed, data, (uInt)len);
