@@ -131,7 +131,11 @@ class PizReader:
                 src = {**src, "b250": pair_sec.get(name, {}).get("b250")}
             elif pair == "copy_local":
                 src = {**src, "local": pair_sec.get(name, {}).get("local")}
-            if src.get("b250") is not None:
+            if cm.get("same") is not None:
+                val, cnt = cm["same"]
+                pc.b250 = np.full(cnt, val, dtype=np.int64)
+                pc.dict_col = self.dicts[name]
+            elif src.get("b250") is not None:
                 pc.b250 = src["b250"]
                 pc.dict_col = self.dicts[name]
             if src.get("local") is not None:

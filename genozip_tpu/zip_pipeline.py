@@ -81,12 +81,21 @@ class ZipJob:
             if c.b250 is not None:
                 counts = np.bincount(c.b250, minlength=len(c.vb_words))
                 lut = g.merge_words(c.vb_words, counts)
-                payload_arr = narrow_int(lut[c.b250])
+                b250_g = lut[c.b250]
+                payload_arr = narrow_int(b250_g)
                 payload = payload_arr.tobytes()
                 key = (name, fmt.SEC_B250)
+                all_same = b250_g.shape[0] and (b250_g == b250_g[0]).all()
                 if collect:
-                    out_payloads[key] = payload
-                if pair_payloads is not None and pair_payloads.get(key) == payload:
+                    # elided sections can't serve as pair-copy sources
+                    out_payloads[key] = None if all_same else payload
+                if all_same:
+                    # all-the-same: no section, value+count ride in the VB
+                    # header (reference ctx_drop_all_the_same, context.c)
+                    ctx_meta[name]["same"] = [int(b250_g[0]),
+                                              int(b250_g.shape[0])]
+                elif pair_payloads is not None and \
+                        pair_payloads.get(key) == payload:
                     ctx_meta[name]["pair"] = "copy_b250"
                 else:
                     if g.b250_codec is None:
