@@ -68,7 +68,10 @@ class VcfDT(DataType):
                 elif fname in ("ID", "QUAL"):
                     ctxs.update(tokenizer_seg_col(fname, col))
                 elif fname == "INFO":
-                    ctxs.update(tokenizer_seg_col("INFO", col, single_stream=True))
+                    # per-position streams ~= per-tag contexts when the tag
+                    # structure is uniform (reference: per-INFO-tag
+                    # sub-contexts, src/vcf_info.c)
+                    ctxs.update(tokenizer_seg_col("INFO", col, max_tokens=64))
             if nf > 9:
                 if not self._try_seg_gt_pbwt(ctxs, fields, nf):
                     # fallback: join sample fields with \t, one tokenized column

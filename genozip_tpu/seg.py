@@ -23,7 +23,7 @@ MAX_NUM_LEN = 18         # digit runs longer than this stay literal
 MAX_TOKENS = 32          # digit runs beyond this stay literal
 
 
-def _digit_runs(col: Col):
+def _digit_runs(col: Col, max_tokens: int = MAX_TOKENS):
     """Find maximal digit runs within each row.
     Returns (run_start_pos, run_len, run_row, runs_per_row, keep_mask) where
     keep_mask marks runs that become numeric tokens (no leading zero unless
@@ -47,11 +47,12 @@ def _digit_runs(col: Col):
     # token index within row
     tok_idx = np.arange(start_pos.shape[0]) - np.concatenate([[0], np.cumsum(runs_per_row)])[run_row]
     lead0 = (run_len > 1) & (data[start_pos] == ord("0"))
-    keep = (~lead0) & (run_len <= MAX_NUM_LEN) & (tok_idx < MAX_TOKENS)
+    keep = (~lead0) & (run_len <= MAX_NUM_LEN) & (tok_idx < max_tokens)
     return start_pos, run_len, run_row, tok_idx, keep
 
 
-def tokenizer_seg_col(prefix: str, col: Col, single_stream: bool = False):
+def tokenizer_seg_col(prefix: str, col: Col, single_stream: bool = False,
+                      max_tokens: int = MAX_TOKENS):
     """Segment a ragged string column into template dict + numeric streams.
     Returns dict of ctx_name -> VBCtx. Recon counterpart: tokenizer_recon_col.
 
@@ -75,7 +76,7 @@ def tokenizer_seg_col(prefix: str, col: Col, single_stream: bool = False):
         ctxs[prefix] = VBCtx(prefix, MODE_DICT, b250=inv, vb_words=uw, cat="b250")
         return ctxs
 
-    start_pos, run_len, run_row, tok_idx, keep = _digit_runs(col)
+    start_pos, run_len, run_row, tok_idx, keep = _digit_runs(col, max_tokens)
     if single_stream:
         # no per-position cap — all clean runs become tokens
         data_ = col.data
