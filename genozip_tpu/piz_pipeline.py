@@ -65,6 +65,13 @@ class PizReader:
             name = ent.dict_id.rstrip(b"\0").decode()
             self.dicts[name] = parse_dict_payload(payload)
 
+    def _dict(self, name):
+        d = self.dicts.get(name)
+        if d is None:
+            from .utils.ragged import Col
+            d = self.dicts[name] = Col.from_list([])  # ctx with zero words
+        return d
+
     def txt_header(self, comp_i: int = 0) -> bytes:
         payload, _ = self.zr.read_one(fmt.SEC_TXT_HEADER, comp_i=comp_i)
         if payload is None:
@@ -134,10 +141,10 @@ class PizReader:
             if cm.get("same") is not None:
                 val, cnt = cm["same"]
                 pc.b250 = np.full(cnt, val, dtype=np.int64)
-                pc.dict_col = self.dicts[name]
+                pc.dict_col = self._dict(name)
             elif src.get("b250") is not None:
                 pc.b250 = src["b250"]
-                pc.dict_col = self.dicts[name]
+                pc.dict_col = self._dict(name)
             if src.get("local") is not None:
                 pc.local, pc.ltype = src["local"]
             pctxs[name] = pc

@@ -1,0 +1,82 @@
+"""Edge-case battery: odd-but-valid inputs must round-trip byte-exactly
+(reference test.sh's basic.* fixture spirit)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from tests.test_roundtrip import roundtrip
+
+RNG = np.random.default_rng(31337)
+
+
+CASES = {
+    # FASTQ oddities
+    "crlf.fastq": b"@r1 x\r\nACGT\r\n+\r\nFFFF\r\n@r2 y\r\nGGTT\r\n+\r\nF:F:\r\n",
+    "plusdesc.fastq": b"@r1\nACGT\n+r1 again\nFFFF\n",
+    "zero_len.fastq": b"@r1\n\n+\n\n@r2\nA\n+\nF\n",
+    "qual_at.fastq": b"@r1\nACGT\n+\n@@@@\n@r2\nAAAA\n+\n++++\n",
+    "huge_name.fastq": b"@" + b"x" * 5000 + b" 1:2:3\nACGT\n+\nFFFF\n",
+    "nonacgt.fastq": b"@r\nNNRYKMacgt\n+\nFFFFFFFFFF\n",
+    # FASTA oddities
+    "empty_contig.fa": b">a\n>b\nACGT\n>c\n",
+    "blank_lines.fa": b">a\nACGT\n\nGGGG\n\n",
+    "no_desc.fa": b"ACGT\nGGGG\n",
+    # VCF oddities
+    "crlf.vcf": b"##fileformat=VCFv4.2\r\n#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\r\nchr1\t1\t.\tA\tG\t.\t.\t.\r\n",
+    "tabs_in_info.vcf": (b"##x\n#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n"
+                        b"1\t100\trs1;rs2\tACGT\t<DEL>\t-12.5\tq10;s50\t"
+                        b"AA=1,2,3;BB;CC=x%3Dy\n"),
+    "gt_multiallelic.vcf": (b"#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1\tS2\n"
+                           b"1\t5\t.\tA\tG,T\t.\t.\t.\tGT\t0/2\t.|.\n"
+                           b"1\t9\t.\tA\tG\t.\t.\t.\tGT:DP\t1/1:3\t0/1\n"),
+    # SAM oddities
+    "min.sam": b"r1\t0\t*\t0\t0\t*\t*\t0\t0\t*\t*\n",
+    "hdr_only.sam": b"@HD\tVN:1.6\n@CO\tfree text \xf0\x9f\x8e\x89 comment\n",
+    "weird_qname.sam": b"a:b:c:d.e/f#g\t0\tc\t1\t0\t4M\t*\t0\t0\tACGT\tFFFF\n",
+    # GFF/BED/me23
+    "mid_comment.gff3": b"##gff-version 3\nchr1\tx\tgene\t1\t10\t.\t+\t.\tID=1\n# mid comment\nchr1\tx\tgene\t20\t30\t.\t-\t.\tID=2\n",
+    "short.bed": b"chr1\t0\t100\nchr2\t5\t50\n",
+    "dot_pos.me23": b"# header\nrs1\t1\t100\tAA\nrsX\tMT\t5\t--\n",
+    # generic binary
+    "all_zero.bin": b"\x00" * 10000,
+    "tok_mark.bin": bytes([1, 2, 3]) * 500,
+}
+
+
+@pytest.mark.parametrize("name", sorted(CASES))
+def test_edge_roundtrip(tmp_path, name):
+    dt = None
+    if name.endswith(".bin"):
+        dt = "generic"
+    elif name.endswith(".me23"):
+        dt = "me23"
+    data = CASES[name]
+    roundtrip(str(tmp_path), name, data, dt_name=dt)
+
+
+def test_random_printable_tabular(tmp_path):
+    """Random tab-separated junk must round-trip via the exception paths."""
+    rows = []
+    for i in range(300):
+        nf = int(RNG.integers(1, 12))
+        fields = [bytes(RNG.integers(32, 127, RNG.integers(0, 20)).astype(np.uint8))
+                  .replace(b"\t", b" ").replace(b"\n", b" ")
+                  for _ in range(nf)]
+        rows.append(b"\t".join(fields))
+    data = b"\n".join(rows) + b"\n"
+    roundtrip(str(tmp_path), "junk.vcf", data, dt_name="vcf")
+    roundtrip(str(tmp_path), "junk.bed", data, dt_name="bed")
+    roundtrip(str(tmp_path), "junk.gff3", data, dt_name="gff")
+
+
+def test_long_reads_fastq(tmp_path):
+    out = []
+    for i in range(30):
+        L = int(RNG.integers(5000, 20000))
+        seq = RNG.choice(np.frombuffer(b"ACGT", np.uint8), L)
+        qual = RNG.integers(33, 90, L).astype(np.uint8)
+        out.append(b"@nanopore_%d ch=%d\n" % (i, i % 4) + seq.tobytes()
+                   + b"\n+\n" + qual.tobytes() + b"\n")
+    roundtrip(str(tmp_path), "long.fastq", b"".join(out))
