@@ -84,6 +84,9 @@ def build_parser():
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    # env fallback (reference parity: GENOZIP_REFERENCE, genozip.h:85)
+    if getattr(args, "reference", None) is None and os.environ.get("GXZ_REFERENCE"):
+        args.reference = os.environ["GXZ_REFERENCE"]
     if args.cmd == "zip":
         if args.make_reference:
             from .ref.refstore import make_reference
