@@ -58,6 +58,12 @@ def get():
             lib.gxz_aes256_ctr.restype = None
             lib.gxz_aes256_ctr.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
                                            ctypes.c_void_p, ctypes.c_int64]
+            lib.gxz_tokenize.restype = ctypes.c_int64
+            lib.gxz_tokenize.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                         ctypes.c_int64, ctypes.c_int64,
+                                         ctypes.c_void_p, ctypes.c_void_p,
+                                         ctypes.c_void_p, ctypes.c_void_p,
+                                         ctypes.c_void_p]
             lib.gxz_acgt_pack.restype = ctypes.c_int64
             lib.gxz_acgt_pack.argtypes = [ctypes.c_void_p, ctypes.c_int64,
                                           ctypes.c_void_p, ctypes.c_void_p,
@@ -111,6 +117,28 @@ def aes256_ctr(key: bytes, counter0: bytes, data) -> bytes:
     lib.gxz_aes256_ctr(k.ctypes.data, c0.ctypes.data, buf.ctypes.data,
                        buf.shape[0])
     return buf.tobytes()
+
+
+def tokenize(data: np.ndarray, offsets: np.ndarray, max_tokens: int):
+    """One-pass tokenizer scan. Returns (tmpl_data, tmpl_lens, values,
+    tok_idx) matching seg.py's keep rules."""
+    lib = get()
+    n = offsets.shape[0] - 1
+    dl = data.shape[0]
+    tmpl = np.empty(dl + 1, np.uint8)
+    tmpl_lens = np.empty(max(n, 1), np.int64)
+    cap = dl // 1 + 1
+    values = np.empty(cap, np.int64)
+    tok_idx = np.empty(cap, np.int32)
+    tmpl_total = ctypes.c_int64(0)
+    off = np.ascontiguousarray(offsets, dtype=np.int64)
+    data = np.ascontiguousarray(data)
+    nv = lib.gxz_tokenize(data.ctypes.data, off.ctypes.data, n, max_tokens,
+                          tmpl.ctypes.data, tmpl_lens.ctypes.data,
+                          values.ctypes.data, tok_idx.ctypes.data,
+                          ctypes.byref(tmpl_total))
+    return (tmpl[:tmpl_total.value].copy(), tmpl_lens[:n],
+            values[:nv].copy(), tok_idx[:nv].copy())
 
 
 def acgt_pack(seq: np.ndarray):

@@ -442,6 +442,54 @@ void gxz_copy_ranges(const uint8_t* src, const int64_t* src_starts,
 }
 
 // ---------------------------------------------------------------------------
+// One-pass tokenizer scan (hot half of seg.py tokenizer_seg_col): per row,
+// replace numeric digit-runs with a 0x01 placeholder in the template and emit
+// their values (row-major). Keep rules match the python spec: no leading zero
+// unless single digit, run length <= 18, token index < max_tokens.
+// Returns the number of emitted values; *tmpl_total gets the template bytes.
+// ---------------------------------------------------------------------------
+int64_t gxz_tokenize(const uint8_t* data, const int64_t* row_off, int64_t nrows,
+                     int64_t max_tokens, uint8_t* tmpl, int64_t* tmpl_lens,
+                     int64_t* values, int32_t* tok_idx, int64_t* tmpl_total) {
+    int64_t nv = 0;
+    int64_t tp = 0;
+    for (int64_t r = 0; r < nrows; r++) {
+        const uint8_t* p = data + row_off[r];
+        int64_t len = row_off[r + 1] - row_off[r];
+        int64_t tstart = tp;
+        int32_t tok = 0;
+        int64_t i = 0;
+        while (i < len) {
+            uint8_t c = p[i];
+            if (c >= '0' && c <= '9') {
+                int64_t j = i + 1;
+                while (j < len && p[j] >= '0' && p[j] <= '9') j++;
+                int64_t rl = j - i;
+                bool keep = !(rl > 1 && c == '0') && rl <= 18 &&
+                            tok < max_tokens;
+                if (keep) {
+                    int64_t v = 0;
+                    for (int64_t k = i; k < j; k++) v = v * 10 + (p[k] - '0');
+                    values[nv] = v;
+                    tok_idx[nv++] = tok++;
+                    tmpl[tp++] = 0x01;
+                } else {
+                    memcpy(tmpl + tp, p + i, (size_t)rl);
+                    tp += rl;
+                }
+                i = j;
+            } else {
+                tmpl[tp++] = c;
+                i++;
+            }
+        }
+        tmpl_lens[r] = tp - tstart;
+    }
+    *tmpl_total = tp;
+    return nv;
+}
+
+// ---------------------------------------------------------------------------
 // ACGT one-pass pack/unpack (reference src/codec_acgt.c): 2-bit codes packed
 // 4/byte little-endian-within-byte; non-ACGT positions+bytes to exception
 // channels. Returns exception count.

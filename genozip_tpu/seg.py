@@ -76,6 +76,33 @@ def tokenizer_seg_col(prefix: str, col: Col, single_stream: bool = False,
         ctxs[prefix] = VBCtx(prefix, MODE_DICT, b250=inv, vb_words=uw, cat="b250")
         return ctxs
 
+    from . import native
+    if native.available():
+        # one-pass native scan (identical keep rules)
+        cap = (1 << 62) if single_stream else max_tokens
+        tmpl_data, tmpl_lens, vals, new_tok = native.tokenize(
+            data, col.offsets, cap)
+        tmpl_col = Col(tmpl_data, np.concatenate([[0], np.cumsum(tmpl_lens)]))
+        uw, inv = dedup_col(tmpl_col)
+        ctxs[prefix] = VBCtx(prefix, MODE_DICT, b250=inv, vb_words=uw, cat="b250")
+        if vals.shape[0] == 0:
+            return ctxs
+        if single_stream:
+            ctxs[f"{prefix}S"] = VBCtx(f"{prefix}S", MODE_NUM, local=vals,
+                                       cat="int", param=0)
+            return ctxs
+        ntok = int(new_tok.max()) + 1
+        for t in range(ntok):
+            v = vals[new_tok == t]
+            name = f"{prefix}{t}"
+            d = np.diff(v, prepend=np.int64(0))
+            use_delta = v.shape[0] > 4 and (d[1:] >= 0).mean() > 0.9
+            if use_delta:
+                ctxs[name] = VBCtx(name, MODE_NUM, local=d, cat="int", param=1)
+            else:
+                ctxs[name] = VBCtx(name, MODE_NUM, local=v, cat="int", param=0)
+        return ctxs
+
     start_pos, run_len, run_row, tok_idx, keep = _digit_runs(col, max_tokens)
     if single_stream:
         # no per-position cap — all clean runs become tokens
