@@ -68,14 +68,28 @@ def dedup_col(col: Col):
             rows = np.repeat(np.arange(n, dtype=np.int64), lens)
             mat[rows, pos] = col.data
         mat[:, w] = lens  # disambiguate "a\0" vs "a" (only valid for len<256)
-        if maxw >= 255 or (lens > 255).any():
-            mat_l = np.zeros((n, w + 8), dtype=np.uint8)
-            mat_l[:, :w] = mat[:, :w]
-            mat_l[:, w:] = lens.astype("<u8").view(np.uint8).reshape(n, 8)
-            mat = mat_l
-        v = mat.view([("", np.uint8)] * mat.shape[1]).reshape(n)
-        uniq, first_idx, inverse = np.unique(v, return_index=True, return_inverse=True)
-        # np.unique sorts; remap to first-seen order for determinism
+        # hash-first dedup: np.unique over void rows is pathologically slow
+        # (generic comparisons); numeric unique over a 64-bit row-fold is
+        # ~100x faster. Collisions are verified and fall back to exact.
+        w8 = (mat.shape[1] + 7) // 8 * 8
+        if w8 != mat.shape[1]:
+            m8 = np.zeros((n, w8), dtype=np.uint8)
+            m8[:, :mat.shape[1]] = mat
+        else:
+            m8 = mat
+        cols64 = m8.view("<u8")
+        mult = (np.arange(1, cols64.shape[1] + 1, dtype=np.uint64)
+                * np.uint64(0x9E3779B97F4A7C15)) | np.uint64(1)
+        h = (cols64 * mult[None, :]).sum(axis=1, dtype=np.uint64)
+        h = (h ^ (h >> np.uint64(31))) * np.uint64(0xBF58476D1CE4E5B9)
+        uniq_h, first_idx, inverse = np.unique(h, return_index=True,
+                                               return_inverse=True)
+        # verify no collisions: every row must equal its group representative
+        if not (m8 == m8[first_idx[inverse]]).all():
+            v = mat.view([("", np.uint8)] * mat.shape[1]).reshape(n)
+            uniq, first_idx, inverse = np.unique(v, return_index=True,
+                                                 return_inverse=True)
+        # unique sorts; remap to first-seen order for determinism
         order = np.argsort(first_idx, kind="stable")
         rank = np.empty_like(order)
         rank[order] = np.arange(order.shape[0])
