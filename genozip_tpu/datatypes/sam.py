@@ -97,57 +97,167 @@ class SamDT(DataType):
         ctxs["VARIANT"] = VBCtx("VARIANT", MODE_NUM, local=gd, cat="int")
         return VBSegResult(ctxs, n, {"no_final_nl": no_final_nl})
 
-    def _seg_seq_vs_ref(self, ctxs, seq, rname, pos, cigar, ref):
-        """CIGAR-driven SEQ-vs-reference diff (reference parity:
-        src/sam_seq.c sam_seg_SEQ). v1 scope: fully-matching CIGARs
-        ('<len>M'); anything else (indels, clips, '*') stays verbatim in
-        NONREF — correctness is never at stake, only ratio."""
-        from ..ops import pack as packops
+    # CIGAR op classification (SAMv1): which ops consume read / reference
+    _READ_OPS = frozenset(b"MIS=X")
+    _REF_OPS = frozenset(b"MDN=X")
+    _MATCH_OPS = frozenset(b"M=X")
+    _ALL_OPS = frozenset(b"MIDNSHP=X")
 
-        n = len(seq)
-        pv, pok = ragged.atoi(pos)
-        # rname -> contig base gpos
-        uw, inv = dedup_col(rname)
+    def _gbase_of(self, rname_col, ref):
+        uw, inv = dedup_col(rname_col)
         base = np.full(len(uw), -1, dtype=np.int64)
         for w in range(len(uw)):
             c = ref.contig_of(uw.row(w).decode("utf-8", "replace"))
             if c is not None:
                 base[w] = c["gpos"]
-        gbase = base[inv]
+        return base[inv]
 
-        # CIGAR == "<seqlen>M"?
-        cmat, clens = ragged.to_matrix(cigar)
-        last = cmat[np.arange(n), np.maximum(clens - 1, 0)]
-        cig_digits = ragged.gather_ranges(cigar.data, cigar.offsets[:-1],
-                                          np.maximum(clens - 1, 0))
-        cval, cok = ragged.atoi(cig_digits)
+    def _cigar_groups(self, cigar, n):
+        """Group rows by CIGAR template. Yields (rows, op_letters, oplen
+        matrix (len(rows), k)) for eligible templates; rows of ineligible
+        templates are never yielded."""
+        from .. import native
+        if not native.available():
+            return
+        tmpl_data, tmpl_lens, vals, tok = native.tokenize(
+            np.ascontiguousarray(cigar.data), cigar.offsets, 1 << 30)
+        tmpl = Col(tmpl_data, np.concatenate([[0], np.cumsum(tmpl_lens)]))
+        uw, inv = dedup_col(tmpl)
+        # op-length values are row-major; rows sharing a template share count k
+        marks_per_word = np.array(
+            [uw.row(w).count(b"\x01") for w in range(len(uw))], dtype=np.int64)
+        per_row = marks_per_word[inv]
+        val_off = np.concatenate([[0], np.cumsum(per_row)])
+        for w in range(len(uw)):
+            word = uw.row(w)
+            k = int(marks_per_word[w])
+            ops = word.replace(b"\x01", b"")
+            # template must be exactly '\x01<op>' * k (a numeric length
+            # before every op letter)
+            if k == 0 or len(ops) != k or not set(ops) <= self._ALL_OPS or \
+                    word != b"".join(b"\x01" + ops[j:j + 1] for j in range(k)):
+                continue
+            if not (set(ops) & self._MATCH_OPS):
+                continue  # no matching segment: nothing to gain
+            rows = np.nonzero(inv == w)[0]
+            oplens = np.empty((rows.shape[0], k), dtype=np.int64)
+            for j in range(k):
+                oplens[:, j] = vals[val_off[rows] + j]
+            yield rows, ops, oplens
+
+    def _seg_seq_vs_ref(self, ctxs, seq, rname, pos, cigar, ref):
+        """CIGAR-driven SEQ-vs-reference diff (reference parity:
+        src/sam_seq.c sam_seg_SEQ): general CIGARs grouped by template —
+        M/=/X segments diff against the genome (sparse mismatch channels),
+        I/S segments ride in NONREF, D/N skip reference. Ineligible rows
+        (unmapped, '*', bad contig, length mismatch) stay verbatim in
+        NONREF — correctness is never at stake, only ratio."""
+        from ..ops import pack as packops
+
+        n = len(seq)
+        pv, pok = ragged.atoi(pos)
+        gbase = self._gbase_of(rname, ref)
         seq_lens = seq.lens
-        by_ref = (pok & cok & (last == ord("M")) & (cval == seq_lens)
-                  & (gbase >= 0) & (pv > 0))
-        gpos = gbase + pv - 1
-        by_ref &= gpos + seq_lens <= ref.length
-
-        smat, slens = ragged.to_matrix(seq)
+        gpos0 = gbase + pv - 1
+        smat, _ = ragged.to_matrix(seq)
         codes = packops.BASE2BIT[smat]
-        L = smat.shape[1]
-        pos_idx = np.arange(L)[None, :]
-        safe = np.where(by_ref, gpos, 0)
-        gwin = ref.codes[np.clip(safe[:, None] + pos_idx, 0, max(ref.length - 1, 0))]
-        valid = (pos_idx < seq_lens[:, None]) & by_ref[:, None]
-        mm = ((gwin != codes) | ~packops.IS_ACGT[smat]) & valid
-        ridx, ppos = np.nonzero(mm)
-        nm = np.bincount(ridx, minlength=n)[by_ref]
+        G = ref.length
+
+        by_ref = np.zeros(n, dtype=bool)
+        mm_rows, mm_pos, mm_base = [], [], []
+        for rows, ops, oplens in self._cigar_groups(cigar, n):
+            read_len = oplens[:, [j for j in range(len(ops))
+                                  if ops[j] in self._READ_OPS]].sum(axis=1) \
+                if any(o in self._READ_OPS for o in ops) else np.zeros(rows.shape[0], np.int64)
+            ref_len = oplens[:, [j for j in range(len(ops))
+                                 if ops[j] in self._REF_OPS]].sum(axis=1) \
+                if any(o in self._REF_OPS for o in ops) else np.zeros(rows.shape[0], np.int64)
+            ok = (pok[rows] & (gbase[rows] >= 0) & (pv[rows] > 0)
+                  & (read_len == seq_lens[rows])
+                  & (gpos0[rows] >= 0) & (gpos0[rows] + ref_len <= G))
+            rows = rows[ok]
+            if rows.shape[0] == 0:
+                continue
+            oplens = oplens[ok]
+            by_ref[rows] = True
+            # walk ops; compare match segments
+            roff = np.zeros(rows.shape[0], dtype=np.int64)
+            goff = gpos0[rows].copy()
+            for j, op in enumerate(ops):
+                Lj = oplens[:, j]
+                if op in self._MATCH_OPS:
+                    Lmax = int(Lj.max())
+                    pidx = np.arange(Lmax)[None, :]
+                    valid = pidx < Lj[:, None]
+                    sidx = np.clip(roff[:, None] + pidx, 0, smat.shape[1] - 1)
+                    swin = np.take_along_axis(codes[rows], sidx, axis=1)
+                    bwin = np.take_along_axis(smat[rows], sidx, axis=1)
+                    gidx = np.clip(goff[:, None] + pidx, 0, max(G - 1, 0))
+                    gwin = ref.codes[gidx]
+                    mm = ((gwin != swin) | ~packops.IS_ACGT[bwin]) & valid
+                    ri, pj = np.nonzero(mm)
+                    mm_rows.append(rows[ri])
+                    mm_pos.append(roff[ri] + pj)
+                    mm_base.append(bwin[ri, pj])
+                if op in self._READ_OPS:
+                    roff += Lj
+                if op in self._REF_OPS:
+                    goff += Lj
+
+        # mismatch channels, sorted by (row, read position)
+        if mm_rows:
+            mr = np.concatenate(mm_rows)
+            mp = np.concatenate(mm_pos)
+            mb = np.concatenate(mm_base)
+            order = np.lexsort((mp, mr))
+            mr, mp, mb = mr[order], mp[order], mb[order]
+        else:
+            mr = np.zeros(0, np.int64)
+            mp = np.zeros(0, np.int64)
+            mb = np.zeros(0, np.uint8)
+        nm = np.bincount(mr, minlength=n)[by_ref]
 
         ctxs["SQBITMAP"] = VBCtx("SQBITMAP", MODE_NUM,
                                  local=by_ref.astype(np.int64), cat="int")
         ctxs["SEQNM"] = VBCtx("SEQNM", MODE_NUM, local=nm, cat="int")
-        ctxs["SEQMISP"] = VBCtx("SEQMISP", MODE_NUM, local=ppos, cat="int")
-        ctxs["SEQMISB"] = VBCtx("SEQMISB", MODE_TXT, local=smat[ridx, ppos],
-                                cat="text")
-        nonref = ragged.take(seq, np.nonzero(~by_ref)[0])
-        ctxs["NONREF"] = VBCtx("NONREF", MODE_TXT, local=nonref.data, cat="seq")
+        ctxs["SEQMISP"] = VBCtx("SEQMISP", MODE_NUM, local=mp, cat="int")
+        ctxs["SEQMISB"] = VBCtx("SEQMISB", MODE_TXT, local=mb, cat="text")
 
-    def _recon_seq_vs_ref(self, pctxs, lens, pos_col, rname_col):
+        # NONREF: whole seq for non-by-ref rows; I/S segments for by-ref rows
+        nonref_parts = self._nonref_stream(seq, cigar, by_ref, n)
+        ctxs["NONREF"] = VBCtx("NONREF", MODE_TXT, local=nonref_parts,
+                               cat="seq")
+
+    def _nonref_stream(self, seq, cigar, by_ref, n):
+        """Row-order NONREF bytes: full seq (non-by-ref rows) or I/S segments
+        in op order (by-ref rows) — a sorted piece list + one ragged gather."""
+        MAXOPS = 1 << 20
+        p_starts = [seq.offsets[:-1][~by_ref]]
+        p_lens = [seq.lens[~by_ref]]
+        p_keys = [np.nonzero(~by_ref)[0] * MAXOPS]
+        for rows, ops, oplens in self._cigar_groups(cigar, n):
+            sel = by_ref[rows]
+            rows = rows[sel]
+            if rows.shape[0] == 0 or not any(o in b"IS" for o in ops):
+                continue
+            oplens = oplens[sel]
+            roff = np.zeros(rows.shape[0], dtype=np.int64)
+            for j, op in enumerate(ops):
+                Lj = oplens[:, j]
+                if op in b"IS":
+                    p_starts.append(seq.offsets[:-1][rows] + roff)
+                    p_lens.append(Lj)
+                    p_keys.append(rows * MAXOPS + j + 1)
+                if op in self._READ_OPS:
+                    roff = roff + Lj
+        starts = np.concatenate(p_starts)
+        lens = np.concatenate(p_lens)
+        keys = np.concatenate(p_keys)
+        order = np.argsort(keys, kind="stable")
+        col = ragged.gather_ranges(seq.data, starts[order], lens[order])
+        return col.data
+
+    def _recon_seq_vs_ref(self, pctxs, lens, pos_col, rname_col, cigar_col):
         from ..ops import pack as packops
 
         ref = getattr(self, "ref", None)
@@ -155,29 +265,83 @@ class SamDT(DataType):
         by_ref = pctxs["SQBITMAP"].nums().astype(bool)
         n = by_ref.shape[0]
         pv, _ = ragged.atoi(pos_col)
-        uw, inv = dedup_col(rname_col)
-        base = np.full(len(uw), -1, dtype=np.int64)
-        for w in range(len(uw)):
-            c = ref.contig_of(uw.row(w).decode("utf-8", "replace"))
-            if c is not None:
-                base[w] = c["gpos"]
-        gpos = (base[inv] + pv - 1)[by_ref]
-        a_lens = lens[by_ref]
+        gbase = self._gbase_of(rname_col, ref)
+        gpos0 = gbase + pv - 1
         nm = pctxs["SEQNM"].nums()
-        mpos = pctxs["SEQMISP"].nums()
-        mbase = pctxs["SEQMISB"].local
-        L = int(a_lens.max()) if a_lens.shape[0] else 0
-        pos_idx = np.arange(max(L, 1))[None, :]
-        gwin = ref.codes[np.clip(gpos[:, None] + pos_idx, 0, max(ref.length - 1, 0))] \
-            if a_lens.shape[0] else np.zeros((0, 1), np.uint8)
-        mat = packops.ACGT[gwin]
-        mm_ridx = np.repeat(np.arange(gpos.shape[0]), nm)
-        mat[mm_ridx, mpos] = mbase
-        a_col = ragged.from_matrix(mat, a_lens)
-        un_idx = np.nonzero(~by_ref)[0]
-        nonref = pctxs["NONREF"].txt_col(lens[un_idx])
-        return ragged.merge_rows(n, [(np.nonzero(by_ref)[0], a_col),
-                                     (un_idx, nonref)])
+        mp = pctxs["SEQMISP"].nums()
+        mb = pctxs["SEQMISB"].local
+        nonref = pctxs["NONREF"].local
+        G = ref.length
+
+        # per-row NONREF byte need
+        need = np.where(~by_ref, lens, 0).astype(np.int64)
+        ins_of = {}
+        for rows, ops, oplens in self._cigar_groups(cigar_col, n):
+            has_ins = any(o in b"IS" for o in ops)
+            sel = by_ref[rows]
+            if not has_ins or not sel.any():
+                continue
+            ins_len = oplens[:, [j for j in range(len(ops))
+                                 if ops[j] in b"IS"]].sum(axis=1)
+            need[rows[sel]] = ins_len[sel]
+        nr_off = np.concatenate([[0], np.cumsum(need)])
+        assert nr_off[-1] == nonref.shape[0], "NONREF stream length mismatch"
+
+        # per-by-ref-row mismatch slices
+        mm_row_of = np.repeat(np.nonzero(by_ref)[0], nm)
+        mm_off = np.concatenate([[0], np.cumsum(
+            np.bincount(mm_row_of, minlength=n))])
+
+        L = int(lens.max()) if n else 0
+        out = np.zeros((n, max(L, 1)), dtype=np.uint8)
+        # non-by-ref rows: one ragged gather into the matrix
+        un = np.nonzero(~by_ref)[0]
+        if un.shape[0]:
+            sub = ragged.gather_ranges(nonref, nr_off[un], lens[un])
+            m, _ = ragged.to_matrix(sub)
+            out[un, :m.shape[1]] = m
+
+        for rows, ops, oplens in self._cigar_groups(cigar_col, n):
+            sel = by_ref[rows]
+            rows = rows[sel]
+            if rows.shape[0] == 0:
+                continue
+            oplens = oplens[sel]
+            roff = np.zeros(rows.shape[0], dtype=np.int64)
+            goff = gpos0[rows].copy()
+            ins_cursor = nr_off[rows].copy()
+            for j, op in enumerate(ops):
+                Lj = oplens[:, j]
+                if op in self._MATCH_OPS:
+                    Lmax = int(Lj.max()) if Lj.shape[0] else 0
+                    if Lmax:
+                        pidx = np.arange(Lmax)[None, :]
+                        valid = pidx < Lj[:, None]
+                        gidx = np.clip(goff[:, None] + pidx, 0, max(G - 1, 0))
+                        seg = packops.ACGT[ref.codes[gidx]]
+                        didx = np.clip(roff[:, None] + pidx, 0, out.shape[1] - 1)
+                        cur = np.take_along_axis(out[rows], didx, axis=1)
+                        np.put_along_axis(
+                            out2 := out[rows], didx,
+                            np.where(valid, seg, cur), axis=1)
+                        out[rows] = out2
+                elif op in b"IS":
+                    # insertion/softclip bytes from NONREF (python loop over
+                    # rows of this op — insertions are sparse)
+                    for i, r in enumerate(rows):
+                        l = int(Lj[i])
+                        if l:
+                            out[r, roff[i]:roff[i] + l] = \
+                                nonref[ins_cursor[i]:ins_cursor[i] + l]
+                            ins_cursor[i] += l
+                if op in self._READ_OPS:
+                    roff = roff + Lj
+                if op in self._REF_OPS:
+                    goff = goff + Lj
+        # apply all mismatch patches at once (row-major order by build)
+        out[mm_row_of, mp] = mb
+        a_col = ragged.from_matrix(out, lens)
+        return a_col
 
     def recon_vb(self, pctxs: dict, meta: dict) -> bytes:
         n = meta["num_lines"]
@@ -198,7 +362,7 @@ class SamDT(DataType):
             tlen = _recon_num_or_tok("TLEN", pctxs, ng)
             sqlens = pctxs["SQLEN"].nums()
             if "SQBITMAP" in pctxs:
-                seq = self._recon_seq_vs_ref(pctxs, sqlens, pos, rname)
+                seq = self._recon_seq_vs_ref(pctxs, sqlens, pos, rname, cigar)
             else:
                 seq = pctxs["NONREF"].txt_col(sqlens)
             qual = pctxs["QUAL"].txt_col(pctxs["QLLEN"].nums())

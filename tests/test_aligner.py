@@ -153,3 +153,41 @@ def test_sam_with_reference_roundtrip(tmp_path):
     z2 = src + ".noref.gxz"
     zip_file(src, z2)
     assert os.path.getsize(z) < os.path.getsize(z2) * 0.85
+
+
+def test_sam_indel_cigars_vs_ref(tmp_path):
+    """Indel/softclip CIGARs must round-trip through the by-ref path."""
+    fa = synth_genome(100000, 1)
+    fa_path = os.path.join(str(tmp_path), "ig.fa")
+    open(fa_path, "wb").write(fa)
+    ref_path = os.path.join(str(tmp_path), "ig.ref.gxz")
+    refstore.make_reference(fa_path, ref_path)
+    ref = refstore.load_ref_file(ref_path)
+
+    out = [b"@SQ\tSN:ctg0\tLN:100000\n"]
+    for i in range(600):
+        p = int(RNG.integers(0, ref.length - 300))
+        m1, ins, m2, dl = 40, 5, 35, 3
+        seg1 = packops.ACGT[ref.codes[p:p + m1]].tobytes()
+        insertion = RNG.choice(np.frombuffer(b"ACGT", np.uint8), ins).tobytes()
+        seg2 = packops.ACGT[ref.codes[p + m1 + dl: p + m1 + dl + m2]].tobytes()
+        clip = RNG.choice(np.frombuffer(b"ACGT", np.uint8), 4).tobytes()
+        seq = clip + seg1 + insertion + seg2
+        cig = b"4S40M5I3D35M"
+        q = RNG.choice(np.frombuffer(b"FF:,#", np.uint8), len(seq)).tobytes()
+        out.append(b"I%d\t0\tctg0\t%d\t60\t%s\t*\t0\t0\t%s\t%s\n"
+                   % (i, p + 1, cig, seq, q))
+    data = b"".join(out)
+    src = os.path.join(str(tmp_path), "i.sam")
+    open(src, "wb").write(data)
+    from genozip_tpu.zip_pipeline import zip_file
+    from genozip_tpu.piz_pipeline import piz_file
+    z = src + ".gxz"
+    zip_file(src, z, reference=ref_path)
+    o = src + ".out"
+    piz_file(z, o, reference=ref_path)
+    assert open(o, "rb").read() == data
+    # by-ref must engage: matched bases should not be stored verbatim
+    z2 = src + ".noref.gxz"
+    zip_file(src, z2)
+    assert os.path.getsize(z) < os.path.getsize(z2) * 0.90
