@@ -20,6 +20,9 @@ def build_parser():
                    help="more inputs (R2 for --pair; multiple files with --tar)")
     z.add_argument("--pair", action="store_true",
                    help="co-compress paired R1/R2 FASTQ files")
+    z.add_argument("--bamass", default=None,
+                   help="use an existing BAM's alignments for FASTQ SEQ "
+                        "without storing the BAM (reference --bamass)")
     z.add_argument("--deep", action="store_true",
                    help="co-compress a BAM with its FASTQ(s) (reference --deep)")
     z.add_argument("-o", "--output")
@@ -143,7 +146,8 @@ def main(argv=None):
         else:
             stats = zip_file(args.input, out, dt_name=args.dt, vb_size=vb,
                              show_stats=args.stats, reference=args.reference,
-                             password=args.password, use_md5=args.md5)
+                             password=args.password, use_md5=args.md5,
+                             bamass=args.bamass)
         if args.test:
             from .piz_pipeline import piz_file
             piz_file(out, None, reference=args.reference,

@@ -96,7 +96,7 @@ class FastqDT(DataType):
         else:
             ref = getattr(self, "ref", None)
             if ref is not None and n:
-                self._seg_seq_aligned(ctxs, seq, ref)
+                self._seg_seq_aligned(ctxs, seq, ref, desc)
             else:
                 ctxs["NONREF"] = VBCtx("NONREF", MODE_TXT, local=seq.data,
                                        cat="seq")
@@ -155,18 +155,31 @@ class FastqDT(DataType):
         qual = rg.merge_rows(n, parts)
         return seq, qual
 
-    def _seg_seq_aligned(self, ctxs, seq, ref):
+    def _seg_seq_aligned(self, ctxs, seq, ref, desc=None):
         """Reference-based SEQ seg (reference parity: fastq_seq.c:45
-        fastq_seg_SEQ aligner path; aligner.c:767 aligner_seg_seq)."""
+        fastq_seg_SEQ aligner path; aligner.c:767 aligner_seg_seq). With a
+        bamass index (fastq_bamass.c), BAM placements replace the seed
+        search for found reads; the rest go through the aligner."""
         from ..ops import pack as packops
         from ..ref import aligner as al
 
         seq_mat, lens = ragged.to_matrix(seq)
         codes = packops.BASE2BIT[seq_mat]
-        res = al.align_batch(ref, codes, lens)
-        aligned = res["aligned"]
-        gpos = res["gpos"]
-        is_fwd = res["is_fwd"]
+        bamass = getattr(self, "bamass_index", None)
+        if bamass is not None and desc is not None:
+            gpos, is_fwd = bamass.lookup(desc)
+            aligned = (gpos >= 0) & (gpos + lens <= ref.length)
+            rest = np.nonzero(~aligned)[0]
+            if rest.shape[0]:
+                sub = al.align_batch(ref, codes[rest], lens[rest])
+                aligned[rest] = sub["aligned"]
+                gpos[rest] = sub["gpos"]
+                is_fwd[rest] = sub["is_fwd"]
+        else:
+            res = al.align_batch(ref, codes, lens)
+            aligned = res["aligned"]
+            gpos = res["gpos"]
+            is_fwd = res["is_fwd"]
         ridx, mpos, mbase = al.mismatch_lists(
             ref, seq_mat, codes, lens, gpos, is_fwd, aligned)
         nm = np.bincount(ridx, minlength=len(seq))[aligned]

@@ -186,8 +186,12 @@ def _open_component(in_path, dt_name, reference):
 def zip_file(in_path: str, out_path: str, dt_name: str | None = None,
              vb_size: int = DEFAULT_VB_SIZE, show_stats: bool = False,
              reference: str | None = None, password: str | None = None,
-             use_md5: bool = False):
+             use_md5: bool = False, bamass: str | None = None):
     reader, dt, dt_name = _open_component(in_path, dt_name, reference)
+    if bamass:
+        assert reference, "--bamass needs --reference"
+        from .bamass import build_index
+        dt.bamass_index = build_index(bamass, dt.ref)
     if vb_size == DEFAULT_VB_SIZE and dt.suggested_vb_size():
         vb_size = dt.suggested_vb_size()
     job = ZipJob(out_path)
