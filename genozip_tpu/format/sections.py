@@ -43,6 +43,7 @@ SEC_RECON_PLAN = 12
 SEC_HUFFMAN = 13
 SEC_GENCOMP = 14
 SEC_REF_IUPACS = 15
+SEC_GZ_ISIZES = 16
 
 SEC_NAMES = {v: k for k, v in list(globals().items()) if k.startswith("SEC_")}
 

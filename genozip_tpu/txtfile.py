@@ -19,7 +19,15 @@ def open_input(path: str):
     if path == "-":
         return io.BufferedReader(io.FileIO(0, "r", closefd=False))
     if path.endswith((".gz", ".bgz", ".bam")):
-        return gzip.open(path, "rb")
+        # BGZF gets a block-aware reader that records per-block isizes for
+        # byte-exact re-emission (reference src/mgzip.c)
+        from .utils.bgzf import is_bgzf, BgzfBlockReader
+        raw = open(path, "rb")
+        head = raw.read(18)
+        raw.seek(0)
+        if is_bgzf(head):
+            return BgzfBlockReader(raw)
+        return gzip.open(raw, "rb")
     if path.endswith(".bz2"):
         return bz2.open(path, "rb")
     if path.endswith(".xz"):

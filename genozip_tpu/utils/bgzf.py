@@ -48,3 +48,119 @@ class BgzfWriter:
 
 def open_bgzf(path: str, level: int = 6) -> BgzfWriter:
     return BgzfWriter(open(path, "wb"), level)
+
+
+def is_bgzf(head: bytes) -> bool:
+    return (len(head) >= 18 and head[0] == 0x1F and head[1] == 0x8B
+            and head[3] & 4 and head[12] == 0x42 and head[13] == 0x43)
+
+
+class BgzfBlockReader:
+    """Block-aware BGZF reader recording per-block isizes + the info needed
+    for byte-exact re-emission (reference src/mgzip.c: SEC_GZ_ISIZES +
+    FlagsMgzip library/level discovery)."""
+
+    def __init__(self, fileobj):
+        self.f = fileobj
+        self.isizes = []
+        self.header_template = None   # first block's 12-byte fixed header
+        self.exact_level = None       # discovered zlib level, or None
+        self.uniform_headers = True
+        self._probe = None            # (payload, deflate_bytes) of 1st block
+
+    def read(self, want: int) -> bytes:
+        out = bytearray()
+        while len(out) < want:
+            hdr = self.f.read(18)
+            if not hdr:
+                break
+            assert is_bgzf(hdr), "BGZF stream corrupt"
+            if self.header_template is None:
+                self.header_template = hdr[:12]
+            elif hdr[:12] != self.header_template:
+                self.uniform_headers = False
+            bsize = int.from_bytes(hdr[16:18], "little") + 1
+            rest = self.f.read(bsize - 18)
+            comp = rest[: bsize - 18 - 8]
+            isize = int.from_bytes(rest[-4:], "little")
+            payload = zlib.decompress(comp, -15) if comp else b""
+            assert len(payload) == isize, "BGZF isize mismatch"
+            self.isizes.append(isize)
+            if self._probe is None and isize > 0:
+                self._probe = (payload, comp)
+            out += payload
+        return bytes(out)
+
+    def discover_level(self):
+        """Trial levels 1..9 against the first block (reference
+        txtfile_discover_specific_gz)."""
+        if self._probe is None:
+            return None
+        payload, comp = self._probe
+        for lvl in range(1, 10):
+            co = zlib.compressobj(lvl, zlib.DEFLATED, -15)
+            if co.compress(payload) + co.flush() == comp:
+                self.exact_level = lvl
+                return lvl
+        return None
+
+    def mgzip_info(self):
+        lvl = self.discover_level()
+        if lvl is None or not self.uniform_headers or \
+                self.header_template is None or \
+                self.header_template[10:12] != b"\x06\x00":  # XLEN == 6 (BC only)
+            return {"kind": "bgzf", "exact": False}
+        return {"kind": "bgzf", "exact": True, "level": lvl,
+                "header": self.header_template.hex()}
+
+    def close(self):
+        self.f.close()
+
+
+class ExactBgzfWriter:
+    """Re-emit a BGZF file byte-exactly from recorded isizes + level +
+    header template (only when discover_level matched)."""
+
+    def __init__(self, fileobj, isizes, level: int, header: bytes):
+        self.f = fileobj
+        self.isizes = list(isizes)
+        self.level = level
+        self.header = header
+        self.buf = bytearray()
+        self.block_i = 0
+
+    def _emit(self, payload: bytes):
+        co = zlib.compressobj(self.level, zlib.DEFLATED, -15)
+        comp = co.compress(payload) + co.flush()
+        # template = 12 fixed bytes (magic..XLEN); BC subfield + BSIZE follow
+        bsize = len(comp) + len(self.header) + 6 + 8
+        self.f.write(self.header)
+        self.f.write(struct.pack("<BBHH", 0x42, 0x43, 2, bsize - 1))
+        self.f.write(comp)
+        self.f.write(struct.pack("<II", zlib.crc32(payload) & 0xFFFFFFFF,
+                                 len(payload)))
+
+    def write(self, data: bytes):
+        self.buf += data
+        while self.block_i < len(self.isizes):
+            need = self.isizes[self.block_i]
+            if need == 0:
+                break  # zero blocks handled at close
+            if len(self.buf) < need:
+                break
+            self._emit(bytes(self.buf[:need]))
+            del self.buf[:need]
+            self.block_i += 1
+
+    def close(self):
+        while self.block_i < len(self.isizes):
+            need = self.isizes[self.block_i]
+            if need == 0:
+                self._emit(b"")
+            else:
+                assert len(self.buf) >= need, "BGZF-exact: short plaintext"
+                self._emit(bytes(self.buf[:need]))
+                del self.buf[:need]
+            self.block_i += 1
+        assert not self.buf, "BGZF-exact: plaintext longer than recorded"
+        self.f.close()

@@ -251,6 +251,15 @@ def zip_file(in_path: str, out_path: str, dt_name: str | None = None,
             prog.update(int(pdata.shape[0]))
     prog.finish()
 
+    mgzip = None
+    from .utils.bgzf import BgzfBlockReader
+    if isinstance(reader.f, BgzfBlockReader):
+        mgzip = reader.f.mgzip_info()
+        if mgzip.get("exact"):
+            isz = np.asarray(reader.f.isizes, dtype="<u4").tobytes()
+            job.zw.write_section(fmt.SEC_GZ_ISIZES, isz, codec=codecs.RANS0
+                                 if len(isz) >= 64 else codecs.NONE)
+
     file_hdr = {
         "version": 1, "dt": dt_name, "num_vbs": vb_i,
         "num_lines": job.stats.num_lines, "txt_len": job.stats.txt_len,
@@ -259,6 +268,7 @@ def zip_file(in_path: str, out_path: str, dt_name: str | None = None,
         "reference": reference.rsplit("/", 1)[-1] if reference else None,
         "enc": enc,
         "md5": md5.hexdigest() if md5 else None,
+        "mgzip": mgzip,
     }
     job.write_global_area(file_hdr)
     reader.close()

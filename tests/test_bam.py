@@ -72,3 +72,28 @@ def test_bam_multi_vb(tmp_path):
     z = src + ".gxz"
     zip_file(src, z, vb_size=100 * 1024)
     piz_file(z, None)  # digest-verify only
+
+
+def test_bgzf_exact_roundtrip(tmp_path):
+    """A BGZF input written by our own writer must re-emit byte-exactly
+    (reference --bgzf=exact, src/mgzip.c)."""
+    from genozip_tpu.utils.bgzf import open_bgzf
+    import numpy as np
+    rng = np.random.default_rng(5)
+    reads = []
+    for i in range(2000):
+        seq = rng.choice(np.frombuffer(b"ACGT", np.uint8), 100)
+        q = rng.choice(np.frombuffer(b"FF:,#", np.uint8), 100)
+        reads.append(b"@bg%d\n" % i + seq.tobytes() + b"\n+\n" + q.tobytes() + b"\n")
+    plain = b"".join(reads)
+    src = os.path.join(str(tmp_path), "x.fastq.gz")
+    w = open_bgzf(src)
+    w.write(plain)
+    w.close()
+    orig_bytes = open(src, "rb").read()
+
+    z = src + ".gxz"
+    zip_file(src, z)
+    out = os.path.join(str(tmp_path), "y.fastq.gz")
+    piz_file(z, out)
+    assert open(out, "rb").read() == orig_bytes  # compressed-byte identical
