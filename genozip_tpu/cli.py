@@ -71,6 +71,8 @@ def build_parser():
     c.add_argument("--password", default=None)
     c.add_argument("--sam", action="store_true",
                    help="translate a BAM archive to SAM text (reference: genocat --sam)")
+    c.add_argument("--vcf", action="store_true",
+                   help="translate a 23andMe archive to VCF (needs --reference)")
     c.add_argument("--interleave", action="store_true",
                    help="interleave R1/R2 records of a paired archive")
     c.add_argument("--coverage", action="store_true",
@@ -181,6 +183,9 @@ def main(argv=None):
             show_coverage(args, sys.stdout)
         elif args.sam:
             cat_translated_sam(args, sys.stdout.buffer)
+        elif args.vcf:
+            from .filters import cat_translated_vcf
+            cat_translated_vcf(args, sys.stdout.buffer)
         elif args.interleave:
             cat_interleaved(args, sys.stdout.buffer)
         else:

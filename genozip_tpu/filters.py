@@ -128,3 +128,22 @@ def cat_interleaved(args, out):
         merged = ragged.interleave(cols)
         out.write(merged.data.tobytes())
     pr.close()
+
+
+def cat_translated_vcf(args, out):
+    """23andMe archive -> VCF (reference parity: genocat --vcf on ME23,
+    data_types.h:262; REF base from the reference genome)."""
+    from .translate import me23_vb_to_vcf, VCF_ME23_HEADER
+    pr = PizReader(args.input, reference=getattr(args, "reference", None),
+                   password=getattr(args, "password", None))
+    assert pr.file_hdr["dt"] == "me23", "--vcf translation needs a 23andMe archive"
+    ref = getattr(pr.dt, "ref", None)
+    if ref is None and getattr(args, "reference", None):
+        from .ref.refstore import load_ref_file
+        ref = load_ref_file(args.reference)
+    assert ref is not None, "--vcf translation needs --reference"
+    if not getattr(args, "no_header", False):
+        out.write(VCF_ME23_HEADER)
+    for vb_i in range(1, pr.num_vbs() + 1):
+        out.write(me23_vb_to_vcf(pr.read_vb(vb_i), ref))
+    pr.close()

@@ -2,7 +2,9 @@
 TRANSLATIONS — genocat can emit BAM as SAM etc.; translator callbacks per
 container item). Here: whole-VB translators over reconstructed records.
 
-Implemented: BAM -> SAM (gxcat --sam on a BAM archive); 23andMe -> VCF.
+Implemented: BAM -> SAM (gxcat --sam on a BAM archive); 23andMe -> VCF
+(gxcat --vcf with --reference, reference parity: src/me23.c ME23->VCF
+translation, data_types.h:262).
 """
 
 import numpy as np
@@ -74,6 +76,84 @@ def _aux_to_sam(rec: memoryview) -> bytes:
         else:
             break  # unknown type: stop (malformed aux)
     return ("\t" + "\t".join(out)).encode() if out else b""
+
+
+VCF_ME23_HEADER = (b"##fileformat=VCFv4.1\n"
+                   b"##source=genozip_tpu me23->vcf translation\n"
+                   b"#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT"
+                   b"\tSAMPLE\n")
+
+
+def me23_vb_to_vcf(text: bytes, ref) -> bytes:
+    """Translate 23andMe rows (rsid chrom pos genotype) to VCF records.
+    REF base comes from the reference genome; rows whose genotype isn't
+    SNP-like (indels, '--') or whose position is unknown are dropped, like
+    the reference translator."""
+    from .utils.ragged import Col
+    from .contexts import dedup_col
+    from .ops import pack as packops
+    import numpy as _np
+
+    data = np.frombuffer(text, np.uint8)
+    nl = np.nonzero(data == ord("\n"))[0]
+    starts = np.concatenate([[0], nl[:-1] + 1])
+    lines = ragged.gather_ranges(data, starts, nl - starts)
+    n = len(lines)
+    if n == 0:
+        return b""
+    first = np.zeros(n, np.uint8)
+    ne = lines.lens > 0
+    first[ne] = data[starts[ne]]
+    is_data = ne & (first != ord("#"))
+    rows = np.nonzero(is_data)[0]
+    sub = ragged.take(lines, rows)
+    fields = ragged.split_fields_fixed(sub, ord("\t"), 4)
+    rsid, chrom, posc, gt = fields
+    pv, pok = ragged.atoi(posc)
+
+    # contig gpos per unique chrom (try name, then chr<name>)
+    uw, inv = dedup_col(chrom)
+    base = np.full(len(uw), -1, dtype=np.int64)
+    for w in range(len(uw)):
+        nm = uw.row(w).decode("utf-8", "replace")
+        c = ref.contig_of(nm) or ref.contig_of("chr" + nm)
+        if c is not None:
+            base[w] = c["gpos"]
+    gbase = base[inv]
+
+    gmat, glens = ragged.to_matrix(gt)
+    a1 = gmat[:, 0] if gmat.shape[1] else np.zeros(len(sub), np.uint8)
+    a2 = gmat[:, 1] if gmat.shape[1] > 1 else np.zeros(len(sub), np.uint8)
+    snp = (packops.IS_ACGT[a1] & ((glens == 1) |
+           ((glens == 2) & packops.IS_ACGT[a2])))
+    ok = pok & (gbase >= 0) & (pv > 0) & snp & (gbase + pv - 1 < ref.length)
+    kidx = np.nonzero(ok)[0]
+    if kidx.shape[0] == 0:
+        return b""
+    refb = packops.ACGT[ref.codes[(gbase + pv - 1)[kidx]]]
+    a1k, a2k = a1[kidx], a2[kidx]
+    hap = (glens == 1)[kidx]
+    out = []
+    for i, r in enumerate(kidx):
+        rb = refb[i]
+        alleles = [int(a1k[i])] + ([] if hap[i] else [int(a2k[i])])
+        alts = []
+        gt_idx = []
+        for al in alleles:
+            if al == rb:
+                gt_idx.append(0)
+            else:
+                ch = chr(al)
+                if ch not in alts:
+                    alts.append(ch)
+                gt_idx.append(alts.index(ch) + 1)
+        alt_s = ",".join(alts) if alts else "."
+        gt_s = "/".join(str(g) for g in gt_idx)
+        out.append(b"\t".join([
+            chrom.row(int(r)), posc.row(int(r)), rsid.row(int(r)),
+            bytes([rb]), alt_s.encode(), b".", b".", b".", b"GT",
+            gt_s.encode()]) + b"\n")
+    return b"".join(out)
 
 
 def bam_vb_to_sam(records: bytes, ref_names: list[str]) -> bytes:

@@ -162,3 +162,46 @@ def test_fast_best_modes(tmp_path):
             piz_file(z, None)
     finally:
         _assign.set_mode("normal")
+
+
+def test_me23_to_vcf_translation(tmp_path):
+    from genozip_tpu.ref import refstore
+    from tests.test_aligner import synth_genome
+    from genozip_tpu.ops import pack as packops
+    import numpy as np
+    d = str(tmp_path)
+    fa = synth_genome(50000, 1)  # contig name ctg0
+    fa_path = os.path.join(d, "m.fa")
+    open(fa_path, "wb").write(fa)
+    ref_path = os.path.join(d, "m.ref.gxz")
+    refstore.make_reference(fa_path, ref_path)
+    ref = refstore.load_ref_file(ref_path)
+    rng = np.random.default_rng(2)
+    rows = [b"# 23andMe style header\n"]
+    expect_alt = 0
+    for i in range(300):
+        pos = int(rng.integers(1, 50000))
+        rb = packops.ACGT[ref.codes[pos - 1]]
+        if rng.random() < 0.5:
+            g = bytes([rb, rb])
+        else:
+            alt = packops.ACGT[(int(ref.codes[pos - 1]) + 1) % 4]
+            g = bytes([rb, alt])
+            expect_alt += 1
+        rows.append(b"rs%d\tctg0\t%d\t%s\n" % (i, pos, g))
+    rows.append(b"rsD\tctg0\t10\tDD\n")  # non-SNP -> dropped
+    data = b"".join(rows)
+    src = os.path.join(d, "g.txt")
+    open(src, "wb").write(data)
+    z = src + ".gxz"
+    zip_file(src, z, dt_name="me23")
+    buf = io.BytesIO()
+    from genozip_tpu.filters import cat_translated_vcf
+    cat_translated_vcf(Args(input=z, reference=ref_path), buf)
+    vcf = buf.getvalue()
+    lines = [l for l in vcf.split(b"\n") if l and not l.startswith(b"#")]
+    assert len(lines) == 300  # DD row dropped
+    f = lines[0].split(b"\t")
+    assert len(f) == 10 and f[8] == b"GT"
+    nalt = sum(1 for l in lines if l.split(b"\t")[4] != b".")
+    assert nalt == expect_alt
