@@ -56,6 +56,36 @@ class SamDT(DataType):
     def read_txt_header(self, reader) -> bytes:
         return reader.read_header_lines(b"@")
 
+    def gencomp_split(self, data: np.ndarray):
+        """Deport secondary/supplementary alignments (DEPN) out of the MAIN
+        VB (reference parity: src/gencomp_zip.c:587 — PRIM/DEPN generated
+        components; here one DEPN component re-interleaved by a recon plan).
+        Returns (main_data, depn_data, depn_line_positions) or None when
+        nothing to deport."""
+        nl = np.nonzero(data == ord("\n"))[0]
+        if data.shape[0] == 0 or nl.shape[0] == 0 or nl[-1] != data.shape[0] - 1:
+            return None  # keep the tail VB simple
+        starts = np.concatenate([[0], nl[:-1] + 1])
+        lines = ragged.gather_ranges(data, starts, nl - starts)
+        n = len(lines)
+        cols, aux, good_rows, bad_rows = ragged.split_first_fields(
+            lines, ord("\t"), 2)
+        flags, fok = ragged.atoi(cols[1])
+        depn = np.zeros(n, dtype=bool)
+        depn[good_rows] = fok & ((flags & 0x900) != 0)
+        if not depn.any():
+            return None
+        didx = np.nonzero(depn)[0]
+        midx = np.nonzero(~depn)[0]
+        # include the trailing newline with each line (raw-data offsets)
+        lens = nl - starts + 1
+        main = ragged.gather_ranges(data, starts[midx], lens[midx]).data
+        dep = ragged.gather_ranges(data, starts[didx], lens[didx]).data
+        # positions: row index within the MAIN-only VB after which each DEPN
+        # line re-inserts (as counts of main lines before it)
+        before_main = np.cumsum(~depn)[didx] if didx.shape[0] else didx
+        return main, dep, before_main.astype(np.int64)
+
     def seg_vb(self, data: np.ndarray) -> VBSegResult:
         lines, no_final_nl = _lines_of(data)
         n = len(lines)

@@ -154,6 +154,7 @@ class PizReader:
         if meta.get("gpos_pair_delta") and comp_i == 1:
             self._apply_gpos_pair_delta(pctxs, vb_i)
         dt = self.dts[comp_i] if comp_i < len(self.dts) else self.dt
+        self._last_pctxs = pctxs
         with profiler.timer("piz:recon"):
             out = dt.recon_vb(pctxs, meta)
         if self.deep_index is not None and comp_i == 0:
@@ -181,12 +182,43 @@ class PizReader:
         self.f.close()
 
 
+def _merge_gencomp(out: bytes, positions, depn_queue) -> bytes:
+    """Re-interleave deported DEPN lines into a MAIN VB's text by the recon
+    plan (reference parity: src/gencomp_piz.c re-interleaving via VbPlanItem
+    payloads)."""
+    from .utils import ragged
+    k = positions.shape[0]
+    dep_lines = [depn_queue.popleft() for _ in range(k)]
+    a = np.frombuffer(out, np.uint8)
+    nl = np.nonzero(a == ord("\n"))[0]
+    starts = np.concatenate([[0], nl[:-1] + 1])
+    pieces = [out[starts[i]:nl[i] + 1] for i in range(nl.shape[0])]
+    keys = [2 * (i + 1) for i in range(len(pieces))] + \
+        [2 * int(p) + 1 for p in positions]
+    allp = pieces + dep_lines
+    order = sorted(range(len(allp)), key=lambda i: keys[i])
+    return b"".join(allp[i] for i in order)
+
+
 def piz_file(z_path: str, out_path: str | None = None,
              verify_only: bool = False, reference: str | None = None,
              password: str | None = None):
     pr = PizReader(z_path, reference=reference, password=password)
     comps = pr.components()
     total_all = 0
+
+    depn_queue = None
+    gc = pr.file_hdr.get("gencomp")
+    if gc:
+        from collections import deque
+        depn_queue = deque()
+        for gvb in range(1, gc["num_vbs"] + 1):
+            buf = pr.read_vb(gvb, 1)
+            pos = 0
+            while pos < len(buf):
+                e = buf.index(b"\n", pos) + 1
+                depn_queue.append(buf[pos:e])
+                pos = e
     for comp_i, comp in enumerate(comps):
         path = None
         if out_path:
@@ -235,6 +267,10 @@ def piz_file(z_path: str, out_path: str | None = None,
                     if vb_i < nvb else None
                 with profiler.timer("piz:recon+digest"):
                     out = pr.recon_loaded_vb(loaded, vb_i, comp_i)
+                    if depn_queue is not None and comp_i == 0 and \
+                            "GCPOS" in pr._last_pctxs:
+                        out = _merge_gencomp(
+                            out, pr._last_pctxs["GCPOS"].nums(), depn_queue)
                     adler = zlib.adler32(out, adler)
                     if md5:
                         md5.update(out)

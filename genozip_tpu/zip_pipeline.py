@@ -18,7 +18,7 @@ import numpy as np
 from . import codecs
 from .codecs import assign as codec_assign
 from .utils import profiler
-from .contexts import ZCtxGlobal, narrow_int
+from .contexts import ZCtxGlobal, VBCtx, MODE_NUM, narrow_int
 from .datatypes import detect, get
 from .format import sections as fmt
 from .txtfile import TxtReader, DEFAULT_VB_SIZE
@@ -218,38 +218,67 @@ def zip_file(in_path: str, out_path: str, dt_name: str | None = None,
     # the native coder release the GIL, so both cores stay busy.
     from concurrent.futures import ThreadPoolExecutor
     vb_i = 0
+    gencomp_parts = []   # deported DEPN text (reference gencomp_zip.c)
+    use_gencomp = dt_name in ("sam",) and hasattr(dt, "gencomp_split")
     with ThreadPoolExecutor(max_workers=1) as pool:
         def seg_one(data):
             with profiler.timer("zip:seg"):
                 return dt.seg_vb(data)
 
-        pending = None  # (data, future)
-        for data in reader.vblocks(dt, vb_size):
-            fut = pool.submit(seg_one, data)
-            if pending is not None:
-                pdata, pfut = pending
-                vb_i += 1
-                file_adler = zlib.adler32(pdata.tobytes(), file_adler)
-                if md5:
-                    md5.update(pdata.tobytes())
-                with profiler.timer("zip:seg-wait"):
-                    pres = pfut.result()
-                with profiler.timer("zip:merge+write"):
-                    job.write_vb(pres, pdata, vb_i, 0)
-                prog.update(int(pdata.shape[0]))
-            pending = (data, fut)
-        if pending is not None:
-            pdata, pfut = pending
-            vb_i += 1
-            file_adler = zlib.adler32(pdata.tobytes(), file_adler)
+        pending = None  # (data, future, gencomp positions)
+        def submit(data):
+            nonlocal file_adler
+            # digests always cover the ORIGINAL stream, pre-deportation
+            file_adler = zlib.adler32(data.tobytes(), file_adler)
             if md5:
-                md5.update(pdata.tobytes())
+                md5.update(data.tobytes())
+            gcpos = None
+            if use_gencomp:
+                gc = dt.gencomp_split(data)
+                if gc is not None:
+                    data, dep, gcpos = gc
+                    gencomp_parts.append(dep)
+            return (data, pool.submit(seg_one, data), gcpos)
+
+        def drain(pending):
+            nonlocal vb_i
+            pdata, pfut, gcpos = pending
+            vb_i += 1
             with profiler.timer("zip:seg-wait"):
                 pres = pfut.result()
+            if gcpos is not None:
+                pres.ctxs["GCPOS"] = VBCtx(
+                    "GCPOS", MODE_NUM,
+                    local=np.diff(gcpos, prepend=np.int64(0)),
+                    cat="int", param=1)
             with profiler.timer("zip:merge+write"):
                 job.write_vb(pres, pdata, vb_i, 0)
             prog.update(int(pdata.shape[0]))
+
+        for data in reader.vblocks(dt, vb_size):
+            nxt = submit(data)
+            if pending is not None:
+                drain(pending)
+            pending = nxt
+        if pending is not None:
+            drain(pending)
     prog.finish()
+
+    gencomp_hdr = None
+    if gencomp_parts:
+        depn = np.concatenate(gencomp_parts)
+        gvb = 0
+        off = 0
+        while off < depn.shape[0]:
+            end = min(off + vb_size, depn.shape[0])
+            chunk = depn[off:off + int(dt.vb_boundary(depn[off:end], end == depn.shape[0]))] \
+                if end < depn.shape[0] else depn[off:end]
+            if chunk.shape[0] == 0:
+                chunk = depn[off:end]
+            gvb += 1
+            job.write_vb(dt.seg_vb(chunk), chunk, gvb, 1)
+            off += chunk.shape[0]
+        gencomp_hdr = {"num_vbs": gvb}
 
     mgzip = None
     from .utils.bgzf import BgzfBlockReader
@@ -269,6 +298,7 @@ def zip_file(in_path: str, out_path: str, dt_name: str | None = None,
         "enc": enc,
         "md5": md5.hexdigest() if md5 else None,
         "mgzip": mgzip,
+        "gencomp": gencomp_hdr,
     }
     job.write_global_area(file_hdr)
     reader.close()
