@@ -1,13 +1,16 @@
 """Pallas TPU kernel for wide-interleaved rANS decode (order-0).
 
-STATUS (round 1): bit-exact vs ops/rans_np.py in pallas interpret mode across
-sizes/lane-counts; on-TPU bring-up is blocked by the axon relay environment
-(one kernel-fault crash of the shared TPU worker with the DMA variant, then
->9-minute remote compiles for the all-VMEM variant). Not yet wired into the
-codec registry; the XLA lax.scan path (ops/rans_jax.py) remains the device
-coder. Round-2 plan: bring up on a direct-attached TPU, then switch to a
-grid=(K,) formulation with BlockSpec-pipelined output and double-buffered
-word-window DMA.
+STATUS (round 1): RUNS CORRECT ON TPU v5e (grid=(K,) formulation with
+persistent x/p scratch, BlockSpec-pipelined output, per-step window DMA):
+bit-exact vs ops/rans_np.py on hardware and in interpret mode. Measured
+12-15 MB/s steady — the current row body round-trips q/total through the
+scalar core per row; the vector-carry rewrite below is interpret-correct and
+pending TPU measurement (remote compiles through the axon relay take 4-10
+minutes, making iteration expensive; see ROADMAP.md). Not yet the default
+codec path — the XLA lax.scan path (ops/rans_jax.py) remains the device
+coder. Next levers: vector-splat carries (done, unmeasured), 8-row blocking
+to amortize per-row VMEM access, double-buffered window DMA, and the
+mirrored encode kernel.
 
 Bit-exact with ops/rans_np.py. The lax.scan path is lowering-bound
 (~20 MB/s measured); this kernel keeps all hot state in VMEM
@@ -82,89 +85,89 @@ def _logshift_gather(arr, offset, LR: int):
     return out
 
 
-def _decode_kernel(words_ref, tab_ref, x0_ref, out_ref, x_ref,
-                   sym_ref, *, K: int, LR: int, n: int, W: int):
-    N = LR * LANE_COLS
+def _decode_kernel(words_ref, tab_ref, x0_ref, out_ref, x_ref, win_ref,
+                   p_ref, sem, *, K: int, LR: int, n: int, W: int):
+    """grid=(K,): one program per decode step; x/p scratch persists across
+    the sequential TPU grid."""
+    t = pl.program_id(0)
 
-    fr = tab_ref[0:1, :]
-    cr = tab_ref[1:2, :]
-    iota256 = jax.lax.broadcasted_iota(jnp.int32, (1, 256), 1).astype(jnp.float32)
+    @pl.when(t == 0)
+    def _init():
+        x_ref[...] = x0_ref[...].astype(jnp.uint32)
+        p_ref[0] = 0
+
+    # transpose-free formulation: tables/window live on the SUBLANE axis so
+    # every row-body op is a (256|128, 128) broadcast + axis-0 reduction —
+    # no per-row layout changes (transposes dominated the first TPU cut)
+    frT = jnp.transpose(tab_ref[0:1, :])            # (256, 1) f32
+    crT = jnp.transpose(tab_ref[1:2, :])            # (256, 1)
+    iota256T = jax.lax.broadcasted_iota(
+        jnp.int32, (256, 1), 0).astype(jnp.float32)
     col_i = jax.lax.broadcasted_iota(jnp.int32, (1, LANE_COLS), 1)
-    iota128col = jax.lax.broadcasted_iota(
-        jnp.int32, (LANE_COLS, LANE_COLS), 1)  # per-dest candidate index
-    row_iota = jax.lax.broadcasted_iota(jnp.int32, (LR + 8, 1), 0)
+    iota128sub = jax.lax.broadcasted_iota(
+        jnp.int32, (LANE_COLS, LANE_COLS), 0)       # candidate j on sublanes
+    winrow_iota = jax.lax.broadcasted_iota(jnp.int32, (1, LR + 8), 1)
 
-    def step(t, p):
-        # aligned window: 8-row-aligned base (provable for Mosaic), span
-        # covers [p, p + N + 1024)
-        base8 = pl.multiple_of(8 * (p // (8 * LANE_COLS)), 8)
-        win = words_ref[pl.ds(base8, LR + 8), :]
+    p = p_ref[0]
+    base8 = pl.multiple_of(8 * (p // (8 * LANE_COLS)), 8)
+    cp = pltpu.make_async_copy(
+        words_ref.at[pl.ds(base8, LR + 8), :], win_ref, sem)
+    cp.start()
+    cp.wait()
+    win_T = jnp.transpose(win_ref[...])             # (128, LR+8), once/step
 
-        q = p - base8 * LANE_COLS
-        for b in range(LR):  # static unroll: aligned refs, no dynamic slices
-            lane_flat_row = b * LANE_COLS + col_i
-            act = t < jnp.clip(n - lane_flat_row * K, 0, K)
+    # q lives as a (1,1) vector splat: the per-row carry chain then never
+    # round-trips through the scalar core (vector<->scalar syncs dominated
+    # the previous cut)
+    q = jnp.full((1, 1), p - base8 * LANE_COLS, dtype=jnp.int32)
+    t_v = jnp.full((1, 1), t, dtype=jnp.int32)
+    for b in range(LR):
+        lane_flat_row = b * LANE_COLS + col_i
+        act = t_v < jnp.clip(n - lane_flat_row * K, 0, K)
 
-            xr = x_ref[b:b + 1, :]
-            slot = xr & (SCALE - 1)
-            # Mosaic lacks direct u32<->f32 casts; bounce through i32
-            slot_f = slot.astype(jnp.int32).astype(jnp.float32)
-            slc = jnp.transpose(slot_f)                  # (128, 1)
-            inm = ((cr <= slc) & (slc < cr + fr)).astype(jnp.float32)
-            s_row = jnp.sum(inm * iota256, axis=1).reshape(1, LANE_COLS) \
-                .astype(jnp.int32)
-            f_row = jnp.sum(inm * fr, axis=1).reshape(1, LANE_COLS) \
-                .astype(jnp.int32).astype(jnp.uint32)
-            c_row = jnp.sum(inm * cr, axis=1).reshape(1, LANE_COLS) \
-                .astype(jnp.int32).astype(jnp.uint32)
-            f_row = jnp.where(act, f_row, jnp.uint32(1))
-            c_row = jnp.where(act, c_row, jnp.uint32(0))
+        xr = x_ref[b:b + 1, :]
+        slot = xr & (SCALE - 1)
+        slot_f = slot.astype(jnp.int32).astype(jnp.float32)  # (1, 128)
+        inm = ((crT <= slot_f) & (slot_f < crT + frT)).astype(jnp.float32)
+        s_row = jnp.sum(inm * iota256T, axis=0, keepdims=True) \
+            .astype(jnp.int32)
+        f_row = jnp.sum(inm * frT, axis=0, keepdims=True) \
+            .astype(jnp.int32).astype(jnp.uint32)
+        c_row = jnp.sum(inm * crT, axis=0, keepdims=True) \
+            .astype(jnp.int32).astype(jnp.uint32)
+        f_row = jnp.where(act, f_row, jnp.uint32(1))
+        c_row = jnp.where(act, c_row, jnp.uint32(0))
 
-            xa = f_row * (xr >> SCALE_BITS) + slot - c_row
-            xr = jnp.where(act, xa, xr)
-            need = act & (xr < RANS_L)
+        xa = f_row * (xr >> SCALE_BITS) + slot - c_row
+        xr = jnp.where(act, xa, xr)
+        need = act & (xr < RANS_L)
 
-            # within-row inclusive rank (7 log rolls on the 128 cols)
-            rk = need.astype(jnp.int32)
-            for k in (1, 2, 4, 8, 16, 32, 64):
-                sh = pltpu.roll(rk, k, axis=1)
-                rk = rk + jnp.where(col_i >= k, sh, 0)
-            total = rk[0, LANE_COLS - 1]
+        rk = need.astype(jnp.int32)
+        for k in (1, 2, 4, 8, 16, 32, 64):
+            sh = pltpu.roll(rk, k, axis=1)
+            rk = rk + jnp.where(col_i >= k, sh, 0)
+        total = jnp.max(rk, axis=1, keepdims=True)   # (1,1): rk is a prefix sum
 
-            # this row consumes window words [q, q+total); word for a need
-            # lane = window word q + rank - 1. Select the two covering rows
-            # by one-hot row reduction (dynamic sublane slices are not
-            # 8-aligned -> not lowerable).
-            r0 = q // LANE_COLS
-            c0 = q - r0 * LANE_COLS
-            selA = (row_iota == r0).astype(jnp.int32)
-            selB = (row_iota == r0 + 1).astype(jnp.int32)
-            rowA = jnp.sum(win * selA, axis=0).reshape(1, LANE_COLS)
-            rowB = jnp.sum(win * selB, axis=0).reshape(1, LANE_COLS)
-            idx2 = c0 + rk - 1                    # in [c0-1, c0+128)
-            inA = (iota128col == jnp.transpose(
-                jnp.broadcast_to(idx2, (1, LANE_COLS)))).astype(jnp.int32)
-            gotA = jnp.sum(inA * jnp.broadcast_to(rowA, (LANE_COLS, LANE_COLS)),
-                           axis=1).reshape(1, LANE_COLS)
-            inB = (iota128col == jnp.transpose(
-                jnp.broadcast_to(idx2 - LANE_COLS, (1, LANE_COLS)))) \
-                .astype(jnp.int32)
-            gotB = jnp.sum(inB * jnp.broadcast_to(rowB, (LANE_COLS, LANE_COLS)),
-                           axis=1).reshape(1, LANE_COLS)
-            got = jnp.where(idx2 >= LANE_COLS, gotB, gotA).astype(jnp.uint32)
+        r0 = q // LANE_COLS
+        c0 = q - r0 * LANE_COLS
+        # two window rows as (128, 1) lane-major columns of win_T
+        selA = (winrow_iota == r0).astype(jnp.int32)        # (1, LR+8)
+        selB = (winrow_iota == r0 + 1).astype(jnp.int32)
+        rowAT = jnp.sum(win_T * selA, axis=1, keepdims=True)  # (128, 1)
+        rowBT = jnp.sum(win_T * selB, axis=1, keepdims=True)
+        idx2 = c0 + rk - 1                                   # (1, 128)
+        inA = (iota128sub == idx2).astype(jnp.int32)         # (128, 128)
+        gotA = jnp.sum(inA * rowAT, axis=0, keepdims=True)   # (1, 128)
+        inB = (iota128sub == idx2 - LANE_COLS).astype(jnp.int32)
+        gotB = jnp.sum(inB * rowBT, axis=0, keepdims=True)
+        got = jnp.where(idx2 >= LANE_COLS, gotB, gotA).astype(jnp.uint32)
 
-            xr = jnp.where(need, (xr << 16) | got, xr)
-            x_ref[b:b + 1, :] = xr
-            sym_ref[b:b + 1, :] = jnp.where(act, s_row, 0)
-            q = q + total
+        xr = jnp.where(need, (xr << 16) | got, xr)
+        x_ref[b:b + 1, :] = xr
+        out_ref[b:b + 1, :] = jnp.where(act, s_row, 0).astype(jnp.uint8)
+        q = q + total
 
-        # flush the step's symbol plane (aligned dynamic row base: LR>=8)
-        orow = pl.multiple_of(t * LR, 8)
-        out_ref[pl.ds(orow, LR), :] = sym_ref[...]
-        return base8 * LANE_COLS + q
-
-    x_ref[...] = x0_ref[...].astype(jnp.uint32)
-    jax.lax.fori_loop(0, K, step, jnp.int32(0))
+    p_ref[0] = base8 * LANE_COLS + q[0, 0]
 
 
 @partial(jax.jit, static_argnames=("K", "LR", "n", "W", "interpret"))
@@ -178,13 +181,18 @@ def decode_order0_device(words, tab, x0, K: int, LR: int, n: int, W: int,
     wmat = words.reshape(LRW, LANE_COLS)
     return pl.pallas_call(
         partial(_decode_kernel, K=K, LR=LR, n=n, W=W),
-        out_shape=jax.ShapeDtypeStruct((K * LR, LANE_COLS), jnp.int32),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+        grid=(K,),
+        out_shape=jax.ShapeDtypeStruct((K * LR, LANE_COLS), jnp.uint8),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
                   pl.BlockSpec(memory_space=pltpu.VMEM),
                   pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((LR, LANE_COLS), lambda t: (t, 0),
+                               memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((LR, LANE_COLS), jnp.uint32),
-                        pltpu.VMEM((LR, LANE_COLS), jnp.int32)],
+                        pltpu.VMEM((LR + 8, LANE_COLS), jnp.int32),
+                        pltpu.SMEM((1,), jnp.int32),
+                        pltpu.SemaphoreType.DMA(())],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(wmat, tab, x0)
 
@@ -216,5 +224,5 @@ def decode(buf, interpret: bool = False) -> bytes:
     wpad[: data_words.shape[0]] = data_words
     out = decode_order0_device(jnp.asarray(wpad), jnp.asarray(tab),
                                jnp.asarray(x0), K, LR, n, W, interpret)
-    plane = np.asarray(out).astype(np.uint8).reshape(K, N)
+    plane = np.asarray(out).reshape(K, N)
     return plane.T.reshape(-1)[:n].tobytes()
