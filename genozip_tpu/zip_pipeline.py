@@ -126,7 +126,7 @@ class ZipJob:
                         flags=FLAG_DELTA if c.param == 1 else 0)
                     stats.add_section(name, len(payload), zw.offset - ent.offset)
 
-        vb_adler = zlib.adler32(data.tobytes())
+        vb_adler = zlib.adler32(data)
         vb_hdr = {"n": res.num_lines, "len": int(data.shape[0]),
                   "adler": vb_adler, "ctxs": ctx_meta, "meta": res.meta}
         zw.write_section(fmt.SEC_VB_HEADER, fmt.json_payload(vb_hdr),
@@ -229,9 +229,9 @@ def zip_file(in_path: str, out_path: str, dt_name: str | None = None,
         def submit(data):
             nonlocal file_adler
             # digests always cover the ORIGINAL stream, pre-deportation
-            file_adler = zlib.adler32(data.tobytes(), file_adler)
+            file_adler = zlib.adler32(data, file_adler)
             if md5:
-                md5.update(data.tobytes())
+                md5.update(data)
             gcpos = None
             if use_gencomp:
                 gc = dt.gencomp_split(data)
@@ -344,8 +344,8 @@ def zip_pair(in1: str, in2: str, out_path: str,
 
         p1 = job.write_vb(res1, data1, nvbs, 0, collect=True)
         job.write_vb(res2, data2, nvbs, 1, pair_payloads=p1)
-        adler[0] = zlib.adler32(data1.tobytes(), adler[0])
-        adler[1] = zlib.adler32(data2.tobytes(), adler[1])
+        adler[0] = zlib.adler32(data1, adler[0])
+        adler[1] = zlib.adler32(data2, adler[1])
         for ci, d in ((0, data1), (1, data2)):
             tlens[ci] += d.shape[0]
         lines[0] += res1.num_lines
@@ -402,7 +402,7 @@ def zip_deep(bam_path: str, fastq_paths: list[str], out_path: str,
     nlines = 0
     for data in reader.vblocks(dt, vb_size):
         vb_i += 1
-        adler = zlib.adler32(data.tobytes(), adler)
+        adler = zlib.adler32(data, adler)
         index.add_bam_records(data.tobytes())
         res = dt.seg_vb(data)
         job.write_vb(res, data, vb_i, 0)
@@ -423,7 +423,7 @@ def zip_deep(bam_path: str, fastq_paths: list[str], out_path: str,
         nlines = 0
         for data in reader.vblocks(dt, vb_size):
             vb_i += 1
-            adler = zlib.adler32(data.tobytes(), adler)
+            adler = zlib.adler32(data, adler)
             res = dt.seg_vb(data)
             job.write_vb(res, data, vb_i, ci)
             tlen += data.shape[0]
