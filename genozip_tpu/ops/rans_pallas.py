@@ -86,7 +86,8 @@ def _logshift_gather(arr, offset, LR: int):
 
 
 def _decode_kernel(words_ref, tab_ref, x0_ref, out_ref, x_ref, win_ref,
-                   p_ref, sem, *, K: int, LR: int, n: int, W: int):
+                   p_ref, sem, *, K: int, LR: int, n: int, W: int,
+                   skip: str = ''):
     """grid=(K,): one program per decode step; x/p scratch persists across
     the sequential TPU grid."""
     t = pl.program_id(0)
@@ -127,14 +128,19 @@ def _decode_kernel(words_ref, tab_ref, x0_ref, out_ref, x_ref, win_ref,
 
         xr = x_ref[b:b + 1, :]
         slot = xr & (SCALE - 1)
-        slot_f = slot.astype(jnp.int32).astype(jnp.float32)  # (1, 128)
-        inm = ((crT <= slot_f) & (slot_f < crT + frT)).astype(jnp.float32)
-        s_row = jnp.sum(inm * iota256T, axis=0, keepdims=True) \
-            .astype(jnp.int32)
-        f_row = jnp.sum(inm * frT, axis=0, keepdims=True) \
-            .astype(jnp.int32).astype(jnp.uint32)
-        c_row = jnp.sum(inm * crT, axis=0, keepdims=True) \
-            .astype(jnp.int32).astype(jnp.uint32)
+        if "tables" in skip:  # cost bisection only — wrong results
+            s_row = slot.astype(jnp.int32) & 0
+            f_row = jnp.full((1, LANE_COLS), 256, jnp.uint32)
+            c_row = jnp.zeros((1, LANE_COLS), jnp.uint32)
+        else:
+            slot_f = slot.astype(jnp.int32).astype(jnp.float32)  # (1, 128)
+            inm = ((crT <= slot_f) & (slot_f < crT + frT)).astype(jnp.float32)
+            s_row = jnp.sum(inm * iota256T, axis=0, keepdims=True) \
+                .astype(jnp.int32)
+            f_row = jnp.sum(inm * frT, axis=0, keepdims=True) \
+                .astype(jnp.int32).astype(jnp.uint32)
+            c_row = jnp.sum(inm * crT, axis=0, keepdims=True) \
+                .astype(jnp.int32).astype(jnp.uint32)
         f_row = jnp.where(act, f_row, jnp.uint32(1))
         c_row = jnp.where(act, c_row, jnp.uint32(0))
 
@@ -148,19 +154,22 @@ def _decode_kernel(words_ref, tab_ref, x0_ref, out_ref, x_ref, win_ref,
             rk = rk + jnp.where(col_i >= k, sh, 0)
         total = jnp.max(rk, axis=1, keepdims=True)   # (1,1): rk is a prefix sum
 
-        r0 = q // LANE_COLS
-        c0 = q - r0 * LANE_COLS
-        # two window rows as (128, 1) lane-major columns of win_T
-        selA = (winrow_iota == r0).astype(jnp.int32)        # (1, LR+8)
-        selB = (winrow_iota == r0 + 1).astype(jnp.int32)
-        rowAT = jnp.sum(win_T * selA, axis=1, keepdims=True)  # (128, 1)
-        rowBT = jnp.sum(win_T * selB, axis=1, keepdims=True)
-        idx2 = c0 + rk - 1                                   # (1, 128)
-        inA = (iota128sub == idx2).astype(jnp.int32)         # (128, 128)
-        gotA = jnp.sum(inA * rowAT, axis=0, keepdims=True)   # (1, 128)
-        inB = (iota128sub == idx2 - LANE_COLS).astype(jnp.int32)
-        gotB = jnp.sum(inB * rowBT, axis=0, keepdims=True)
-        got = jnp.where(idx2 >= LANE_COLS, gotB, gotA).astype(jnp.uint32)
+        if "distribute" in skip:  # cost bisection only — wrong results
+            got = jnp.zeros((1, LANE_COLS), jnp.uint32)
+        else:
+            r0 = q // LANE_COLS
+            c0 = q - r0 * LANE_COLS
+            # two window rows as (128, 1) lane-major columns of win_T
+            selA = (winrow_iota == r0).astype(jnp.int32)        # (1, LR+8)
+            selB = (winrow_iota == r0 + 1).astype(jnp.int32)
+            rowAT = jnp.sum(win_T * selA, axis=1, keepdims=True)  # (128, 1)
+            rowBT = jnp.sum(win_T * selB, axis=1, keepdims=True)
+            idx2 = c0 + rk - 1                                   # (1, 128)
+            inA = (iota128sub == idx2).astype(jnp.int32)         # (128, 128)
+            gotA = jnp.sum(inA * rowAT, axis=0, keepdims=True)   # (1, 128)
+            inB = (iota128sub == idx2 - LANE_COLS).astype(jnp.int32)
+            gotB = jnp.sum(inB * rowBT, axis=0, keepdims=True)
+            got = jnp.where(idx2 >= LANE_COLS, gotB, gotA).astype(jnp.uint32)
 
         xr = jnp.where(need, (xr << 16) | got, xr)
         x_ref[b:b + 1, :] = xr
@@ -170,9 +179,9 @@ def _decode_kernel(words_ref, tab_ref, x0_ref, out_ref, x_ref, win_ref,
     p_ref[0] = base8 * LANE_COLS + q[0, 0]
 
 
-@partial(jax.jit, static_argnames=("K", "LR", "n", "W", "interpret"))
+@partial(jax.jit, static_argnames=("K", "LR", "n", "W", "interpret", "skip"))
 def decode_order0_device(words, tab, x0, K: int, LR: int, n: int, W: int,
-                         interpret: bool = False):
+                         interpret: bool = False, skip: str = ""):
     """words: (W, 128)-shaped? No: (W,) i32 data words (u16 values), padded
     to W >= data_words + N and reshaped (W//128, 128) for DMA tiling.
     tab: (2, 256) f32; x0: (LR, 128) i32 initial states.
@@ -180,7 +189,7 @@ def decode_order0_device(words, tab, x0, K: int, LR: int, n: int, W: int,
     LRW = words.shape[0] // LANE_COLS
     wmat = words.reshape(LRW, LANE_COLS)
     return pl.pallas_call(
-        partial(_decode_kernel, K=K, LR=LR, n=n, W=W),
+        partial(_decode_kernel, K=K, LR=LR, n=n, W=W, skip=skip),
         grid=(K,),
         out_shape=jax.ShapeDtypeStruct((K * LR, LANE_COLS), jnp.uint8),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),

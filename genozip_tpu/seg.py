@@ -88,8 +88,19 @@ def tokenizer_seg_col(prefix: str, col: Col, single_stream: bool = False,
         if vals.shape[0] == 0:
             return ctxs
         if single_stream:
-            ctxs[f"{prefix}S"] = VBCtx(f"{prefix}S", MODE_NUM, local=vals,
-                                       cat="int", param=0)
+            # uniform per-row counts -> store column-major (the sample-matrix
+            # transpose, reference LT_UINT8_TR-style: per-column value
+            # distributions stay coherent for the entropy coder)
+            k = int(new_tok.max()) + 1
+            if n and vals.shape[0] == n * k and \
+                    (new_tok == np.tile(np.arange(k, dtype=new_tok.dtype), n)).all():
+                ctxs[f"{prefix}S"] = VBCtx(
+                    f"{prefix}S", MODE_NUM,
+                    local=np.ascontiguousarray(vals.reshape(n, k).T).reshape(-1),
+                    cat="int", param=2)
+            else:
+                ctxs[f"{prefix}S"] = VBCtx(f"{prefix}S", MODE_NUM, local=vals,
+                                           cat="int", param=0)
             return ctxs
         ntok = int(new_tok.max()) + 1
         for t in range(ntok):
@@ -181,7 +192,12 @@ def tokenizer_recon_col(prefix: str, pctxs, n: int) -> Col:
         return tmpl
     mark_row = np.searchsorted(tmpl.offsets[1:], marks, side="right")
     if f"{prefix}S" in pctxs:   # single-stream mode: marks in row-major order
-        val_of_mark = pctxs[f"{prefix}S"].nums()
+        pc = pctxs[f"{prefix}S"]
+        val_of_mark = pc.local.astype(np.int64)
+        if pc.param == 2:       # column-major (transposed) storage
+            k = val_of_mark.shape[0] // max(n, 1)
+            val_of_mark = np.ascontiguousarray(
+                val_of_mark.reshape(k, n).T).reshape(-1)
         assert val_of_mark.shape[0] == marks.shape[0]
     else:
         per_row = np.bincount(mark_row, minlength=n)
