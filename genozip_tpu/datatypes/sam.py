@@ -103,7 +103,15 @@ class SamDT(DataType):
         ctxs.update(_num_or_tok("POS", pos, delta=True))
         ctxs.update(_num_or_tok("MAPQ", mapq))
         ctxs.update(tokenizer_seg_col("CIGAR", cigar))
-        ctxs.update(_num_or_tok("PNEXT", pnext, delta=True))
+        # PNEXT as mate-delta vs POS (reference mate-copy snips,
+        # sam_seg.c:27-60): insert-size-scale values instead of a delta chain
+        pv_, pok_ = ragged.atoi(pos)
+        pn_, nok_ = ragged.atoi(pnext)
+        if pok_.all() and nok_.all() and len(pos):
+            ctxs["PNEXT"] = VBCtx("PNEXT", MODE_NUM, local=pn_ - pv_,
+                                  cat="int", param=3)
+        else:
+            ctxs.update(_num_or_tok("PNEXT", pnext, delta=True))
         ctxs.update(_num_or_tok("TLEN", tlen))
         ref = getattr(self, "ref", None)
         if ref is not None and len(seq):
@@ -388,7 +396,12 @@ class SamDT(DataType):
             mapq = _recon_num_or_tok("MAPQ", pctxs, ng)
             cigar = tokenizer_recon_col("CIGAR", pctxs, ng)
             rnext = pctxs["RNEXT"].dict_take()
-            pnext = _recon_num_or_tok("PNEXT", pctxs, ng)
+            pc_pn = pctxs.get("PNEXT")
+            if pc_pn is not None and pc_pn.mode == MODE_NUM and pc_pn.param == 3:
+                pv_, _ = ragged.atoi(pos)
+                pnext = ragged.itoa(pv_ + pc_pn.local.astype(np.int64))
+            else:
+                pnext = _recon_num_or_tok("PNEXT", pctxs, ng)
             tlen = _recon_num_or_tok("TLEN", pctxs, ng)
             sqlens = pctxs["SQLEN"].nums()
             if "SQBITMAP" in pctxs:
