@@ -38,11 +38,13 @@ class PizReader:
             assert crypt.key_tag(key) == enc["tag"], "wrong password"
             self.zr.set_encryption(key, salt)
         self.dt = get(self.file_hdr["dt"])(self.file_hdr.get("segconf") or {})
-        if self.file_hdr.get("reference"):
-            assert reference, (f"archive needs reference "
-                               f"{self.file_hdr['reference']} (--reference)")
+        if reference:
+            # lazy requirement: metadata-only operations (gxls) work without
+            # the reference; recon paths assert when they actually need it
             from .ref.refstore import load_ref_file
             self.dt.ref = load_ref_file(reference)
+        elif self.file_hdr.get("reference"):
+            self._missing_ref = self.file_hdr["reference"]
         import threading
         self.io_lock = threading.Lock()
         # per-component datatype instances (deep archives mix bam + fastq)
