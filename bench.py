@@ -72,7 +72,7 @@ def main():
     zip_file(warm, warm + ".gxz", vb_size=16 << 20)
 
     best = None
-    for _ in range(2):  # best-of-2: the 2-core host is noisy
+    for _ in range(3):  # best-of-3: the 2-core host is very noisy
         t0 = time.time()
         stats = zip_file(BENCH_FASTQ, z, vb_size=16 << 20)
         dt = time.time() - t0
