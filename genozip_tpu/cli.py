@@ -43,6 +43,8 @@ def build_parser():
                    help="favor speed: fewer codec trials, 2-seed aligner")
     z.add_argument("--best", action="store_true",
                    help="favor ratio: wider codec trials, larger samples")
+    z.add_argument("--truncate", action="store_true",
+                   help="accept inputs cut mid-record (reference --truncate)")
     z.add_argument("--md5", action="store_true",
                    help="use MD5 for the whole-file digest (reference --md5)")
     z.add_argument("--tar", default=None,
@@ -149,7 +151,7 @@ def main(argv=None):
             stats = zip_file(args.input, out, dt_name=args.dt, vb_size=vb,
                              show_stats=args.stats, reference=args.reference,
                              password=args.password, use_md5=args.md5,
-                             bamass=args.bamass)
+                             bamass=args.bamass, truncate=args.truncate)
         if args.test:
             from .piz_pipeline import piz_file
             piz_file(out, None, reference=args.reference,

@@ -36,10 +36,13 @@ def open_input(path: str):
 
 
 class TxtReader:
-    def __init__(self, path: str):
+    def __init__(self, path: str, truncate: bool = False):
         self.f = open_input(path)
         self.buf = b""
         self.eof = False
+        # --truncate (reference zip.c:774): tolerate inputs cut mid-record /
+        # mid-gz-member — compress the whole-record prefix
+        self.truncate = truncate
 
     def peek(self, n: int) -> bytes:
         while len(self.buf) < n and not self.eof:
@@ -77,9 +80,16 @@ class TxtReader:
 
     def vblocks(self, dt, vb_size: int = DEFAULT_VB_SIZE):
         """Yield np.uint8 arrays of whole records, ~vb_size each."""
+        import zlib as _z
+        import gzip as _g
         while True:
             while len(self.buf) < vb_size and not self.eof:
-                chunk = self.f.read(vb_size - len(self.buf))
+                try:
+                    chunk = self.f.read(vb_size - len(self.buf))
+                except (EOFError, _z.error, _g.BadGzipFile, AssertionError):
+                    if not self.truncate:
+                        raise
+                    chunk = b""
                 if not chunk:
                     self.eof = True
                     break
@@ -87,10 +97,19 @@ class TxtReader:
             if not self.buf:
                 return
             data = np.frombuffer(self.buf, dtype=np.uint8)
-            consumed = dt.vb_boundary(data, self.eof and len(self.buf) <= vb_size)
+            at_eof = self.eof and len(self.buf) <= vb_size
+            if at_eof and self.truncate:
+                # keep only whole records; silently drop the cut tail
+                consumed = dt.vb_boundary(data, False)
+                if consumed == 0:
+                    return
+                yield data[:consumed].copy()
+                return
+            consumed = dt.vb_boundary(data, at_eof)
             if consumed == 0:
                 if self.eof:
-                    raise ValueError("input ends mid-record")
+                    raise ValueError(
+                        "input ends mid-record (use --truncate to accept)")
                 vb_size *= 2
                 continue
             yield data[:consumed].copy()

@@ -171,8 +171,8 @@ def _setup_encryption(job, password):
     return {"salt": salt.hex(), "tag": crypt.key_tag(key)}
 
 
-def _open_component(in_path, dt_name, reference):
-    reader = TxtReader(in_path)
+def _open_component(in_path, dt_name, reference, truncate=False):
+    reader = TxtReader(in_path, truncate=truncate)
     head = reader.peek(64 * 1024)
     dt_name = dt_name or detect(in_path, head)
     dt = get(dt_name)()
@@ -186,8 +186,10 @@ def _open_component(in_path, dt_name, reference):
 def zip_file(in_path: str, out_path: str, dt_name: str | None = None,
              vb_size: int = DEFAULT_VB_SIZE, show_stats: bool = False,
              reference: str | None = None, password: str | None = None,
-             use_md5: bool = False, bamass: str | None = None):
-    reader, dt, dt_name = _open_component(in_path, dt_name, reference)
+             use_md5: bool = False, bamass: str | None = None,
+             truncate: bool = False):
+    reader, dt, dt_name = _open_component(in_path, dt_name, reference,
+                                          truncate=truncate)
     if bamass:
         assert reference, "--bamass needs --reference"
         from .bamass import build_index

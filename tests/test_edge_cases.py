@@ -80,3 +80,21 @@ def test_long_reads_fastq(tmp_path):
         out.append(b"@nanopore_%d ch=%d\n" % (i, i % 4) + seq.tobytes()
                    + b"\n+\n" + qual.tobytes() + b"\n")
     roundtrip(str(tmp_path), "long.fastq", b"".join(out))
+
+
+def test_truncate_mid_record(tmp_path):
+    from genozip_tpu.zip_pipeline import zip_file
+    from genozip_tpu.piz_pipeline import piz_file
+    import pytest
+    full = b"".join(b"@t%d\nACGTACGT\n+\nFFFFFFFF\n" % i for i in range(100))
+    cut = full[:-13]  # mid-record
+    src = os.path.join(str(tmp_path), "cut.fastq")
+    open(src, "wb").write(cut)
+    z = src + ".gxz"
+    with pytest.raises(Exception):
+        zip_file(src, z)
+    zip_file(src, z, truncate=True)
+    out = src + ".out"
+    piz_file(z, out)
+    got = open(out, "rb").read()
+    assert got == full[: len(full) - 25]  # whole records only
