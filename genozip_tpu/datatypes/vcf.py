@@ -55,7 +55,9 @@ class VcfDT(DataType):
             for fi, fname in enumerate(["CHROM", "POS", "ID", "REF", "ALT",
                                         "QUAL", "FILTER", "INFO", "FORMAT"][:min(nf, 9)]):
                 col = fields[fi]
-                if fname in ("CHROM", "REF", "ALT", "FILTER", "FORMAT"):
+                if fname == "REF" and getattr(self, "ref", None) is not None:
+                    self._seg_ref_vs_genome(ctxs, fields, col)
+                elif fname in ("CHROM", "REF", "ALT", "FILTER", "FORMAT"):
                     uw, inv = dedup_col(col)
                     ctxs[fname] = VBCtx(fname, MODE_DICT, b250=inv, vb_words=uw, cat="b250")
                 elif fname == "POS":
@@ -88,6 +90,48 @@ class VcfDT(DataType):
         ctxs["VARIANT"] = VBCtx("VARIANT", MODE_NUM, local=gd, cat="int")
         meta = {"no_final_nl": no_final_nl, "nf": nf}
         return VBSegResult(ctxs, n, meta)
+
+    def _gpos_of(self, chrom_col, pos_col, ref):
+        """Per-row genome position (or -1) from CHROM/POS."""
+        pv, pok = ragged.atoi(pos_col)
+        uw, inv = dedup_col(chrom_col)
+        base = np.full(len(uw), -1, dtype=np.int64)
+        for w in range(len(uw)):
+            nm = uw.row(w).decode("utf-8", "replace")
+            c = ref.contig_of(nm) or ref.contig_of("chr" + nm)
+            if c is not None:
+                base[w] = c["gpos"]
+        g = np.where(pok & (base[inv] >= 0) & (pv > 0), base[inv] + pv - 1, -1)
+        return np.where(g < ref.length, g, -1)
+
+    def _seg_ref_vs_genome(self, ctxs, fields, ref_col):
+        """REF column vs the reference genome (reference parity: RefAlt
+        prediction, src/vcf_refalt.c): single-base REFs matching the genome
+        at POS cost one flag bit; the rest stay in the dict."""
+        from ..ops import pack as packops
+        ref = self.ref
+        gpos = self._gpos_of(fields[0], fields[1], ref)
+        mat, lens = ragged.to_matrix(ref_col)
+        first = mat[:, 0] if mat.shape[1] else np.zeros(len(ref_col), np.uint8)
+        gb = packops.ACGT[ref.codes[np.clip(gpos, 0, max(ref.length - 1, 0))]]
+        same = (lens == 1) & (gpos >= 0) & (first == gb)
+        ctxs["REFSAME"] = VBCtx("REFSAME", MODE_NUM,
+                                local=same.astype(np.int64), cat="int")
+        rest = ragged.take(ref_col, np.nonzero(~same)[0])
+        uw, inv = dedup_col(rest)
+        ctxs["REF"] = VBCtx("REF", MODE_DICT, b250=inv, vb_words=uw, cat="b250")
+
+    def _recon_ref_vs_genome(self, pctxs, chrom_col, pos_col, ng):
+        from ..ops import pack as packops
+        ref = getattr(self, "ref", None)
+        assert ref is not None, "archive needs --reference for unzip"
+        same = pctxs["REFSAME"].nums().astype(bool)
+        gpos = self._gpos_of(chrom_col, pos_col, ref)
+        gb = packops.ACGT[ref.codes[np.clip(gpos, 0, max(ref.length - 1, 0))]]
+        same_col = Col(gb[same], np.arange(int(same.sum()) + 1, dtype=np.int64))
+        rest = pctxs["REF"].dict_take()
+        return ragged.merge_rows(ng, [(np.nonzero(same)[0], same_col),
+                                      (np.nonzero(~same)[0], rest)])
 
     def _try_seg_gt_pbwt(self, ctxs, fields, nf):
         """GT-first sample matrices go through the PBWT haplotype transform
@@ -177,7 +221,10 @@ class VcfDT(DataType):
             names = ["CHROM", "POS", "ID", "REF", "ALT", "QUAL", "FILTER",
                      "INFO", "FORMAT"][:min(nf, 9)]
             for fname in names:
-                if fname in ("CHROM", "REF", "ALT", "FILTER", "FORMAT"):
+                if fname == "REF" and "REFSAME" in pctxs:
+                    cols.append(self._recon_ref_vs_genome(
+                        pctxs, cols[0], cols[1], ng))
+                elif fname in ("CHROM", "REF", "ALT", "FILTER", "FORMAT"):
                     cols.append(pctxs[fname].dict_take())
                 elif fname == "POS" and "POS" in pctxs and pctxs["POS"].mode == MODE_NUM:
                     cols.append(ragged.itoa(pctxs["POS"].nums()))

@@ -205,3 +205,33 @@ def test_me23_to_vcf_translation(tmp_path):
     assert len(f) == 10 and f[8] == b"GT"
     nalt = sum(1 for l in lines if l.split(b"\t")[4] != b".")
     assert nalt == expect_alt
+
+
+def test_vcf_ref_vs_genome(tmp_path):
+    from genozip_tpu.ref import refstore
+    from tests.test_aligner import synth_genome
+    from genozip_tpu.ops import pack as packops
+    from genozip_tpu.piz_pipeline import piz_file
+    import numpy as np
+    d = str(tmp_path)
+    open(os.path.join(d, "v.fa"), "wb").write(synth_genome(60000, 1))
+    ref_path = os.path.join(d, "v.ref.gxz")
+    refstore.make_reference(os.path.join(d, "v.fa"), ref_path)
+    ref = refstore.load_ref_file(ref_path)
+    rng = np.random.default_rng(3)
+    rows = [b"##fileformat=VCFv4.2\n#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n"]
+    pos = 100
+    for i in range(1500):
+        pos += int(rng.integers(1, 30))
+        rb = packops.ACGT[ref.codes[pos - 1]]
+        refs = bytes([rb]) if rng.random() < 0.95 else b"ACG"  # some indels
+        alt = packops.ACGT[(int(ref.codes[pos - 1]) + 1) % 4]
+        rows.append(b"ctg0\t%d\t.\t%s\t%c\t50\tPASS\tDP=9\n" % (pos, refs, alt))
+    data = b"".join(rows)
+    src = os.path.join(d, "rv.vcf")
+    open(src, "wb").write(data)
+    z = src + ".gxz"
+    zip_file(src, z, reference=ref_path)
+    out = src + ".out"
+    piz_file(z, out, reference=ref_path)
+    assert open(out, "rb").read() == data
