@@ -72,6 +72,12 @@ def get():
             lib.gxz_acgt_unpack.argtypes = [ctypes.c_void_p, ctypes.c_int64,
                                             ctypes.c_void_p, ctypes.c_void_p,
                                             ctypes.c_int64, ctypes.c_void_p]
+            lib.gxz_pbwt_encode.restype = None
+            lib.gxz_pbwt_encode.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                                            ctypes.c_int64, ctypes.c_void_p]
+            lib.gxz_pbwt_decode.restype = None
+            lib.gxz_pbwt_decode.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                                            ctypes.c_int64, ctypes.c_void_p]
             lib.gxz_copy_ranges.restype = None
             lib.gxz_copy_ranges.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
                                             ctypes.c_void_p, ctypes.c_void_p,
@@ -161,6 +167,24 @@ def acgt_unpack(packed: np.ndarray, n: int, exc_pos: np.ndarray,
     lib.gxz_acgt_unpack(packed.ctypes.data, n, ep.ctypes.data,
                         eb.ctypes.data, ep.shape[0], out.ctypes.data)
     return out[:n]
+
+
+def pbwt_encode(A: np.ndarray) -> np.ndarray:
+    lib = get()
+    A = np.ascontiguousarray(A, dtype=np.uint8)
+    n, H = A.shape
+    Y = np.empty_like(A)
+    lib.gxz_pbwt_encode(A.ctypes.data, n, H, Y.ctypes.data)
+    return Y
+
+
+def pbwt_decode(Y: np.ndarray) -> np.ndarray:
+    lib = get()
+    Y = np.ascontiguousarray(Y, dtype=np.uint8)
+    n, H = Y.shape
+    A = np.empty_like(Y)
+    lib.gxz_pbwt_decode(Y.ctypes.data, n, H, A.ctypes.data)
+    return A
 
 
 def copy_ranges(src: np.ndarray, src_starts: np.ndarray, dst: np.ndarray,

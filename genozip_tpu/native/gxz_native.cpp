@@ -429,6 +429,43 @@ int64_t gxz_bam_scan(const uint8_t* data, int64_t len, int64_t* offsets,
 }
 
 // ---------------------------------------------------------------------------
+// PBWT encode/decode (reference src/codec_pbwt.c; Durbin's algorithm with a
+// stable counting sort per variant row). A[n][H] row-major uint8.
+// ---------------------------------------------------------------------------
+void gxz_pbwt_encode(const uint8_t* A, int64_t n, int64_t H, uint8_t* Y) {
+    std::vector<int32_t> perm(H), nperm(H);
+    for (int64_t j = 0; j < H; j++) perm[j] = (int32_t)j;
+    std::vector<int64_t> cnt(257);
+    for (int64_t i = 0; i < n; i++) {
+        const uint8_t* row = A + i * H;
+        uint8_t* y = Y + i * H;
+        for (int64_t j = 0; j < H; j++) y[j] = row[perm[j]];
+        // stable counting sort of perm by y
+        std::fill(cnt.begin(), cnt.end(), 0);
+        for (int64_t j = 0; j < H; j++) cnt[y[j] + 1]++;
+        for (int k = 1; k <= 256; k++) cnt[k] += cnt[k - 1];
+        for (int64_t j = 0; j < H; j++) nperm[cnt[y[j]]++] = perm[j];
+        perm.swap(nperm);
+    }
+}
+
+void gxz_pbwt_decode(const uint8_t* Y, int64_t n, int64_t H, uint8_t* A) {
+    std::vector<int32_t> perm(H), nperm(H);
+    for (int64_t j = 0; j < H; j++) perm[j] = (int32_t)j;
+    std::vector<int64_t> cnt(257);
+    for (int64_t i = 0; i < n; i++) {
+        const uint8_t* y = Y + i * H;
+        uint8_t* row = A + i * H;
+        for (int64_t j = 0; j < H; j++) row[perm[j]] = y[j];
+        std::fill(cnt.begin(), cnt.end(), 0);
+        for (int64_t j = 0; j < H; j++) cnt[y[j] + 1]++;
+        for (int k = 1; k <= 256; k++) cnt[k] += cnt[k - 1];
+        for (int64_t j = 0; j < H; j++) nperm[cnt[y[j]]++] = perm[j];
+        perm.swap(nperm);
+    }
+}
+
+// ---------------------------------------------------------------------------
 // Ragged range copy: for each row i, copy lens[i] bytes from
 // src + src_starts[i] to dst + dst_starts[i]. The backbone of all ragged
 // column ops (gather/scatter/interleave) — one pass, no index

@@ -15,6 +15,9 @@ import numpy as np
 def pbwt_encode(A: np.ndarray) -> np.ndarray:
     """A: (n_variants, H) uint8 allele matrix (values 0..255).
     Returns Y: (n, H) — rows permuted by the evolving PBWT order."""
+    from .. import native
+    if native.available():
+        return native.pbwt_encode(A)
     n, H = A.shape
     perm = np.arange(H, dtype=np.int64)
     Y = np.empty_like(A)
@@ -27,6 +30,9 @@ def pbwt_encode(A: np.ndarray) -> np.ndarray:
 
 
 def pbwt_decode(Y: np.ndarray) -> np.ndarray:
+    from .. import native
+    if native.available():
+        return native.pbwt_decode(Y)
     n, H = Y.shape
     perm = np.arange(H, dtype=np.int64)
     A = np.empty_like(Y)

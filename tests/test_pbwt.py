@@ -42,3 +42,21 @@ def test_pbwt_jnp_matches():
 def test_pbwt_multiallelic():
     A = RNG.integers(0, 11, (50, 30)).astype(np.uint8)
     assert (pbwt.pbwt_decode(pbwt.pbwt_encode(A)) == A).all()
+
+
+def test_native_matches_python():
+    from genozip_tpu import native
+    if not native.available():
+        return
+    A = synth_haplotypes(200, 150)
+    # compare native against the pure-python reference implementation
+    n, H = A.shape
+    perm = np.arange(H)
+    Ypy = np.empty_like(A)
+    for i in range(n):
+        y = A[i][perm]
+        Ypy[i] = y
+        perm = perm[np.argsort(y, kind="stable")]
+    Yn = native.pbwt_encode(A)
+    assert (Yn == Ypy).all()
+    assert (native.pbwt_decode(Yn) == A).all()
