@@ -125,7 +125,12 @@ class SamDT(DataType):
         ctxs["QLLEN"] = VBCtx("QLLEN", MODE_NUM,
                               local=np.diff(qual.lens, prepend=np.int64(0)),
                               cat="int", param=1)
-        ctxs.update(tokenizer_seg_col("AUX", aux, single_stream=True))
+        predict = None
+        if "SQBITMAP" in ctxs and ref is not None:
+            predict = self._predict_from_ctxs(
+                ctxs["SQBITMAP"].local.astype(bool), ctxs["SEQNM"].local,
+                ctxs["SEQMISP"].local, cigar, pos, rname, ref)
+        self._seg_aux(ctxs, aux, predict)
 
         if bad_rows.shape[0]:
             uw, inv = dedup_col(ragged.take(lines, bad_rows))
@@ -295,6 +300,383 @@ class SamDT(DataType):
         col = ragged.gather_ranges(seq.data, starts[order], lens[order])
         return col.data
 
+    # ------------------------------------------------------------------
+    # per-tag AUX contexts + MD/NM prediction
+    # ------------------------------------------------------------------
+
+    def _predict_from_ctxs(self, by_ref, nm_counts, mis_pos, cigar_col,
+                           pos_col, rname_col, ref):
+        """Derive (nm_pred[n], md_pred Col[n], has_md bool[n]) from the
+        *stored* mismatch channels, so ZIP and PIZ compute identical
+        predictions (reference src/sam_md.c sam_md_analyze, src/sam_nm.c)."""
+        n = by_ref.shape[0]
+        mm_row = np.repeat(np.nonzero(by_ref)[0], nm_counts)
+        mm_pos = np.asarray(mis_pos, dtype=np.int64)
+        pv, _ = ragged.atoi(pos_col)
+        gbase = self._gbase_of(rname_col, ref)
+        gpos0 = gbase + pv - 1
+        return self._md_nm_predict(cigar_col, n, by_ref, gpos0,
+                                   mm_row, mm_pos, ref)
+
+    def _md_nm_predict(self, cigar_col, n, by_ref, gpos0, mm_row, mm_pos,
+                       ref):
+        """Walk CIGAR groups once, producing per-row predicted NM:i (=
+        mismatches + inserted + deleted bases) and predicted MD:Z (match-run
+        lengths interleaved with ref bases at mismatches and ^-prefixed
+        deleted ref bases). Rows outside eligible CIGAR groups get
+        has_md=False (their MD stays literal)."""
+        from ..ops import pack as packops
+
+        nm_pred = np.zeros(n, np.int64)
+        has_md = np.zeros(n, bool)
+        total_match = np.zeros(n, np.int64)
+        mm_cnt = np.bincount(mm_row, minlength=n)
+        mm_off = np.concatenate([[0], np.cumsum(mm_cnt)])
+        nm_pred += mm_cnt
+
+        ev_row, ev_coord, ev_j = [], [], []
+        ev_refstart, ev_reflen, ev_isdel = [], [], []
+
+        for rows, ops, oplens in self._cigar_groups(cigar_col, n):
+            sel = by_ref[rows]
+            rows = rows[sel]
+            if rows.shape[0] == 0:
+                continue
+            oplens = oplens[sel]
+            has_md[rows] = True
+            # cumulative match length before each op / ref offset walk
+            roff = np.zeros(rows.shape[0], np.int64)
+            goff = gpos0[rows].copy()
+            mbefore = np.zeros(rows.shape[0], np.int64)
+            # this group's mismatch events (ragged per-row slices of the
+            # global channel, vectorized arange-repeat)
+            cnts = mm_cnt[rows]
+            tot = int(cnts.sum())
+            if tot:
+                base = np.repeat(mm_off[rows], cnts)
+                within = ragged.arange(tot) - np.repeat(
+                    np.concatenate([[0], np.cumsum(cnts)])[:-1], cnts)
+                eidx = base + within
+                eslot = np.repeat(ragged.arange(rows.shape[0]), cnts)
+                ep = mm_pos[eidx]
+            for j, op in enumerate(ops):
+                Lj = oplens[:, j]
+                if op in self._MATCH_OPS:
+                    if tot:
+                        m = (ep >= roff[eslot]) & (ep < roff[eslot] + Lj[eslot])
+                        if m.any():
+                            sl = eslot[m]
+                            d = ep[m] - roff[sl]
+                            ev_row.append(rows[sl])
+                            ev_coord.append(mbefore[sl] + d)
+                            ev_j.append(np.full(sl.shape[0], j, np.int64))
+                            ev_refstart.append(goff[sl] + d)
+                            ev_reflen.append(np.ones(sl.shape[0], np.int64))
+                            ev_isdel.append(np.zeros(sl.shape[0], bool))
+                    mbefore = mbefore + Lj
+                    total_match[rows] += Lj
+                elif op == ord("D"):
+                    nz = Lj > 0
+                    if nz.any():
+                        ev_row.append(rows[nz])
+                        ev_coord.append(mbefore[nz])
+                        ev_j.append(np.full(int(nz.sum()), j, np.int64))
+                        ev_refstart.append(goff[nz])
+                        ev_reflen.append(Lj[nz])
+                        ev_isdel.append(np.ones(int(nz.sum()), bool))
+                    nm_pred[rows] += Lj
+                elif op == ord("I"):
+                    nm_pred[rows] += Lj
+                if op in self._READ_OPS:
+                    roff = roff + Lj
+                if op in self._REF_OPS:
+                    goff = goff + Lj
+
+        if ev_row:
+            er = np.concatenate(ev_row)
+            ec = np.concatenate(ev_coord)
+            ej = np.concatenate(ev_j)
+            ers = np.concatenate(ev_refstart)
+            erl = np.concatenate(ev_reflen)
+            edl = np.concatenate(ev_isdel)
+            order = np.lexsort((ej, ec, er))
+            er, ec, ej = er[order], ec[order], ej[order]
+            ers, erl, edl = ers[order], erl[order], edl[order]
+        else:
+            er = ec = ej = ers = erl = np.zeros(0, np.int64)
+            edl = np.zeros(0, bool)
+
+        # gaps between events: gap_i = coord_i - consumed_after_{i-1}
+        consumed_after = ec + (~edl)
+        first = np.ones(er.shape[0], bool)
+        if er.shape[0] > 1:
+            first[1:] = er[1:] != er[:-1]
+        prev = np.concatenate([[0], consumed_after[:-1]])
+        gaps = ec - np.where(first, 0, prev)
+        # trailing number per md row
+        ecnt = np.bincount(er, minlength=n) if er.shape[0] else np.zeros(n, np.int64)
+        last_consumed = np.zeros(n, np.int64)
+        if er.shape[0]:
+            last_idx = np.concatenate([[0], np.cumsum(ecnt)])[1:][ecnt > 0] - 1
+            last_consumed[ecnt > 0] = consumed_after[last_idx]
+        trailing = total_match - last_consumed
+
+        # payload bytes: '^'+bases for deletions, 1 base for mismatches
+        pay_lens = erl + edl
+        pay_off = np.concatenate([[0], np.cumsum(pay_lens)])
+        pay = np.empty(int(pay_off[-1]), np.uint8)
+        pay[pay_off[:-1][edl]] = ord("^")
+        letters = ragged.gather_ranges(ref.codes, ers, erl)
+        # scatter letters after the optional '^'
+        if letters.data.shape[0]:
+            dst = np.repeat(pay_off[:-1] + edl, erl) + (
+                ragged.arange(int(erl.sum()))
+                - np.repeat(np.concatenate([[0], np.cumsum(erl)])[:-1], erl))
+            pay[dst] = packops.ACGT[letters.data]
+        pay_col = Col(pay, pay_off)
+
+        # number pieces: per md row, [gap_0..gap_{c-1}, trailing]
+        md_rows = np.nonzero(has_md)[0]
+        c_r = ecnt[md_rows]
+        num_per_row = c_r + 1
+        ntot = int(num_per_row.sum())
+        num_vals = np.empty(ntot, np.int64)
+        row_num_start = np.concatenate([[0], np.cumsum(num_per_row)])
+        slot_of_row = np.full(n, -1, np.int64)
+        slot_of_row[md_rows] = ragged.arange(md_rows.shape[0])
+        # events are sorted by row => within-row index by subtracting starts
+        if er.shape[0]:
+            ev_within = ragged.arange(er.shape[0]) - np.concatenate(
+                [[0], np.cumsum(ecnt)])[er]
+            num_vals[row_num_start[:-1][slot_of_row[er]] + ev_within] = gaps
+        num_vals[row_num_start[1:] - 1] = trailing[md_rows]
+        num_col = ragged.itoa(num_vals)
+
+        # piece interleave: numbers at key 2*i, payloads at key 2*i+1
+        if er.shape[0]:
+            num_key = np.empty(ntot, np.int64)
+            nwithin = ragged.arange(ntot) - np.repeat(
+                row_num_start[:-1], num_per_row)
+            num_key[:] = (np.repeat(md_rows, num_per_row) << 24) | (nwithin << 1)
+            pay_key = (er << 24) | (ev_within << 1) | 1
+            all_data = np.concatenate([num_col.data, pay_col.data])
+            all_off = np.concatenate(
+                [num_col.offsets[:-1], pay_col.offsets[:-1] + num_col.data.shape[0]])
+            all_lens = np.concatenate([num_col.lens, pay_col.lens])
+            keys = np.concatenate([num_key, pay_key])
+            perm = np.argsort(keys, kind="stable")
+            pieces = ragged.gather_ranges(all_data, all_off[perm], all_lens[perm])
+            piece_row = (keys[perm] >> 24)
+            row_lens = np.bincount(piece_row, weights=pieces.lens,
+                                   minlength=n).astype(np.int64)
+            md_col = Col(pieces.data,
+                         np.concatenate([[0], np.cumsum(row_lens)]))
+        else:
+            row_lens = np.zeros(n, np.int64)
+            row_lens[md_rows] = num_col.lens
+            md_col = Col(num_col.data,
+                         np.concatenate([[0], np.cumsum(row_lens)]))
+        return nm_pred, md_col, has_md
+
+    _ALNUM = np.zeros(256, bool)
+    _ALNUM[ord("0"):ord("9") + 1] = True
+    _ALNUM[ord("A"):ord("Z") + 1] = True
+    _ALNUM[ord("a"):ord("z") + 1] = True
+
+    def _aux_fields(self, aux):
+        """Split the raw AUX remainder into per-field (start, end, row)
+        arrays + per-row regularity. A regular row is (\\t TG:t:VALUE)* with
+        alnum tag/type bytes; irregular rows go verbatim to AUXEXC."""
+        n = len(aux)
+        data = aux.data
+        tp = np.nonzero(data == ord("\t"))[0]
+        k = tp.shape[0]
+        frow = np.searchsorted(aux.offsets[1:], tp, side="right")
+        fs = tp + 1
+        if k:
+            row_last = np.ones(k, bool)
+            row_last[:-1] = frow[1:] != frow[:-1]
+            fe = np.where(row_last, aux.offsets[1:][frow],
+                          np.concatenate([tp[1:], [0]]))
+        else:
+            fe = np.zeros(0, np.int64)
+        flen = fe - fs
+        dmax = max(data.shape[0] - 1, 0)
+        at = lambda p: data[np.minimum(p, dmax)] if data.shape[0] else np.zeros(k, np.uint8)
+        fok = (flen >= 5) & (at(fs + 2) == ord(":")) & (at(fs + 4) == ord(":")) \
+            & self._ALNUM[at(fs)] & self._ALNUM[at(fs + 1)] \
+            & self._ALNUM[at(fs + 3)]
+        row_ok = np.ones(n, bool)
+        np.logical_and.at(row_ok, frow, fok)
+        # non-empty rows must start with '\t' and contain at least one tab
+        lens = aux.lens
+        nonempty = lens > 0
+        starts = np.minimum(aux.offsets[:-1], dmax)
+        if data.shape[0]:
+            row_ok &= ~nonempty | (data[starts] == ord("\t"))
+        has_tab = np.zeros(n, bool)
+        has_tab[frow] = True
+        row_ok &= ~nonempty | has_tab
+        return fs, fe, frow, row_ok
+
+    @staticmethod
+    def _tag_name(b0, b1, b3):
+        return "AX" + chr(b0) + chr(b1) + chr(b3)
+
+    def _seg_aux(self, ctxs, aux, predict=None):
+        """Per-tag AUX contexts (reference src/sam_fields.c: one context per
+        aux tag keyed by DictId). Layout word per row = concatenated 4-byte
+        'TG:t' prefixes (AUXL dict); per tag one value context AX<TG><t>.
+        With `predict` (from the SEQ-vs-ref walk): NM:i stored as
+        delta-vs-predicted (param=4, reference src/sam_nm.c) and MD:Z as an
+        OK bitmap + literal exceptions (reference src/sam_md.c)."""
+        n = len(aux)
+        data = aux.data
+        fs, fe, frow, row_ok = self._aux_fields(aux)
+        sel = row_ok[frow]
+        fs_s, fe_s, frow_s = fs[sel], fe[sel], frow[sel]
+        F = fs_s.shape[0]
+
+        # layout column
+        nf = np.bincount(frow_s, minlength=n)
+        llens = np.where(row_ok, 4 * nf, 1)
+        loff = np.concatenate([[0], np.cumsum(llens)])
+        ldata = np.empty(int(loff[-1]), np.uint8)
+        bad_rows = np.nonzero(~row_ok)[0]
+        ldata[loff[:-1][bad_rows]] = 0
+        if F:
+            fidx = ragged.arange(F) - np.concatenate(
+                [[0], np.cumsum(nf)])[:-1][frow_s]
+            pdst = loff[:-1][frow_s] + 4 * fidx
+            for b in range(4):
+                ldata[pdst + b] = data[fs_s + b]
+        uw, inv = dedup_col(Col(ldata, loff))
+        ctxs["AUXL"] = VBCtx("AUXL", MODE_DICT, b250=inv, vb_words=uw,
+                             cat="b250")
+        if bad_rows.shape[0]:
+            uwx, invx = dedup_col(ragged.take(aux, bad_rows))
+            ctxs["AUXEXC"] = VBCtx("AUXEXC", MODE_DICT, b250=invx,
+                                   vb_words=uwx, cat="text")
+        if F == 0:
+            return
+
+        key = (data[fs_s].astype(np.uint32) << 16) \
+            | (data[fs_s + 1].astype(np.uint32) << 8) \
+            | data[fs_s + 3].astype(np.uint32)
+        nm_pred = md_col = has_md = None
+        if predict is not None:
+            nm_pred, md_col, has_md = predict
+        for t in np.unique(key):
+            idx = np.nonzero(key == t)[0]
+            b0, b1, b3 = (int(t) >> 16) & 0xFF, (int(t) >> 8) & 0xFF, int(t) & 0xFF
+            name = self._tag_name(b0, b1, b3)
+            vals = ragged.gather_ranges(data, fs_s[idx] + 5,
+                                        fe_s[idx] - fs_s[idx] - 5)
+            rows_t = frow_s[idx]
+            if b3 == ord("i"):
+                iv, iok = ragged.atoi(vals)
+                if iok.all():
+                    if nm_pred is not None and (b0, b1) == (ord("N"), ord("M")):
+                        ctxs[name] = VBCtx(name, MODE_NUM,
+                                           local=iv - nm_pred[rows_t],
+                                           cat="int", param=4)
+                    else:
+                        d = np.diff(iv, prepend=np.int64(0))
+                        if iv.shape[0] > 4 and (d[1:] >= 0).mean() > 0.9:
+                            ctxs[name] = VBCtx(name, MODE_NUM, local=d,
+                                               cat="int", param=1)
+                        else:
+                            ctxs[name] = VBCtx(name, MODE_NUM, local=iv,
+                                               cat="int", param=0)
+                    continue
+            if md_col is not None and (b0, b1, b3) == (ord("M"), ord("D"),
+                                                       ord("Z")):
+                pred_vals = ragged.take(md_col, rows_t)
+                eq = (vals.lens == pred_vals.lens) & has_md[rows_t]
+                if eq.any():
+                    a = ragged.take(vals, np.nonzero(eq)[0])
+                    b = ragged.take(pred_vals, np.nonzero(eq)[0])
+                    neq_rows = np.unique(np.searchsorted(
+                        a.offsets[1:], np.nonzero(a.data != b.data)[0],
+                        side="right"))
+                    if neq_rows.shape[0]:
+                        eq_idx = np.nonzero(eq)[0]
+                        eq[eq_idx[neq_rows]] = False
+                ctxs[name + "K"] = VBCtx(name + "K", MODE_NUM,
+                                         local=eq.astype(np.int64), cat="int")
+                if (~eq).any():
+                    exc = ragged.take(vals, np.nonzero(~eq)[0])
+                    ctxs.update(tokenizer_seg_col(name, exc,
+                                                  single_stream=True))
+                continue
+            ctxs.update(tokenizer_seg_col(name, vals, single_stream=True))
+
+    def _recon_aux(self, pctxs, n, predict=None):
+        """Rebuild the AUX remainder (leading-\\t convention) from AUXL
+        layout + per-tag contexts."""
+        layout = pctxs["AUXL"].dict_take()
+        ld = layout.data
+        llen = layout.lens
+        bad = llen == 1
+        nf = np.where(bad, 0, llen // 4)
+        F = int(nf.sum())
+        field_row = np.repeat(ragged.arange(n), nf)
+        nm_pred = md_col = has_md = None
+        if predict is not None:
+            nm_pred, md_col, has_md = predict
+        if F:
+            fidx = ragged.arange(F) - np.concatenate(
+                [[0], np.cumsum(nf)])[:-1][field_row]
+            pstart = layout.offsets[:-1][field_row] + 4 * fidx
+            key = (ld[pstart].astype(np.uint32) << 16) \
+                | (ld[pstart + 1].astype(np.uint32) << 8) \
+                | ld[pstart + 3].astype(np.uint32)
+            parts = []
+            for t in np.unique(key):
+                idx = np.nonzero(key == t)[0]
+                b0, b1, b3 = (int(t) >> 16) & 0xFF, (int(t) >> 8) & 0xFF, \
+                    int(t) & 0xFF
+                name = self._tag_name(b0, b1, b3)
+                rows_t = field_row[idx]
+                pc = pctxs.get(name)
+                if name + "K" in pctxs:
+                    okf = pctxs[name + "K"].nums().astype(bool)
+                    pred_vals = ragged.take(md_col, rows_t)
+                    exc_cnt = int((~okf).sum())
+                    sub = [(np.nonzero(okf)[0],
+                            ragged.take(pred_vals, np.nonzero(okf)[0]))]
+                    if exc_cnt:
+                        exc = tokenizer_recon_col(name, pctxs, exc_cnt)
+                        sub.append((np.nonzero(~okf)[0], exc))
+                    col = ragged.merge_rows(idx.shape[0], sub)
+                elif pc is not None and pc.mode == MODE_NUM:
+                    v = pc.nums()
+                    if pc.param == 4:
+                        v = pc.local.astype(np.int64) + nm_pred[rows_t]
+                    col = ragged.itoa(v)
+                else:
+                    col = tokenizer_recon_col(name, pctxs, idx.shape[0])
+                parts.append((idx, col))
+            val_col = ragged.merge_rows(F, parts)
+            pref_col = ragged.gather_ranges(ld, pstart,
+                                            np.full(F, 4, np.int64))
+            zero = Col(np.zeros(0, np.uint8), np.zeros(F + 1, np.int64))
+            fields = ragged.interleave([zero, pref_col, val_col],
+                                       sep_after=[b"\t", b":", None])
+            row_lens = np.bincount(field_row, weights=fields.lens,
+                                   minlength=n).astype(np.int64)
+            aux_col = Col(fields.data,
+                          np.concatenate([[0], np.cumsum(row_lens)]))
+        else:
+            aux_col = Col(np.zeros(0, np.uint8), np.zeros(n + 1, np.int64))
+        bad_rows = np.nonzero(bad)[0]
+        if bad_rows.shape[0]:
+            good_rows = np.nonzero(~bad)[0]
+            aux_col = ragged.merge_rows(
+                n, [(good_rows, ragged.take(aux_col, good_rows)),
+                    (bad_rows, pctxs["AUXEXC"].dict_take())])
+        return aux_col
+
     def _recon_seq_vs_ref(self, pctxs, lens, pos_col, rname_col, cigar_col):
         from ..ops import pack as packops
 
@@ -409,7 +791,18 @@ class SamDT(DataType):
             else:
                 seq = pctxs["NONREF"].txt_col(sqlens)
             qual = pctxs["QUAL"].txt_col(pctxs["QLLEN"].nums())
-            aux = tokenizer_recon_col("AUX", pctxs, ng)
+            if "AUXL" in pctxs:
+                predict = None
+                if "SQBITMAP" in pctxs:
+                    ref = getattr(self, "ref", None)
+                    assert ref is not None, "archive needs --reference"
+                    predict = self._predict_from_ctxs(
+                        pctxs["SQBITMAP"].nums().astype(bool),
+                        pctxs["SEQNM"].nums(), pctxs["SEQMISP"].nums(),
+                        cigar, pos, rname, ref)
+                aux = self._recon_aux(pctxs, ng, predict)
+            else:
+                aux = tokenizer_recon_col("AUX", pctxs, ng)
             t = b"\t"
             glines = ragged.interleave(
                 [qname, flag, rname, pos, mapq, cigar, rnext, pnext, tlen,

@@ -66,9 +66,12 @@ def tokenizer_seg_col(prefix: str, col: Col, single_stream: bool = False,
     ctxs = {}
     if data.shape[0] and (data == TOK_MARK).any():
         # rows containing the placeholder byte can't be templated; store the
-        # whole column as a plain dict (correct, just less compact)
+        # whole column as a plain dict (correct, just less compact).
+        # param=5 tells recon the words are verbatim (their \x01 bytes are
+        # literal, not numeric-run marks)
         uw, inv = dedup_col(col)
-        ctxs[prefix] = VBCtx(prefix, MODE_DICT, b250=inv, vb_words=uw, cat="b250")
+        ctxs[prefix] = VBCtx(prefix, MODE_DICT, b250=inv, vb_words=uw,
+                             cat="b250", param=5)
         return ctxs
     if n == 0 or data.shape[0] == 0:
         tmpl_col = Col.from_list([b""] * n) if n else Col.from_list([])
@@ -186,6 +189,8 @@ def tokenizer_recon_col(prefix: str, pctxs, n: int) -> Col:
     """Rebuild the column from template dict + numeric streams."""
     tc = pctxs[prefix]
     tmpl = tc.dict_take()  # Col of per-row templates
+    if tc.param == 5:      # verbatim fallback: \x01 bytes are literal
+        return tmpl
     data = tmpl.data
     marks = np.nonzero(data == TOK_MARK)[0]
     if marks.shape[0] == 0:
