@@ -104,11 +104,16 @@ class SamDT(DataType):
         ctxs.update(_num_or_tok("MAPQ", mapq))
         ctxs.update(tokenizer_seg_col("CIGAR", cigar))
         # PNEXT as mate-delta vs POS (reference mate-copy snips,
-        # sam_seg.c:27-60): insert-size-scale values instead of a delta chain
+        # sam_seg.c:27-60): insert-size-scale values instead of a delta
+        # chain. PNEXT=0 (no mate) encodes as 0; non-negative deltas shift
+        # up by 1 to keep 0 free — otherwise unpaired reads store -POS,
+        # which anti-compresses.
         pv_, pok_ = ragged.atoi(pos)
         pn_, nok_ = ragged.atoi(pnext)
         if pok_.all() and nok_.all() and len(pos):
-            ctxs["PNEXT"] = VBCtx("PNEXT", MODE_NUM, local=pn_ - pv_,
+            d = pn_ - pv_
+            enc = np.where(pn_ == 0, 0, np.where(d >= 0, d + 1, d))
+            ctxs["PNEXT"] = VBCtx("PNEXT", MODE_NUM, local=enc,
                                   cat="int", param=3)
         else:
             ctxs.update(_num_or_tok("PNEXT", pnext, delta=True))
@@ -781,7 +786,10 @@ class SamDT(DataType):
             pc_pn = pctxs.get("PNEXT")
             if pc_pn is not None and pc_pn.mode == MODE_NUM and pc_pn.param == 3:
                 pv_, _ = ragged.atoi(pos)
-                pnext = ragged.itoa(pv_ + pc_pn.local.astype(np.int64))
+                enc = pc_pn.local.astype(np.int64)
+                pn_ = np.where(enc == 0, 0,
+                               np.where(enc > 0, pv_ + enc - 1, pv_ + enc))
+                pnext = ragged.itoa(pn_)
             else:
                 pnext = _recon_num_or_tok("PNEXT", pctxs, ng)
             tlen = _recon_num_or_tok("TLEN", pctxs, ng)
