@@ -75,7 +75,9 @@ class VcfDT(DataType):
                     # sub-contexts, src/vcf_info.c)
                     ctxs.update(tokenizer_seg_col("INFO", col, max_tokens=64))
             if nf > 9:
-                if not self._try_seg_gt_pbwt(ctxs, fields, nf):
+                if self._seg_samples(ctxs, fields, nf):
+                    pass
+                else:
                     # fallback: join sample fields with \t, one tokenized column
                     smp = ragged.interleave(fields[9:],
                                             sep_after=[b"\t"] * (nf - 10) + [None])
@@ -133,80 +135,193 @@ class VcfDT(DataType):
         return ragged.merge_rows(ng, [(np.nonzero(same)[0], same_col),
                                       (np.nonzero(~same)[0], rest)])
 
-    def _try_seg_gt_pbwt(self, ctxs, fields, nf):
-        """GT-first sample matrices go through the PBWT haplotype transform
-        (reference parity: src/codec_pbwt.c, src/vcf_format_GT.c). Handles the
-        common shape: every sample cell is `a<sep>b[:rest]` with single-char
-        alleles (digit or '.') and sep in '/|'. Anything else falls back to
-        the tokenizer path (returns False)."""
-        from ..ops.pbwt import pbwt_encode
+    MAX_FMT_TAGS = 24
 
-        fmt_col = fields[8]
-        fm, fl = ragged.to_matrix(fmt_col)
-        if fm.shape[1] < 2:
-            return False
-        ok = (fl >= 2) & (fm[:, 0] == ord("G")) & (fm[:, 1] == ord("T"))
-        if fm.shape[1] > 2:
-            ok &= (fl == 2) | (fm[:, 2] == ord(":"))
-        if not ok.all():
-            return False
-
+    def _sample_cells(self, fields, nf):
+        """Concatenate the sample columns sample-major (transposed: all rows
+        of sample 0, then sample 1, ...) — the reference's LT_UINT8_TR
+        sample-matrix transpose as a layout choice, src/vcf_samples.c."""
         S = nf - 9
-        n = len(fields[9])
-        A = np.empty((n, 2 * S), dtype=np.uint8)
-        phase = np.empty((n, S), dtype=np.uint8)
-        rests = []
-        for s in range(S):
-            col = fields[9 + s]
-            mat, lens = ragged.to_matrix(col)
-            if mat.shape[1] < 3 or not (lens >= 3).all():
-                return False
-            a1, sep, a2 = mat[:, 0], mat[:, 1], mat[:, 2]
-            is_allele = lambda c: ((c >= ord("0")) & (c <= ord("9"))) | (c == ord("."))
-            good = is_allele(a1) & is_allele(a2) & \
-                ((sep == ord("/")) | (sep == ord("|")))
-            if mat.shape[1] > 3:
-                good &= (lens == 3) | (mat[:, 3] == ord(":"))
-            if not good.all():
-                return False
-            conv = lambda c: np.where(c == ord("."), 10, c - ord("0")).astype(np.uint8)
-            A[:, 2 * s] = conv(a1)
-            A[:, 2 * s + 1] = conv(a2)
-            phase[:, s] = (sep == ord("|")).astype(np.uint8)
-            rests.append(ragged.gather_ranges(col.data, col.offsets[:-1] + 3,
-                                              lens - 3))
+        data = np.concatenate([fields[9 + s].data for s in range(S)])
+        lens = np.concatenate([fields[9 + s].lens for s in range(S)])
+        return Col(data, np.concatenate([[0], np.cumsum(lens)])), S
 
-        Y = pbwt_encode(A)
-        ctxs["PBWT"] = VBCtx("PBWT", MODE_NUM, local=Y.reshape(-1).astype(np.int64),
-                             cat="pbwt")
-        ctxs["GTPHASE"] = VBCtx("GTPHASE", MODE_NUM,
-                                local=phase.reshape(-1).astype(np.int64),
-                                cat="int")
-        smpr = ragged.interleave(rests, sep_after=[b"\t"] * (S - 1) + [None])
-        ctxs.update(tokenizer_seg_col("SMPR", smpr, single_stream=True))
+    def _seg_samples(self, ctxs, fields, nf):
+        """Per-FORMAT-tag sample sub-contexts (reference parity:
+        src/vcf_samples.c:1601 per-tag contexts + transpose). Requires one
+        FORMAT word per VB; each cell splits on ':' into per-tag streams
+        (trailing tags may be dropped per spec — a per-cell count stream
+        handles ragged cells). GT goes through the PBWT haplotype transform
+        (src/codec_pbwt.c, src/vcf_format_GT.c) with per-cell exceptions."""
+        fmt_col = fields[8]
+        uw, _inv = dedup_col(fmt_col)
+        if len(uw) != 1:
+            return False
+        tags = uw.row(0).split(b":")
+        T = len(tags)
+        if T == 0 or T > self.MAX_FMT_TAGS or any(len(t) == 0 for t in tags):
+            return False
+        cells, S = self._sample_cells(fields, nf)
+        C = len(cells)
+        data = cells.data
+        cp = np.nonzero(data == ord(":"))[0]
+        cell_of = np.searchsorted(cells.offsets[1:], cp, side="right")
+        ncol = np.bincount(cell_of, minlength=C)
+        ncnt = ncol + 1
+        bad = (ncnt > T) | (cells.lens == 0)
+        ncnt = np.where(bad, 0, ncnt)
+        if bad.any():
+            uwx, invx = dedup_col(ragged.take(cells, np.nonzero(bad)[0]))
+            ctxs["SMPEXC"] = VBCtx("SMPEXC", MODE_DICT, b250=invx,
+                                   vb_words=uwx, cat="text")
+        if bad.any() or (ncnt != T).any():
+            ctxs["SMPNC"] = VBCtx("SMPNC", MODE_NUM, local=ncnt.astype(np.int64),
+                                  cat="int")
+        fc = np.concatenate([[0], np.cumsum(ncol)])  # first colon of cell
+        cpx = np.concatenate([cp, [0]])  # safe index
+        for t in range(T):
+            sel = np.nonzero(ncnt > t)[0]
+            if sel.shape[0] == 0:
+                continue
+            st = np.where(t == 0, cells.offsets[:-1][sel],
+                          cpx[fc[sel] + t - 1] + 1)
+            en = np.where(ncnt[sel] - 1 == t, cells.offsets[1:][sel],
+                          cpx[np.minimum(fc[sel] + t, cp.shape[0] - 1 if cp.shape[0] else 0)])
+            vals = ragged.gather_ranges(data, st, en - st)
+            name = f"FS{t}"
+            if tags[t] == b"GT" and sel.shape[0] == C and \
+                    self._seg_gt_pbwt(ctxs, vals, C // S, S, name):
+                continue
+            iv, iok = ragged.atoi(vals)
+            if vals.data.shape[0] and iok.all():
+                ctxs[name] = VBCtx(name, MODE_NUM, local=iv, cat="int")
+            else:
+                ctxs.update(tokenizer_seg_col(name, vals, single_stream=True))
         return True
 
-    def _recon_gt_pbwt(self, pctxs, ng, nf):
+    def _seg_gt_pbwt(self, ctxs, vals, n, S, name):
+        """PBWT the GT subfields when they're diploid single-char alleles
+        (vals: sample-major n*S rows). Cells deviating from the `a<sep>b`
+        pattern ride a per-cell exception bitmap + tokenizer channel; the
+        PBWT matrix gets placeholders."""
+        from ..ops.pbwt import pbwt_encode
+
+        mat, lens = ragged.to_matrix(vals)
+        if mat.shape[1] < 3:
+            return False
+        a1, sep, a2 = mat[:, 0], mat[:, 1], mat[:, 2]
+        is_allele = ((a1 >= ord("0")) & (a1 <= ord("9"))) | (a1 == ord("."))
+        is_allele2 = ((a2 >= ord("0")) & (a2 <= ord("9"))) | (a2 == ord("."))
+        good = (lens == 3) & is_allele & is_allele2 & \
+            ((sep == ord("/")) | (sep == ord("|")))
+        if good.mean() < 0.5:
+            return False  # mostly non-diploid: generic path wins
+        conv = lambda c: np.where(c == ord("."), 10, c - ord("0")).astype(np.uint8)
+        # cells are sample-major: reshape (S, n) then transpose to (n, 2S)
+        A = np.empty((n, 2 * S), dtype=np.uint8)
+        a1m = np.where(good, conv(a1), 10).reshape(S, n)
+        a2m = np.where(good, conv(a2), 10).reshape(S, n)
+        ph = np.where(good, (sep == ord("|")).astype(np.uint8), 0).reshape(S, n)
+        A[:, 0::2] = a1m.T
+        A[:, 1::2] = a2m.T
+        Y = pbwt_encode(A)
+        ctxs["PBWT"] = VBCtx("PBWT", MODE_NUM,
+                             local=Y.reshape(-1).astype(np.int64), cat="pbwt")
+        ctxs["GTPHASE"] = VBCtx("GTPHASE", MODE_NUM,
+                                local=ph.reshape(-1).astype(np.int64),
+                                cat="int")
+        if (~good).any():
+            ctxs["GTEXC"] = VBCtx("GTEXC", MODE_NUM,
+                                  local=(~good).astype(np.int64), cat="int")
+            exc = ragged.take(vals, np.nonzero(~good)[0])
+            ctxs.update(tokenizer_seg_col(name, exc, single_stream=True))
+        return True
+
+    def _recon_samples(self, pctxs, ng, nf):
+        """Rebuild the sample matrix from per-tag contexts."""
+        fmt = pctxs["FORMAT"].dict_take()
+        S = nf - 9
+        C = ng * S
+        tags = (fmt.row(0) if ng else b"").split(b":")
+        T = len(tags)
+        if "SMPNC" in pctxs:
+            ncnt = pctxs["SMPNC"].nums()
+        else:
+            ncnt = np.full(C, T, np.int64)
+        bad = ncnt == 0
+        # subfield slots per cell
+        nsub = np.maximum(ncnt, 0)
+        sub_off = np.concatenate([[0], np.cumsum(nsub)])
+        total_subs = int(sub_off[-1])
+        parts = []
+        for t in range(T):
+            cells_t = np.nonzero(ncnt > t)[0]
+            if cells_t.shape[0] == 0:
+                continue
+            name = f"FS{t}"
+            if tags[t] == b"GT" and "PBWT" in pctxs:
+                col = self._recon_gt_cells(pctxs, ng, S, name)
+            elif name in pctxs and pctxs[name].mode == MODE_NUM:
+                col = ragged.itoa(pctxs[name].nums())
+            else:
+                col = tokenizer_recon_col(name, pctxs, cells_t.shape[0])
+            parts.append((sub_off[:-1][cells_t] + t, col))
+        subs = ragged.merge_rows(total_subs, parts)
+        # join each cell's subfields with ':'
+        last_of_cell = np.zeros(total_subs, bool)
+        if total_subs:
+            last_of_cell[sub_off[1:][nsub > 0] - 1] = True
+        piece_lens = subs.lens + (~last_of_cell)
+        dst = np.concatenate([[0], np.cumsum(piece_lens)])
+        out = np.empty(int(dst[-1]), np.uint8)
+        sep_at = dst[:-1][~last_of_cell] + subs.lens[~last_of_cell]
+        out[sep_at] = ord(":")
+        from .. import native
+        if native.available() and total_subs > 64:
+            native.copy_ranges(subs.data, subs.offsets[:-1], out,
+                               dst[:-1], subs.lens)
+        else:
+            tot = int(subs.lens.sum())
+            if tot:
+                pos = ragged.arange(tot) - np.repeat(subs.offsets[:-1], subs.lens)
+                out[np.repeat(dst[:-1], subs.lens) + pos] = subs.data
+        cell_lens = np.zeros(C, np.int64)
+        if total_subs:
+            sub_cell = np.repeat(ragged.arange(C), nsub)
+            cell_lens = np.bincount(sub_cell, weights=piece_lens,
+                                    minlength=C).astype(np.int64)
+        cells = Col(out, np.concatenate([[0], np.cumsum(cell_lens)]))
+        if bad.any():
+            cells = ragged.merge_rows(
+                C, [(np.nonzero(~bad)[0], ragged.take(cells, np.nonzero(~bad)[0])),
+                    (np.nonzero(bad)[0], pctxs["SMPEXC"].dict_take())])
+        # sample-major cells -> per-sample columns -> tab-joined rows
+        cols = [ragged.take(cells, ragged.arange(ng) + s * ng)
+                for s in range(S)]
+        return ragged.interleave(cols, sep_after=[b"\t"] * (S - 1) + [None])
+
+    def _recon_gt_cells(self, pctxs, ng, S, name):
+        """Sample-major GT subfield column from PBWT + phase + exceptions."""
         from ..ops.pbwt import pbwt_decode
 
-        S = nf - 9
         Y = pctxs["PBWT"].nums().astype(np.uint8).reshape(ng, 2 * S)
         A = pbwt_decode(Y)
-        phase = pctxs["GTPHASE"].nums().astype(np.uint8).reshape(ng, S)
-        smpr = tokenizer_recon_col("SMPR", pctxs, ng)
-        rests = ragged.split_fields_fixed(smpr, ord("\t"), S)
+        phase = pctxs["GTPHASE"].nums().astype(np.uint8).reshape(S, ng)
         unconv = lambda c: np.where(c == 10, ord("."), c + ord("0")).astype(np.uint8)
-        cols, seps = [], []
-        for s in range(S):
-            gt3 = np.empty((ng, 3), dtype=np.uint8)
-            gt3[:, 0] = unconv(A[:, 2 * s])
-            gt3[:, 1] = np.where(phase[:, s] == 1, ord("|"), ord("/"))
-            gt3[:, 2] = unconv(A[:, 2 * s + 1])
-            sample = ragged.interleave([Col.from_fixed(gt3), rests[s]],
-                                       sep_after=[None, None])
-            cols.append(sample)
-            seps.append(b"\t" if s < S - 1 else None)
-        return ragged.interleave(cols, sep_after=seps)
+        gt3 = np.empty((S, ng, 3), dtype=np.uint8)
+        gt3[:, :, 0] = unconv(A[:, 0::2].T)
+        gt3[:, :, 1] = np.where(phase == 1, ord("|"), ord("/"))
+        gt3[:, :, 2] = unconv(A[:, 1::2].T)
+        col = Col.from_fixed(gt3.reshape(ng * S, 3))
+        if "GTEXC" in pctxs:
+            excm = pctxs["GTEXC"].nums().astype(bool)
+            exc_idx = np.nonzero(excm)[0]
+            exc = tokenizer_recon_col(name, pctxs, exc_idx.shape[0])
+            col = ragged.merge_rows(
+                ng * S, [(np.nonzero(~excm)[0],
+                          ragged.take(col, np.nonzero(~excm)[0])),
+                         (exc_idx, exc)])
+        return col
 
     def recon_vb(self, pctxs: dict, meta: dict) -> bytes:
         n = meta["num_lines"]
@@ -232,10 +347,10 @@ class VcfDT(DataType):
                     cols.append(tokenizer_recon_col(fname, pctxs, ng))
                 seps.append(b"\t")
             if nf > 9:
-                if "PBWT" in pctxs:
-                    cols.append(self._recon_gt_pbwt(pctxs, ng, nf))
-                else:
+                if "SMP" in pctxs:
                     cols.append(tokenizer_recon_col("SMP", pctxs, ng))
+                else:
+                    cols.append(self._recon_samples(pctxs, ng, nf))
                 seps.append(None)
             else:
                 seps[-1] = None

@@ -1,0 +1,107 @@
+"""Per-FORMAT-tag sample sub-contexts (reference src/vcf_samples.c:1601) —
+ragged cells (trailing-tag dropping), missing samples, non-diploid GT
+exceptions, numeric tag streams."""
+
+import os
+
+import numpy as np
+
+from genozip_tpu.datatypes import get
+from tests.test_roundtrip import roundtrip
+
+RNG = np.random.default_rng(33)
+
+
+def synth_rich_vcf(n=2500, samples=6):
+    hdr = (b"##fileformat=VCFv4.2\n"
+           b"##contig=<ID=chr1,length=248956422>\n"
+           b"#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT" +
+           b"".join(b"\tS%d" % i for i in range(samples)) + b"\n")
+    out = [hdr]
+    pos = 10000
+    bases = b"ACGT"
+    for i in range(n):
+        pos += int(RNG.integers(1, 500))
+        cells = []
+        for s in range(samples):
+            r = RNG.random()
+            if r < 0.03:
+                cells.append(b".")                      # missing sample
+            elif r < 0.06:
+                cells.append(b"0/1")                    # trailing tags dropped
+            elif r < 0.08:
+                cells.append(b"0/1/1:12:30,2:99")       # triploid GT (exception)
+            else:
+                cells.append(b"%d%s%d:%d:%d,%d:%d" % (
+                    RNG.integers(0, 3), [b"/", b"|"][int(RNG.integers(0, 2))],
+                    RNG.integers(0, 3), RNG.integers(1, 90),
+                    RNG.integers(0, 60), RNG.integers(0, 40),
+                    RNG.integers(0, 100)))
+        out.append(b"chr1\t%d\t.\t%s\t%s\t%d\tPASS\tDP=%d\tGT:DP:AD:GQ\t%s\n"
+                   % (pos, bases[RNG.integers(0, 4):][:1],
+                      bases[RNG.integers(0, 4):][:1], RNG.integers(20, 90),
+                      RNG.integers(10, 400), b"\t".join(cells)))
+    return b"".join(out)
+
+
+def test_vcf_per_tag_roundtrip(tmp_path):
+    data = synth_rich_vcf()
+    zsize = roundtrip(str(tmp_path), "rich.vcf", data)
+    assert zsize < len(data) * 0.30
+
+
+def test_vcf_per_tag_contexts_engage():
+    data = synth_rich_vcf(n=500)
+    body = data.split(b"#CHROM", 1)[1].split(b"\n", 1)[1]
+    dt = get("vcf")()
+    res = dt.seg_vb(np.frombuffer(body, np.uint8))
+    # per-tag contexts, PBWT for GT, count stream for ragged cells
+    assert "PBWT" in res.ctxs          # GT through the haplotype transform
+    assert "GTEXC" in res.ctxs         # triploid GT exceptions
+    assert "FS1" in res.ctxs           # DP numeric stream
+    assert res.ctxs["FS1"].mode == "num"
+    assert "SMPNC" in res.ctxs         # ragged cell counts
+    assert "SMP" not in res.ctxs       # flat fallback NOT used
+
+
+def test_vcf_overlong_cells_exception(tmp_path):
+    """Cells with MORE subfields than FORMAT declares ride SMPEXC."""
+    hdr = (b"##fileformat=VCFv4.2\n#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER"
+           b"\tINFO\tFORMAT\tS0\n")
+    rows = [hdr]
+    for i in range(200):
+        cell = b"0/1:5:6:7:8" if i % 50 == 0 else b"0/1:5"
+        rows.append(b"chr3\t%d\t.\tT\tA\t9\tPASS\t.\tGT:DP\t%s\n"
+                    % (100 + i, cell))
+    data = b"".join(rows)
+    roundtrip(str(tmp_path), "overlong.vcf", data)
+    body = data.split(b"#CHROM", 1)[1].split(b"\n", 1)[1]
+    dt = get("vcf")()
+    res = dt.seg_vb(np.frombuffer(body, np.uint8))
+    assert "SMPEXC" in res.ctxs
+
+
+def test_vcf_mixed_format_words_fallback(tmp_path):
+    """Two different FORMAT strings in one VB -> flat fallback, still exact."""
+    hdr = (b"##fileformat=VCFv4.2\n#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER"
+           b"\tINFO\tFORMAT\tS0\n")
+    rows = [hdr]
+    for i in range(300):
+        fmt, cell = ((b"GT:DP", b"0/1:33") if i % 2 else (b"GT", b"1|1"))
+        rows.append(b"chr2\t%d\t.\tA\tC\t50\tPASS\tDP=9\t%s\t%s\n"
+                    % (1000 + i * 7, fmt, cell))
+    data = b"".join(rows)
+    roundtrip(str(tmp_path), "mixed.vcf", data)
+
+
+def test_vcf_haploid_and_wide_alleles(tmp_path):
+    """Haploid GTs and >9 allele indices can't PBWT -> generic tag path."""
+    hdr = (b"##fileformat=VCFv4.2\n#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER"
+           b"\tINFO\tFORMAT\tS0\tS1\n")
+    rows = [hdr]
+    for i in range(300):
+        rows.append(b"chrX\t%d\t.\tG\tT\t10\tPASS\t.\tGT:GQ\t%d:%d\t%d:%d\n"
+                    % (500 + i * 11, RNG.integers(0, 2), RNG.integers(0, 99),
+                       RNG.integers(0, 12), RNG.integers(0, 99)))
+    data = b"".join(rows)
+    roundtrip(str(tmp_path), "hap.vcf", data)
