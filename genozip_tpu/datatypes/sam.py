@@ -56,12 +56,34 @@ class SamDT(DataType):
     def read_txt_header(self, reader) -> bytes:
         return reader.read_header_lines(b"@")
 
-    def gencomp_split(self, data: np.ndarray):
-        """Deport secondary/supplementary alignments (DEPN) out of the MAIN
+    def depn_qname_hashes(self, data: np.ndarray) -> np.ndarray:
+        """Prescan: qname hashes of secondary/supplementary lines
+        (reference parity: src/sam_sag_scan.c — which QNAMEs have SAGs)."""
+        from .. import sag as sag_mod
+        nl = np.nonzero(data == ord("\n"))[0]
+        if data.shape[0] == 0 or nl.shape[0] == 0:
+            return np.zeros(0, np.uint64)
+        if nl[-1] != data.shape[0] - 1:
+            nl = np.concatenate([nl, [data.shape[0]]])
+        starts = np.concatenate([[0], nl[:-1] + 1])
+        lines = ragged.gather_ranges(data, starts, nl - starts)
+        cols, _aux, good_rows, _bad = ragged.split_first_fields(
+            lines, ord("\t"), 2)
+        flags, fok = ragged.atoi(cols[1])
+        depn = fok & ((flags & sag_mod.DEPN_MASK) != 0)
+        if not depn.any():
+            return np.zeros(0, np.uint64)
+        return sag_mod.qname_hash(ragged.take(cols[0], np.nonzero(depn)[0]))
+
+    def gencomp_split(self, data: np.ndarray, depn_qnames=None):
+        """Deport secondary/supplementary alignments (DEPN) and — when the
+        prescan qname set is given — their primaries (PRIM) out of the MAIN
         VB (reference parity: src/gencomp_zip.c:587 — PRIM/DEPN generated
-        components; here one DEPN component re-interleaved by a recon plan).
-        Returns (main_data, depn_data, depn_line_positions) or None when
-        nothing to deport."""
+        components re-interleaved by a recon plan). Returns
+        (main_data, prim_data, depn_data, prim_orig_idx, depn_orig_idx)
+        or None when nothing to deport. Positions are original line indices
+        within this VB's pre-split text."""
+        from .. import sag as sag_mod
         nl = np.nonzero(data == ord("\n"))[0]
         if data.shape[0] == 0 or nl.shape[0] == 0 or nl[-1] != data.shape[0] - 1:
             return None  # keep the tail VB simple
@@ -72,19 +94,24 @@ class SamDT(DataType):
             lines, ord("\t"), 2)
         flags, fok = ragged.atoi(cols[1])
         depn = np.zeros(n, dtype=bool)
-        depn[good_rows] = fok & ((flags & 0x900) != 0)
-        if not depn.any():
+        depn[good_rows] = fok & ((flags & sag_mod.DEPN_MASK) != 0)
+        prim = np.zeros(n, dtype=bool)
+        if depn_qnames is not None and depn_qnames.shape[0]:
+            h = sag_mod.qname_hash(cols[0])
+            is_prim = fok & ((flags & sag_mod.DEPN_MASK) == 0) \
+                & np.isin(h, depn_qnames)
+            prim[good_rows] = is_prim
+        if not depn.any() and not prim.any():
             return None
         didx = np.nonzero(depn)[0]
-        midx = np.nonzero(~depn)[0]
+        pidx = np.nonzero(prim)[0]
+        midx = np.nonzero(~depn & ~prim)[0]
         # include the trailing newline with each line (raw-data offsets)
         lens = nl - starts + 1
         main = ragged.gather_ranges(data, starts[midx], lens[midx]).data
+        pri = ragged.gather_ranges(data, starts[pidx], lens[pidx]).data
         dep = ragged.gather_ranges(data, starts[didx], lens[didx]).data
-        # positions: row index within the MAIN-only VB after which each DEPN
-        # line re-inserts (as counts of main lines before it)
-        before_main = np.cumsum(~depn)[didx] if didx.shape[0] else didx
-        return main, dep, before_main.astype(np.int64)
+        return main, pri, dep, pidx.astype(np.int64), didx.astype(np.int64)
 
     def seg_vb(self, data: np.ndarray) -> VBSegResult:
         lines, no_final_nl = _lines_of(data)
@@ -95,7 +122,23 @@ class SamDT(DataType):
          qual) = cols
 
         ctxs = {}
-        ctxs.update(tokenizer_seg_col("QNAME", qname))
+        sag = getattr(self, "sag_store", None)
+        sag_idx = None
+        if sag is not None and len(qname):
+            flags_v, flags_ok = ragged.atoi(flag)
+            if flags_ok.all():
+                sag_idx = sag.lookup(qname, flags_v)
+        if sag_idx is not None:
+            # DEPN-vs-primary (reference src/sam_sag_ingest.c): QNAME elided
+            # for store hits; SEQ/QUAL elided where the orientation+hardclip
+            # slice of the primary predicts them
+            from .. import sag as sag_mod
+            ctxs["SAGIDX"] = VBCtx("SAGIDX", MODE_NUM, local=sag_idx,
+                                   cat="int")
+            miss = np.nonzero(sag_idx < 0)[0]
+            ctxs.update(tokenizer_seg_col("QNAME", ragged.take(qname, miss)))
+        else:
+            ctxs.update(tokenizer_seg_col("QNAME", qname))
         ctxs.update(_num_or_tok("FLAG", flag))
         for nm, c in (("RNAME", rname), ("RNEXT", rnext)):
             uw, inv = dedup_col(c)
@@ -119,14 +162,32 @@ class SamDT(DataType):
             ctxs.update(_num_or_tok("PNEXT", pnext, delta=True))
         ctxs.update(_num_or_tok("TLEN", tlen))
         ref = getattr(self, "ref", None)
-        if ref is not None and len(seq):
+        if sag_idx is not None:
+            from .. import sag as sag_mod
+            from ..deep import cols_equal_rows
+            pred_seq, pred_qual, valid = sag_mod.predict_depn(
+                sag, sag_idx, flags_v, cigar, seq.lens)
+            seq_eq = valid & cols_equal_rows(seq, pred_seq)
+            qual_eq = valid & cols_equal_rows(qual, pred_qual)
+            ctxs["SAGSEQ"] = VBCtx("SAGSEQ", MODE_NUM,
+                                   local=seq_eq.astype(np.int64), cat="int")
+            ctxs["SAGQUL"] = VBCtx("SAGQUL", MODE_NUM,
+                                   local=qual_eq.astype(np.int64), cat="int")
+            nonref = ragged.take(seq, np.nonzero(~seq_eq)[0])
+            ctxs["NONREF"] = VBCtx("NONREF", MODE_TXT, local=nonref.data,
+                                   cat="seq")
+            qleft = ragged.take(qual, np.nonzero(~qual_eq)[0])
+            ctxs["QUAL"] = VBCtx("QUAL", MODE_TXT, local=qleft.data,
+                                 cat="qual")
+        elif ref is not None and len(seq):
             self._seg_seq_vs_ref(ctxs, seq, rname, pos, cigar, ref)
+            ctxs["QUAL"] = VBCtx("QUAL", MODE_TXT, local=qual.data, cat="qual")
         else:
             ctxs["NONREF"] = VBCtx("NONREF", MODE_TXT, local=seq.data, cat="seq")
+            ctxs["QUAL"] = VBCtx("QUAL", MODE_TXT, local=qual.data, cat="qual")
         ctxs["SQLEN"] = VBCtx("SQLEN", MODE_NUM,
                               local=np.diff(seq.lens, prepend=np.int64(0)),
                               cat="int", param=1)
-        ctxs["QUAL"] = VBCtx("QUAL", MODE_TXT, local=qual.data, cat="qual")
         ctxs["QLLEN"] = VBCtx("QLLEN", MODE_NUM,
                               local=np.diff(qual.lens, prepend=np.int64(0)),
                               cat="int", param=1)
@@ -776,7 +837,18 @@ class SamDT(DataType):
         ng = good_idx.shape[0]
 
         if ng:
-            qname = tokenizer_recon_col("QNAME", pctxs, ng)
+            sag_idx = None
+            if "SAGIDX" in pctxs:
+                sag = getattr(self, "sag_store", None)
+                assert sag is not None, "DEPN VB needs the SAG store"
+                sag_idx = pctxs["SAGIDX"].nums()
+                miss = np.nonzero(sag_idx < 0)[0]
+                hit = np.nonzero(sag_idx >= 0)[0]
+                qname = ragged.merge_rows(ng, [
+                    (miss, tokenizer_recon_col("QNAME", pctxs, miss.shape[0])),
+                    (hit, ragged.take(sag.qname, sag_idx[hit]))])
+            else:
+                qname = tokenizer_recon_col("QNAME", pctxs, ng)
             flag = _recon_num_or_tok("FLAG", pctxs, ng)
             rname = pctxs["RNAME"].dict_take()
             pos = _recon_num_or_tok("POS", pctxs, ng)
@@ -794,11 +866,36 @@ class SamDT(DataType):
                 pnext = _recon_num_or_tok("PNEXT", pctxs, ng)
             tlen = _recon_num_or_tok("TLEN", pctxs, ng)
             sqlens = pctxs["SQLEN"].nums()
-            if "SQBITMAP" in pctxs:
+            qllens = pctxs["QLLEN"].nums()
+            if sag_idx is not None:
+                from .. import sag as sag_mod
+                flags_v, _ = ragged.atoi(flag)
+                pred_seq, pred_qual, _valid = sag_mod.predict_depn(
+                    sag, sag_idx, flags_v, cigar, sqlens)
+                seq_eq = pctxs["SAGSEQ"].nums().astype(bool)
+                qual_eq = pctxs["SAGQUL"].nums().astype(bool)
+                nr_lens = np.where(seq_eq, 0, sqlens)
+                nonref = Col(pctxs["NONREF"].local,
+                             np.concatenate([[0], np.cumsum(nr_lens)]))
+                seq = ragged.merge_rows(ng, [
+                    (np.nonzero(seq_eq)[0],
+                     ragged.take(pred_seq, np.nonzero(seq_eq)[0])),
+                    (np.nonzero(~seq_eq)[0],
+                     ragged.take(nonref, np.nonzero(~seq_eq)[0]))])
+                ql_lens = np.where(qual_eq, 0, qllens)
+                qleft = Col(pctxs["QUAL"].local,
+                            np.concatenate([[0], np.cumsum(ql_lens)]))
+                qual = ragged.merge_rows(ng, [
+                    (np.nonzero(qual_eq)[0],
+                     ragged.take(pred_qual, np.nonzero(qual_eq)[0])),
+                    (np.nonzero(~qual_eq)[0],
+                     ragged.take(qleft, np.nonzero(~qual_eq)[0]))])
+            elif "SQBITMAP" in pctxs:
                 seq = self._recon_seq_vs_ref(pctxs, sqlens, pos, rname, cigar)
+                qual = pctxs["QUAL"].txt_col(qllens)
             else:
                 seq = pctxs["NONREF"].txt_col(sqlens)
-            qual = pctxs["QUAL"].txt_col(pctxs["QLLEN"].nums())
+                qual = pctxs["QUAL"].txt_col(qllens)
             if "AUXL" in pctxs:
                 predict = None
                 if "SQBITMAP" in pctxs:

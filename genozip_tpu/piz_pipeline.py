@@ -184,22 +184,29 @@ class PizReader:
         self.f.close()
 
 
-def _merge_gencomp(out: bytes, positions, depn_queue) -> bytes:
-    """Re-interleave deported DEPN lines into a MAIN VB's text by the recon
-    plan (reference parity: src/gencomp_piz.c re-interleaving via VbPlanItem
-    payloads)."""
-    from .utils import ragged
-    k = positions.shape[0]
-    dep_lines = [depn_queue.popleft() for _ in range(k)]
+def _merge_gencomp(out: bytes, prim_pos, prim_queue, depn_pos,
+                   depn_queue) -> bytes:
+    """Re-interleave deported PRIM/DEPN lines into a MAIN VB's text by the
+    recon plan (reference parity: src/gencomp_piz.c re-interleaving via
+    VbPlanItem payloads). Positions are original line indices within the
+    VB's pre-split text."""
     a = np.frombuffer(out, np.uint8)
     nl = np.nonzero(a == ord("\n"))[0]
     starts = np.concatenate([[0], nl[:-1] + 1])
-    pieces = [out[starts[i]:nl[i] + 1] for i in range(nl.shape[0])]
-    keys = [2 * (i + 1) for i in range(len(pieces))] + \
-        [2 * int(p) + 1 for p in positions]
-    allp = pieces + dep_lines
-    order = sorted(range(len(allp)), key=lambda i: keys[i])
-    return b"".join(allp[i] for i in order)
+    n_main = nl.shape[0]
+    total = n_main + prim_pos.shape[0] + depn_pos.shape[0]
+    pieces = [None] * total
+    for p in prim_pos:
+        pieces[int(p)] = prim_queue.popleft()
+    for p in depn_pos:
+        pieces[int(p)] = depn_queue.popleft()
+    mi = 0
+    for i in range(total):
+        if pieces[i] is None:
+            pieces[i] = out[starts[mi]:nl[mi] + 1]
+            mi += 1
+    assert mi == n_main
+    return b"".join(pieces)
 
 
 def piz_file(z_path: str, out_path: str | None = None,
@@ -209,18 +216,31 @@ def piz_file(z_path: str, out_path: str | None = None,
     comps = pr.components()
     total_all = 0
 
-    depn_queue = None
+    depn_queue = prim_queue = None
     gc = pr.file_hdr.get("gencomp")
     if gc:
         from collections import deque
-        depn_queue = deque()
-        for gvb in range(1, gc["num_vbs"] + 1):
-            buf = pr.read_vb(gvb, 1)
-            pos = 0
-            while pos < len(buf):
-                e = buf.index(b"\n", pos) + 1
-                depn_queue.append(buf[pos:e])
-                pos = e
+
+        def _read_comp(comp_i, nvbs):
+            q = deque()
+            chunks = []
+            for gvb in range(1, nvbs + 1):
+                buf = pr.read_vb(gvb, comp_i)
+                chunks.append(buf)
+                pos = 0
+                while pos < len(buf):
+                    e = buf.index(b"\n", pos) + 1
+                    q.append(buf[pos:e])
+                    pos = e
+            return q, b"".join(chunks)
+
+        prim_queue, prim_txt = _read_comp(1, gc.get("prim_vbs", 0))
+        if prim_txt:
+            # SAG store before DEPN recon (reference src/sam_sag_load.c)
+            from .sag import SagStore
+            pr.dt.sag_store = SagStore.from_text(
+                np.frombuffer(prim_txt, np.uint8))
+        depn_queue, _ = _read_comp(2, gc.get("depn_vbs", 0))
     for comp_i, comp in enumerate(comps):
         path = None
         if out_path:
@@ -270,9 +290,15 @@ def piz_file(z_path: str, out_path: str | None = None,
                 with profiler.timer("piz:recon+digest"):
                     out = pr.recon_loaded_vb(loaded, vb_i, comp_i)
                     if depn_queue is not None and comp_i == 0 and \
-                            "GCPOS" in pr._last_pctxs:
+                            ("GCPOS" in pr._last_pctxs or
+                             "GPPOS" in pr._last_pctxs):
+                        e = np.zeros(0, np.int64)
+                        pp = pr._last_pctxs.get("GPPOS")
+                        dp = pr._last_pctxs.get("GCPOS")
                         out = _merge_gencomp(
-                            out, pr._last_pctxs["GCPOS"].nums(), depn_queue)
+                            out, pp.nums() if pp is not None else e,
+                            prim_queue,
+                            dp.nums() if dp is not None else e, depn_queue)
                     adler = zlib.adler32(out, adler)
                     if md5:
                         md5.update(out)

@@ -220,14 +220,30 @@ def zip_file(in_path: str, out_path: str, dt_name: str | None = None,
     # the native coder release the GIL, so both cores stay busy.
     from concurrent.futures import ThreadPoolExecutor
     vb_i = 0
-    gencomp_parts = []   # deported DEPN text (reference gencomp_zip.c)
+    prim_parts = []      # deported PRIM text (reference gencomp_zip.c)
+    depn_parts = []      # deported DEPN text
     use_gencomp = dt_name in ("sam",) and hasattr(dt, "gencomp_split")
+    depn_qnames = None
+    if use_gencomp:
+        # prescan: which qnames have dependents (reference sam_sag_scan.c) —
+        # a second streaming pass; primaries of those qnames deport to the
+        # PRIM component so DEPN can compress against them
+        try:
+            r2 = TxtReader(in_path, truncate=truncate)
+            dt.read_txt_header(r2)
+            hs = [h for data in r2.vblocks(dt, vb_size)
+                  for h in [dt.depn_qname_hashes(data)] if h.shape[0]]
+            r2.close()
+            if hs:
+                depn_qnames = np.unique(np.concatenate(hs))
+        except (OSError, ValueError):
+            depn_qnames = None  # unseekable input: DEPN-only deportation
     with ThreadPoolExecutor(max_workers=1) as pool:
         def seg_one(data):
             with profiler.timer("zip:seg"):
                 return dt.seg_vb(data)
 
-        pending = None  # (data, future, gencomp positions)
+        pending = None  # (data, future, (prim positions, depn positions))
         def submit(data):
             nonlocal file_adler
             # digests always cover the ORIGINAL stream, pre-deportation
@@ -236,10 +252,12 @@ def zip_file(in_path: str, out_path: str, dt_name: str | None = None,
                 md5.update(data)
             gcpos = None
             if use_gencomp:
-                gc = dt.gencomp_split(data)
+                gc = dt.gencomp_split(data, depn_qnames)
                 if gc is not None:
-                    data, dep, gcpos = gc
-                    gencomp_parts.append(dep)
+                    data, pri, dep, ppos, dpos = gc
+                    prim_parts.append(pri)
+                    depn_parts.append(dep)
+                    gcpos = (ppos, dpos)
             return (data, pool.submit(seg_one, data), gcpos)
 
         def drain(pending):
@@ -249,10 +267,13 @@ def zip_file(in_path: str, out_path: str, dt_name: str | None = None,
             with profiler.timer("zip:seg-wait"):
                 pres = pfut.result()
             if gcpos is not None:
-                pres.ctxs["GCPOS"] = VBCtx(
-                    "GCPOS", MODE_NUM,
-                    local=np.diff(gcpos, prepend=np.int64(0)),
-                    cat="int", param=1)
+                ppos, dpos = gcpos
+                for nm, pos in (("GPPOS", ppos), ("GCPOS", dpos)):
+                    if pos.shape[0]:
+                        pres.ctxs[nm] = VBCtx(
+                            nm, MODE_NUM,
+                            local=np.diff(pos, prepend=np.int64(0)),
+                            cat="int", param=1)
             with profiler.timer("zip:merge+write"):
                 job.write_vb(pres, pdata, vb_i, 0)
             prog.update(int(pdata.shape[0]))
@@ -266,21 +287,32 @@ def zip_file(in_path: str, out_path: str, dt_name: str | None = None,
             drain(pending)
     prog.finish()
 
-    gencomp_hdr = None
-    if gencomp_parts:
-        depn = np.concatenate(gencomp_parts)
+    def _write_chunks(txt: np.ndarray, comp_i: int) -> int:
         gvb = 0
         off = 0
-        while off < depn.shape[0]:
-            end = min(off + vb_size, depn.shape[0])
-            chunk = depn[off:off + int(dt.vb_boundary(depn[off:end], end == depn.shape[0]))] \
-                if end < depn.shape[0] else depn[off:end]
+        while off < txt.shape[0]:
+            end = min(off + vb_size, txt.shape[0])
+            chunk = txt[off:off + int(dt.vb_boundary(txt[off:end], end == txt.shape[0]))] \
+                if end < txt.shape[0] else txt[off:end]
             if chunk.shape[0] == 0:
-                chunk = depn[off:end]
+                chunk = txt[off:end]
             gvb += 1
-            job.write_vb(dt.seg_vb(chunk), chunk, gvb, 1)
+            job.write_vb(dt.seg_vb(chunk), chunk, gvb, comp_i)
             off += chunk.shape[0]
-        gencomp_hdr = {"num_vbs": gvb}
+        return gvb
+
+    gencomp_hdr = None
+    if prim_parts or depn_parts:
+        prim = np.concatenate(prim_parts) if prim_parts else np.zeros(0, np.uint8)
+        depn = np.concatenate(depn_parts) if depn_parts else np.zeros(0, np.uint8)
+        gp = _write_chunks(prim, 1)
+        if prim.shape[0]:
+            # SAG store: DEPN compresses against its primary (sam_sag_ingest.c)
+            from .sag import SagStore
+            dt.sag_store = SagStore.from_text(prim)
+        gd = _write_chunks(depn, 2)
+        dt.sag_store = None
+        gencomp_hdr = {"prim_vbs": gp, "depn_vbs": gd}
 
     mgzip = None
     from .utils.bgzf import BgzfBlockReader

@@ -1,0 +1,121 @@
+"""SAG ingestion: DEPN alignments compress against their primary (reference
+src/sam_sag_ingest.c, src/sam_sag_load.c, src/gencomp_zip.c PRIM/DEPN)."""
+
+import os
+
+import numpy as np
+
+from genozip_tpu.zip_pipeline import zip_file
+from genozip_tpu.piz_pipeline import piz_file, PizReader
+
+RNG = np.random.default_rng(91)
+ACGT = np.frombuffer(b"ACGT", np.uint8)
+COMP = {65: 84, 67: 71, 71: 67, 84: 65}
+
+
+def _revcomp(s: bytes) -> bytes:
+    return bytes(COMP[c] for c in reversed(s))
+
+
+def synth_sag_sam(n=900):
+    """Primaries interleaved with supplementary (hard-clipped slice, maybe
+    opposite strand) and secondary (identical seq) alignments of the same
+    qname."""
+    rows = [b"@HD\tVN:1.6\n@SQ\tSN:c1\tLN:100000\n"]
+    for i in range(n):
+        seq = RNG.choice(ACGT, 100).tobytes()
+        qual = RNG.choice(np.frombuffer(b"FF:,#", np.uint8), 100).tobytes()
+        pos = 100 + i * 7
+        rows.append(b"Q%d\t0\tc1\t%d\t60\t100M\t*\t0\t0\t%s\t%s\tNM:i:0\n"
+                    % (i, pos, seq, qual))
+        if i % 3 == 0:
+            # supplementary: opposite strand, hard-clipped to 40 bases
+            sup = _revcomp(seq)[25:65]
+            supq = qual[::-1][25:65]
+            rows.append(b"Q%d\t2064\tc1\t%d\t30\t25H40M35H\t*\t0\t0\t%s\t%s\n"
+                        % (i, pos + 500, sup, supq))
+        if i % 5 == 0:
+            # secondary: same strand, full seq
+            rows.append(b"Q%d\t256\tc1\t%d\t0\t100M\t*\t0\t0\t%s\t%s\n"
+                        % (i, pos + 900, seq, qual))
+    return b"".join(rows)
+
+
+def test_sag_roundtrip_and_elision(tmp_path):
+    data = synth_sag_sam()
+    src = os.path.join(str(tmp_path), "sag.sam")
+    open(src, "wb").write(data)
+    z = src + ".gxz"
+    zip_file(src, z, vb_size=64 * 1024)
+    o = src + ".out"
+    piz_file(z, o)
+    assert open(o, "rb").read() == data
+
+    pr = PizReader(z)
+    gc = pr.file_hdr.get("gencomp", {})
+    assert gc.get("prim_vbs", 0) >= 1, "primaries must deport to PRIM"
+    assert gc.get("depn_vbs", 0) >= 1
+    # DEPN VBs must carry SAG contexts with mostly-hitting predictions
+    loaded = pr.load_vb(1, 2)
+    vb_hdr = loaded[0]
+    assert "SAGIDX" in vb_hdr["ctxs"]
+    assert "SAGSEQ" in vb_hdr["ctxs"]
+    pr.close()
+
+    # the SAG path must shrink the archive vs scrambled qnames (no matches)
+    lines = data.split(b"\n")
+    scr = []
+    k = 0
+    for ln in lines:
+        if ln[:1] == b"Q" and (b"\t2064\t" in ln or b"\t256\t" in ln):
+            ln = b"X%d" % k + ln[ln.index(b"\t"):]
+            k += 1
+        scr.append(ln)
+    data2 = b"\n".join(scr)
+    src2 = os.path.join(str(tmp_path), "nosag.sam")
+    open(src2, "wb").write(data2)
+    z2 = src2 + ".gxz"
+    zip_file(src2, z2, vb_size=64 * 1024)
+    piz_file(z2, src2 + ".out")
+    assert open(src2 + ".out", "rb").read() == data2
+    assert os.path.getsize(z) < os.path.getsize(z2) * 0.85, \
+        (os.path.getsize(z), os.path.getsize(z2))
+
+
+def test_sag_dangling_supplementary(tmp_path):
+    """Supplementary with no primary in the file: store miss, verbatim."""
+    rows = [b"@HD\tVN:1.6\n"]
+    for i in range(200):
+        rows.append(b"D%d\t2048\tc1\t%d\t9\t10M\t*\t0\t0\tACGTACGTAC\tFFFFFFFFFF\n"
+                    % (i, 100 + i))
+    data = b"".join(rows)
+    src = os.path.join(str(tmp_path), "dang.sam")
+    open(src, "wb").write(data)
+    z = src + ".gxz"
+    zip_file(src, z)
+    piz_file(z, src + ".out")
+    assert open(src + ".out", "rb").read() == data
+
+
+def test_sag_paired_mates_disambiguate(tmp_path):
+    """R1 and R2 primaries share a qname; the supplementary must reference
+    the right mate (key includes the read1/read2 flag bits)."""
+    rows = [b"@HD\tVN:1.6\n"]
+    for i in range(150):
+        s1 = RNG.choice(ACGT, 60).tobytes()
+        s2 = RNG.choice(ACGT, 60).tobytes()
+        q = b"F" * 60
+        rows.append(b"P%d\t67\tc1\t%d\t60\t60M\t=\t%d\t120\t%s\t%s\n"
+                    % (i, 100 + i, 160 + i, s1, q))
+        rows.append(b"P%d\t131\tc1\t%d\t60\t60M\t=\t%d\t-120\t%s\t%s\n"
+                    % (i, 160 + i, 100 + i, s2, q))
+        # supplementary of R2 (0x800 | 0x80 | 0x1 ...)
+        rows.append(b"P%d\t2177\tc1\t%d\t30\t20H40M\t*\t0\t0\t%s\t%s\n"
+                    % (i, 999 + i, s2[20:], q[20:]))
+    data = b"".join(rows)
+    src = os.path.join(str(tmp_path), "mates.sam")
+    open(src, "wb").write(data)
+    z = src + ".gxz"
+    zip_file(src, z)
+    piz_file(z, src + ".out")
+    assert open(src + ".out", "rb").read() == data
