@@ -36,6 +36,9 @@ def build_parser():
     z.add_argument("--reference", default=None)
     z.add_argument("--password", default=None,
                    help="encrypt with AES-256 (reference --password)")
+    z.add_argument("--mesh", type=int, default=None,
+                   help="shard the aligner (genome+refhash over 'mp', reads "
+                        "over 'dp') across N devices")
 
     z.add_argument("--make-reference", action="store_true",
                    help="compress a FASTA into a .ref.gxz reference")
@@ -151,7 +154,8 @@ def main(argv=None):
             stats = zip_file(args.input, out, dt_name=args.dt, vb_size=vb,
                              show_stats=args.stats, reference=args.reference,
                              password=args.password, use_md5=args.md5,
-                             bamass=args.bamass, truncate=args.truncate)
+                             bamass=args.bamass, truncate=args.truncate,
+                             mesh=args.mesh)
         if args.test:
             from .piz_pipeline import piz_file
             piz_file(out, None, reference=args.reference,

@@ -176,7 +176,9 @@ class FastqDT(DataType):
                 gpos[rest] = sub["gpos"]
                 is_fwd[rest] = sub["is_fwd"]
         else:
-            res = al.align_batch(ref, codes, lens)
+            mesh_al = getattr(self, "mesh_aligner", None)
+            res = (mesh_al.align_batch(ref, codes, lens) if mesh_al is not None
+                   else al.align_batch(ref, codes, lens))
             aligned = res["aligned"]
             gpos = res["gpos"]
             is_fwd = res["is_fwd"]

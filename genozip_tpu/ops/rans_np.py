@@ -112,10 +112,11 @@ def _to_matrix(data: np.ndarray, num_lanes: int):
     return m, K, lane_len
 
 
-def encode(data: bytes | np.ndarray, order: int = 0) -> bytes:
+def encode(data: bytes | np.ndarray, order: int = 0,
+           n_lanes: int | None = None) -> bytes:
     data = np.frombuffer(data, dtype=np.uint8) if isinstance(data, (bytes, bytearray, memoryview)) else np.asarray(data, dtype=np.uint8)
     n = data.shape[0]
-    N = choose_num_lanes(n)
+    N = n_lanes or choose_num_lanes(n)
     m, K, lane_len = _to_matrix(data, N)
 
     if order == 0:

@@ -179,6 +179,116 @@ def _decode_kernel(words_ref, tab_ref, x0_ref, out_ref, x_ref, win_ref,
     p_ref[0] = base8 * LANE_COLS + q[0, 0]
 
 
+def _decode_kernel_v2(words_ref, tab_ref, x0_ref, out_ref, x_ref, win_ref,
+                      p_ref, sem, *, K: int, LR: int, n: int, S: int):
+    """grid=(ceil(K/S),): S decode steps per program. One worst-case-sized
+    window DMA per program (consumption <= S*N words) instead of one per
+    step, and a staircase table lookup (2 compares + 3 plain sums) instead
+    of interval one-hot with 3 weighted sums."""
+    g = pl.program_id(0)
+
+    @pl.when(g == 0)
+    def _init():
+        x_ref[...] = x0_ref[...].astype(jnp.uint32)
+        p_ref[0] = 0
+
+    WIN = S * LR + 16
+    crT = jnp.transpose(tab_ref[1:2, :])             # (256, 1) cum
+    frT = jnp.transpose(tab_ref[0:1, :])             # (256, 1) freq
+    crT2 = crT + frT                                 # cum[i+1]
+    col_i = jax.lax.broadcasted_iota(jnp.int32, (1, LANE_COLS), 1)
+    iota128sub = jax.lax.broadcasted_iota(jnp.int32, (LANE_COLS, LANE_COLS), 0)
+    winrow_iota = jax.lax.broadcasted_iota(jnp.int32, (1, WIN), 1)
+
+    p = p_ref[0]
+    base8 = pl.multiple_of(8 * (p // (8 * LANE_COLS)), 8)
+    cp = pltpu.make_async_copy(words_ref.at[pl.ds(base8, WIN), :],
+                               win_ref, sem)
+    cp.start()
+    cp.wait()
+    win_T = jnp.transpose(win_ref[...])              # (128, WIN), once/program
+
+    q = jnp.full((1, 1), p - base8 * LANE_COLS, dtype=jnp.int32)
+    ones11 = jnp.ones((1, 1), dtype=jnp.int32)
+    for s in range(S):
+        t_v = (g * S + s) * ones11
+        for b in range(LR):
+            lane_flat_row = b * LANE_COLS + col_i
+            act = t_v < jnp.clip(n - lane_flat_row * K, 0, K)
+
+            xr = x_ref[b:b + 1, :]
+            slot = xr & (SCALE - 1)
+            slot_f = slot.astype(jnp.int32).astype(jnp.float32)  # (1, 128)
+            ge = (crT <= slot_f).astype(jnp.float32)             # staircase
+            ge2 = (crT2 <= slot_f).astype(jnp.float32)
+            s_row = (jnp.sum(ge, axis=0, keepdims=True)
+                     .astype(jnp.int32) - 1)
+            A = jnp.sum(ge * frT, axis=0, keepdims=True)         # c + f
+            B = jnp.sum(ge2 * frT, axis=0, keepdims=True)        # c
+            f_row = (A - B).astype(jnp.int32).astype(jnp.uint32)
+            c_row = B.astype(jnp.int32).astype(jnp.uint32)
+            f_row = jnp.where(act, f_row, jnp.uint32(1))
+            c_row = jnp.where(act, c_row, jnp.uint32(0))
+
+            xa = f_row * (xr >> SCALE_BITS) + slot - c_row
+            xr = jnp.where(act, xa, xr)
+            need = act & (xr < RANS_L)
+
+            rk = need.astype(jnp.int32)
+            for k in (1, 2, 4, 8, 16, 32, 64):
+                sh = pltpu.roll(rk, k, axis=1)
+                rk = rk + jnp.where(col_i >= k, sh, 0)
+            total = jnp.max(rk, axis=1, keepdims=True)
+
+            r0 = q // LANE_COLS
+            c0 = q - r0 * LANE_COLS
+            selA = (winrow_iota == r0).astype(jnp.int32)         # (1, WIN)
+            selB = (winrow_iota == r0 + 1).astype(jnp.int32)
+            rowAT = jnp.sum(win_T * selA, axis=1, keepdims=True)  # (128, 1)
+            rowBT = jnp.sum(win_T * selB, axis=1, keepdims=True)
+            idx2 = c0 + rk - 1                                    # (1, 128)
+            inA = (iota128sub == idx2).astype(jnp.int32)          # (128, 128)
+            gotA = jnp.sum(inA * rowAT, axis=0, keepdims=True)
+            inB = (iota128sub == idx2 - LANE_COLS).astype(jnp.int32)
+            gotB = jnp.sum(inB * rowBT, axis=0, keepdims=True)
+            got = jnp.where(idx2 >= LANE_COLS, gotB, gotA).astype(jnp.uint32)
+
+            xr = jnp.where(need, (xr << 16) | got, xr)
+            x_ref[b:b + 1, :] = xr
+            out_ref[s * LR + b:s * LR + b + 1, :] = \
+                jnp.where(act, s_row, 0).astype(jnp.uint8)
+            q = q + total
+
+    p_ref[0] = base8 * LANE_COLS + q[0, 0]
+
+
+@partial(jax.jit, static_argnames=("K", "LR", "n", "S", "interpret"))
+def decode_order0_device_v2(words, tab, x0, K: int, LR: int, n: int, S: int,
+                            interpret: bool = False):
+    """v2: S-step blocking. words padded so every program's worst-case
+    window [p, p + S*N + slack) stays in bounds. Output (Kp*LR, 128) with
+    Kp = ceil(K/S)*S; caller slices."""
+    LRW = words.shape[0] // LANE_COLS
+    wmat = words.reshape(LRW, LANE_COLS)
+    G = (K + S - 1) // S
+    return pl.pallas_call(
+        partial(_decode_kernel_v2, K=K, LR=LR, n=n, S=S),
+        grid=(G,),
+        out_shape=jax.ShapeDtypeStruct((G * S * LR, LANE_COLS), jnp.uint8),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((S * LR, LANE_COLS), lambda g: (g, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((LR, LANE_COLS), jnp.uint32),
+                        pltpu.VMEM((S * LR + 16, LANE_COLS), jnp.int32),
+                        pltpu.SMEM((1,), jnp.int32),
+                        pltpu.SemaphoreType.DMA(())],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(wmat, tab, x0)
+
+
 @partial(jax.jit, static_argnames=("K", "LR", "n", "W", "interpret", "skip"))
 def decode_order0_device(words, tab, x0, K: int, LR: int, n: int, W: int,
                          interpret: bool = False, skip: str = ""):
@@ -206,8 +316,10 @@ def decode_order0_device(words, tab, x0, K: int, LR: int, n: int, W: int,
     )(wmat, tab, x0)
 
 
-def decode(buf, interpret: bool = False) -> bytes:
-    """Order-0 stream decode via the Pallas kernel (host wrapper)."""
+def decode(buf, interpret: bool = False, S: int = 0, v1: bool = False) -> bytes:
+    """Order-0 stream decode via the Pallas kernel (host wrapper).
+    S = decode steps per grid program (v2 blocking); 0 picks a default.
+    v1=True uses the one-step-per-program kernel (comparison baseline)."""
     from . import rans_np
     buf = memoryview(buf)
     logN, order = buf[0], buf[1]
@@ -227,11 +339,22 @@ def decode(buf, interpret: bool = False) -> bytes:
     st = words[: 2 * N].astype(np.uint32)
     x0 = ((st[0::2] << 16) | st[1::2]).reshape(LR, LANE_COLS).astype(np.int32)
     data_words = words[2 * N:].astype(np.int32)
-    W = ((data_words.shape[0] + N + 9 * LANE_COLS)
-         + LANE_COLS - 1) // LANE_COLS * LANE_COLS
-    wpad = np.zeros(W, np.int32)
+    if v1:
+        W = ((data_words.shape[0] + N + 9 * LANE_COLS)
+             + LANE_COLS - 1) // LANE_COLS * LANE_COLS
+        wpad = np.zeros(W, np.int32)
+        wpad[: data_words.shape[0]] = data_words
+        out = decode_order0_device(jnp.asarray(wpad), jnp.asarray(tab),
+                                   jnp.asarray(x0), K, LR, n, W, interpret)
+        plane = np.asarray(out).reshape(K, N)
+        return plane.T.reshape(-1)[:n].tobytes()
+    if S <= 0:
+        S = max(1, 32 // LR)
+    wrows = (data_words.shape[0] + LANE_COLS - 1) // LANE_COLS + S * LR + 24
+    wrows = (wrows + 7) // 8 * 8
+    wpad = np.zeros(wrows * LANE_COLS, np.int32)
     wpad[: data_words.shape[0]] = data_words
-    out = decode_order0_device(jnp.asarray(wpad), jnp.asarray(tab),
-                               jnp.asarray(x0), K, LR, n, W, interpret)
-    plane = np.asarray(out).reshape(K, N)
+    out = decode_order0_device_v2(jnp.asarray(wpad), jnp.asarray(tab),
+                                  jnp.asarray(x0), K, LR, n, S, interpret)
+    plane = np.asarray(out)[: K * LR].reshape(K, N)
     return plane.T.reshape(-1)[:n].tobytes()

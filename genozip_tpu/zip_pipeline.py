@@ -187,9 +187,13 @@ def zip_file(in_path: str, out_path: str, dt_name: str | None = None,
              vb_size: int = DEFAULT_VB_SIZE, show_stats: bool = False,
              reference: str | None = None, password: str | None = None,
              use_md5: bool = False, bamass: str | None = None,
-             truncate: bool = False):
+             truncate: bool = False, mesh: int | None = None):
     reader, dt, dt_name = _open_component(in_path, dt_name, reference,
                                           truncate=truncate)
+    if mesh and getattr(dt, "ref", None) is not None:
+        # sharded aligner: genome+refhash over 'mp', read batches over 'dp'
+        from .parallel.mesh_aligner import MeshAligner
+        dt.mesh_aligner = MeshAligner(dt.ref, n_devices=mesh)
     if bamass:
         assert reference, "--bamass needs --reference"
         from .bamass import build_index

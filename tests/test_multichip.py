@@ -56,3 +56,40 @@ def test_sharded_aligner_matches_host():
     both = aligned & host["aligned"]
     # where both align, placements agree (same candidate set, same scoring)
     assert (np.asarray(gpos)[both] == host["gpos"][both]).mean() > 0.98
+
+
+def test_mesh_fastq_zip_roundtrip(tmp_path):
+    """End-to-end FASTQ zip with --mesh (MeshAligner over the virtual
+    8-device mesh) must round-trip and actually align most reads."""
+    import os
+    from genozip_tpu.zip_pipeline import zip_file
+    from genozip_tpu.piz_pipeline import piz_file, PizReader
+
+    fa = synth_genome(150000, 1)
+    fa_path = os.path.join(str(tmp_path), "mg.fa")
+    open(fa_path, "wb").write(fa)
+    ref_path = os.path.join(str(tmp_path), "mg.ref.gxz")
+    refstore.make_reference(fa_path, ref_path)
+    ref = refstore.load_ref_file(ref_path)
+
+    reads = sample_reads(ref, n_reads=1200, read_len=100, mut_rate=0.005)
+    out = []
+    rng = np.random.default_rng(4)
+    for i, r in enumerate(reads):
+        q = rng.choice(np.frombuffer(b"FF:,#", np.uint8), len(r)).tobytes()
+        out.append(b"@M%d\n" % i + r + b"\n+\n" + q + b"\n")
+    data = b"".join(out)
+    src = os.path.join(str(tmp_path), "m.fastq")
+    open(src, "wb").write(data)
+    z = src + ".gxz"
+    zip_file(src, z, reference=ref_path, mesh=8)
+    o = src + ".out"
+    piz_file(z, o, reference=ref_path)
+    assert open(o, "rb").read() == data
+    # most reads must have gone through the sharded aligner successfully
+    pr = PizReader(z, reference=ref_path)
+    loaded = pr.load_vb(1, 0)
+    sec = loaded[1]
+    bm = sec["SQBITMAP"]["local"][0]
+    assert bm.astype(bool).mean() > 0.9, f"aligned {bm.mean():.2f}"
+    pr.close()

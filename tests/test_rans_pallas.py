@@ -22,3 +22,13 @@ def test_pallas_decode_interpret(n):
     data = RNG.choice(np.frombuffer(b"FFFFF:F,#AB", np.uint8), n).astype(np.uint8).tobytes()
     e = rans_np.encode(data, order=0)
     assert rans_pallas.decode(e, interpret=True) == data
+
+
+@pytest.mark.parametrize("n,S", [(33000, 1), (33000, 4), (200000, 8),
+                                 (131072, 16)])
+def test_pallas_decode_v2_interpret(n, S):
+    """S-step-blocked kernel (v2) must match the numpy spec bit-exactly."""
+    data = RNG.choice(np.frombuffer(b"FFFFF:F,#AB!x", np.uint8),
+                      n).astype(np.uint8).tobytes()
+    e = rans_np.encode(data, order=0)
+    assert rans_pallas.decode(e, interpret=True, S=S) == data
