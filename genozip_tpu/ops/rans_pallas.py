@@ -316,10 +316,299 @@ def decode_order0_device(words, tab, x0, K: int, LR: int, n: int, W: int,
     )(wmat, tab, x0)
 
 
-def decode(buf, interpret: bool = False, S: int = 0, v1: bool = False) -> bytes:
+def _decode_kernel_v3(words_ref, tab_ref, x0_ref, out_ref, x_ref,
+                      win_ref, p_ref, sem, *, K: int, N: int, n: int,
+                      S: int):
+    """Lane-VECTOR decode: state lives as a (1, N) row so every per-step op
+    covers all N lanes in one dispatch (the per-row (1,128) ops of v2 were
+    dispatch-bound at ~19 MB/s regardless of N and S).
+    - table: staircase sums over a (256, N) broadcast — 2 compares + 3
+      reductions (s = count(cum<=slot)-1, c+f and c via shifted staircases);
+    - ranks: log-cumsum over the (1, N) lane vector;
+    - renorm words: MXU distribute — temp = win(WG,128) @ onehot_col(128,N),
+      then a row-select reduce over (WG, N). All f32 values < 2^24, exact."""
+    g = pl.program_id(0)
+
+    @pl.when(g == 0)
+    def _init():
+        x_ref[...] = x0_ref[...].astype(jnp.uint32)
+        p_ref[0] = 0
+
+    LR = N // LANE_COLS
+    WG = S * LR + 16                 # window rows (worst case + align slack)
+    frT = jnp.transpose(tab_ref[0:1, :])             # (256, 1) freq
+    crT = jnp.transpose(tab_ref[1:2, :])             # (256, 1) cum
+    crT2 = crT + frT
+    iota256T = jax.lax.broadcasted_iota(jnp.int32, (256, 1), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, N), 1)
+    lane_len = jnp.clip(n - lane * K, 0, K)
+    sub128 = jax.lax.broadcasted_iota(jnp.int32, (LANE_COLS, 1), 0)
+    subWG = jax.lax.broadcasted_iota(jnp.int32, (WG, 1), 0)
+
+    p = p_ref[0]
+    base8 = pl.multiple_of(8 * (p // (8 * LANE_COLS)), 8)
+    cp = pltpu.make_async_copy(words_ref.at[pl.ds(base8, WG), :],
+                               win_ref, sem)
+    cp.start()
+    cp.wait()
+    win_f = win_ref[...].astype(jnp.float32)          # (WG, 128)
+
+    q = jnp.full((1, 1), p - base8 * LANE_COLS, dtype=jnp.int32)
+    for s in range(S):
+        t = g * S + s
+        act = t < lane_len                            # (1, N)
+        x = x_ref[...]
+        slot = (x & jnp.uint32(SCALE - 1)).astype(jnp.int32)
+        slot_f = slot.astype(jnp.float32)             # (1, N)
+        ge = (crT <= slot_f).astype(jnp.float32)      # (256, N)
+        ge2 = (crT2 <= slot_f).astype(jnp.float32)
+        s_row = jnp.sum(ge, axis=0, keepdims=True).astype(jnp.int32) - 1
+        A = jnp.sum(ge * frT, axis=0, keepdims=True)  # c + f
+        B = jnp.sum(ge2 * frT, axis=0, keepdims=True)  # c
+        f = (A - B).astype(jnp.int32).astype(jnp.uint32)
+        c = B.astype(jnp.int32).astype(jnp.uint32)
+        f = jnp.where(act, f, jnp.uint32(1))
+        c = jnp.where(act, c, jnp.uint32(0))
+
+        xa = f * (x >> SCALE_BITS) + slot.astype(jnp.uint32) - c
+        x = jnp.where(act, xa, x)
+        need = act & (x < RANS_L)
+        rk = need.astype(jnp.int32)                   # lane-vector cumsum
+        k = 1
+        while k < N:
+            sh = pltpu.roll(rk, k, axis=1)
+            rk = rk + jnp.where(lane >= k, sh, 0)
+            k *= 2
+        total2 = jnp.max(rk, axis=1, keepdims=True)   # (1, 1)
+
+        # MXU distribute: out[l] = win[r0_l, c0_l], idx = q + rk - 1
+        idx = q + rk - 1
+        r0 = idx // LANE_COLS                          # (1, N)
+        c0 = idx - r0 * LANE_COLS
+        M1 = (sub128 == c0).astype(jnp.float32)        # (128, N)
+        temp = jax.lax.dot(win_f, M1,
+                           precision=jax.lax.Precision.HIGHEST)  # (WG, N)
+        onr = (subWG == r0).astype(jnp.float32)        # (WG, N)
+        got = jnp.sum(onr * temp, axis=0, keepdims=True) \
+            .astype(jnp.int32).astype(jnp.uint32)      # (1, N)
+
+        x = jnp.where(need, (x << 16) | got, x)
+        x_ref[...] = x
+        out_ref[s:s + 1, :] = jnp.where(act, s_row, 0).astype(jnp.uint8)
+        q = q + total2
+
+    p_ref[0] = base8 * LANE_COLS + q[0, 0]
+
+
+@partial(jax.jit, static_argnames=("K", "N", "n", "S", "interpret"))
+def decode_order0_device_v3(words, tab, x0, K: int, N: int, n: int,
+                            S: int, interpret: bool = False):
+    """x0: (1, N) i32 initial states. Output (Kp, N) u8 symbol plane."""
+    LRW = words.shape[0] // LANE_COLS
+    wmat = words.reshape(LRW, LANE_COLS)
+    G = (K + S - 1) // S
+    LR = N // LANE_COLS
+    return pl.pallas_call(
+        partial(_decode_kernel_v3, K=K, N=N, n=n, S=S),
+        grid=(G,),
+        out_shape=jax.ShapeDtypeStruct((G * S, N), jnp.uint8),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((S, N), lambda g: (g, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((1, N), jnp.uint32),
+                        pltpu.VMEM((S * LR + 16, LANE_COLS), jnp.int32),
+                        pltpu.SMEM((1,), jnp.int32),
+                        pltpu.SemaphoreType.DMA(())],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(wmat, tab, x0)
+
+
+def _encode_kernel(syms_ref, tab_ref, out_ref, cnt_ref, st_ref, x_ref,
+                   *, K: int, LR: int, n: int, S: int, G: int):
+    """rANS encode, S steps per program, steps processed in DESCENDING t
+    (the input index_map hands program g the (G-1-g)-th step block). Each
+    program writes its emitted u16 words BACKWARD into its own fixed
+    (S*LR, 128) block and reports the count; the host compacts blocks in
+    reverse program order — all shapes static, no data-dependent DMA.
+    Division is exact 12-bit-limb long division in f32 (f <= 2^12; every
+    partial dividend < 2^24, exactly representable)."""
+    g = pl.program_id(0)
+
+    @pl.when(g == 0)
+    def _init():
+        x_ref[...] = jnp.full((LR, LANE_COLS), RANS_L, jnp.uint32)
+
+    BLK = S * LR  # output rows per program
+    frT = jnp.transpose(tab_ref[0:1, :]).astype(jnp.float32)   # (256, 1)
+    crT = jnp.transpose(tab_ref[1:2, :]).astype(jnp.float32)
+    iota256T = jax.lax.broadcasted_iota(jnp.int32, (256, 1), 0)
+    col_i = jax.lax.broadcasted_iota(jnp.int32, (1, LANE_COLS), 1)
+    iota128sub = jax.lax.broadcasted_iota(jnp.int32, (LANE_COLS, LANE_COLS), 0)
+    blkrow_iota = jax.lax.broadcasted_iota(jnp.int32, (1, BLK), 1)
+
+    # q = backward write pointer within this block, in words [0, BLK*128]
+    q = jnp.full((1, 1), BLK * LANE_COLS, dtype=jnp.int32)
+    ones11 = jnp.ones((1, 1), dtype=jnp.int32)
+    outT = jnp.zeros((LANE_COLS, BLK), jnp.int32)    # lane-major accumulation
+
+    for s in range(S):
+        t_v = ((G - 1 - g) * S + (S - 1 - s)) * ones11  # descending step
+        for b in range(LR - 1, -1, -1):
+            lane_flat_row = b * LANE_COLS + col_i
+            act = t_v < jnp.clip(n - lane_flat_row * K, 0, K)
+
+            sym = syms_ref[(S - 1 - s) * LR + b, :].astype(jnp.int32) \
+                .reshape(1, LANE_COLS)
+            inm = (iota256T == sym).astype(jnp.float32)
+            f_row = jnp.sum(inm * frT, axis=0, keepdims=True) \
+                .astype(jnp.int32)
+            c_row = jnp.sum(inm * crT, axis=0, keepdims=True) \
+                .astype(jnp.int32)
+            f_row = jnp.where(act, f_row, 1)
+            c_row = jnp.where(act, c_row, 0)
+            fu = f_row.astype(jnp.uint32)
+
+            xr = x_ref[b:b + 1, :]
+            emit = act & (xr >= (fu << 20))
+            word = (xr & jnp.uint32(0xFFFF)).astype(jnp.int32)
+            xr = jnp.where(emit, xr >> 16, xr)
+
+            # place emitters: ascending lanes -> ascending positions in
+            # [q - total, q); rows processed descending keep stream order
+            rk = emit.astype(jnp.int32)
+            for k in (1, 2, 4, 8, 16, 32, 64):
+                sh = pltpu.roll(rk, k, axis=1)
+                rk = rk + jnp.where(col_i >= k, sh, 0)
+            total = jnp.max(rk, axis=1, keepdims=True)
+            pos = q - total + rk - 1                   # (1, 128) flat word pos
+            r0 = pos // LANE_COLS                      # target block row
+            c0 = pos - r0 * LANE_COLS
+            # at most one emitter per column (positions are <=128 consecutive
+            # ints): selc routes each word to its column, rcol its row
+            selc = (iota128sub == jnp.where(emit, c0, -1)).astype(jnp.int32)
+            wcol = jnp.sum(selc * word, axis=1, keepdims=True)   # (128, 1)
+            rcol = jnp.sum(selc * r0, axis=1, keepdims=True)
+            hasc = jnp.sum(selc, axis=1, keepdims=True)          # 0/1
+            onrow = (blkrow_iota == rcol).astype(jnp.int32) * hasc
+            outT = outT + onrow * wcol                           # (128, BLK)
+            q = q - total
+
+            # exact x = ((x // f) << 12) + (x % f) + c via 12-bit limbs
+            hi12 = (xr >> 24).astype(jnp.int32)                  # < 2^8
+            mid12 = ((xr >> 12) & jnp.uint32(0xFFF)).astype(jnp.int32)
+            lo12 = (xr & jnp.uint32(0xFFF)).astype(jnp.int32)
+            ff = f_row.astype(jnp.float32)
+
+            def _divmod(d):                                      # d < 2^24
+                qq = jnp.floor(d.astype(jnp.float32) / ff).astype(jnp.int32)
+                rr = d - qq * f_row
+                fix_up = (rr >= f_row).astype(jnp.int32)
+                qq = qq + fix_up
+                rr = rr - fix_up * f_row
+                fix_dn = (rr < 0).astype(jnp.int32)
+                qq = qq - fix_dn
+                rr = rr + fix_dn * f_row
+                return qq, rr
+
+            q1, r1 = _divmod(hi12)
+            q2, r2 = _divmod((r1 << 12) | mid12)
+            q3, r3 = _divmod((r2 << 12) | lo12)
+            quot = (q1.astype(jnp.uint32) << 24) | \
+                (q2.astype(jnp.uint32) << 12) | q3.astype(jnp.uint32)
+            xa = (quot << SCALE_BITS) + r3.astype(jnp.uint32) + \
+                c_row.astype(jnp.uint32)
+            x_ref[b:b + 1, :] = jnp.where(act, xa, xr)
+
+    out_ref[...] = jnp.transpose(outT)
+    cnt_ref[0, 0] = BLK * LANE_COLS - q[0, 0]
+    st_ref[...] = x_ref[...].astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("K", "LR", "n", "S", "interpret"))
+def encode_order0_device(syms, tab, K: int, LR: int, n: int, S: int,
+                         interpret: bool = False):
+    """syms: (Kp*LR, 128) u8 symbol plane (Kp = ceil(K/S)*S, padded steps
+    high). Returns (blocks (Kp*LR, 128) i32 words, counts (G,) i32,
+    final states (LR, 128) i32)."""
+    G = syms.shape[0] // (S * LR)
+    return pl.pallas_call(
+        partial(_encode_kernel, K=K, LR=LR, n=n, S=S, G=G),
+        grid=(G,),
+        out_shape=(jax.ShapeDtypeStruct((G * S * LR, LANE_COLS), jnp.int32),
+                   jax.ShapeDtypeStruct((G, 1), jnp.int32),
+                   jax.ShapeDtypeStruct((LR, LANE_COLS), jnp.int32)),
+        in_specs=[pl.BlockSpec((S * LR, LANE_COLS),
+                               lambda g, G=G: (G - 1 - g, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=(pl.BlockSpec((S * LR, LANE_COLS), lambda g: (g, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, 1), lambda g: (g, 0),
+                                memory_space=pltpu.SMEM),
+                   pl.BlockSpec(memory_space=pltpu.VMEM)),
+        scratch_shapes=[pltpu.VMEM((LR, LANE_COLS), jnp.uint32)],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(syms, tab)
+
+
+def encode(data, n_lanes: int = 1024, S: int = 0,
+           interpret: bool = False) -> bytes:
+    """Order-0 encode via the Pallas kernel — byte-identical to
+    rans_np.encode(data, order=0, n_lanes=n_lanes)."""
+    from . import rans_np
+    a = np.frombuffer(data, np.uint8) if isinstance(
+        data, (bytes, bytearray, memoryview)) else np.asarray(data, np.uint8)
+    n = a.shape[0]
+    N = n_lanes
+    LR = N // LANE_COLS
+    assert N >= LANE_COLS
+    freq = rans_np.normalize_freqs(np.bincount(a, minlength=256))
+    cum = np.concatenate([[0], np.cumsum(freq)[:-1]]).astype(np.uint32)
+    ftab = rans_np._freqs_serialize(freq)
+    header = bytes([int(np.log2(N)), 0]) + int(n).to_bytes(4, "little") + ftab
+    K, _ = rans_np.lane_layout(n, N)
+    if K == 0:
+        x = np.full(N, RANS_L, np.uint32)
+        st = np.empty(2 * N, np.uint16)
+        st[0::2] = (x >> 16).astype(np.uint16)
+        st[1::2] = (x & 0xFFFF).astype(np.uint16)
+        return header + st.tobytes()
+    if S <= 0:
+        S = max(1, 32 // LR)
+    G = (K + S - 1) // S
+    Kp = G * S
+    padded = np.zeros(N * K, np.uint8)
+    padded[:n] = a
+    plane = np.zeros((Kp, N), np.uint8)              # step-major; lanes keep
+    plane[:K] = padded.reshape(N, K).T               # K-long chunks
+    syms = plane.reshape(Kp * LR, LANE_COLS)
+    blocks, counts, stx = encode_order0_device(
+        jnp.asarray(syms), jnp.asarray(np.stack(
+            [freq.astype(np.float32), cum.astype(np.float32)])),
+        K, LR, n, S, interpret)
+    blocks = np.asarray(blocks).reshape(G, S * LR * LANE_COLS)
+    counts = np.asarray(counts).reshape(-1)
+    parts = [blocks[g, blocks.shape[1] - counts[g]:]
+             for g in range(G - 1, -1, -1)]
+    words = np.concatenate(parts).astype(np.uint16) if parts else \
+        np.zeros(0, np.uint16)
+    x = np.asarray(stx).astype(np.uint32).reshape(-1)
+    st = np.empty(2 * N, np.uint16)
+    st[0::2] = (x >> 16).astype(np.uint16)
+    st[1::2] = (x & 0xFFFF).astype(np.uint16)
+    return header + st.tobytes() + words.tobytes()
+
+
+def decode(buf, interpret: bool = False, S: int = 0, v1: bool = False,
+           v2: bool = False) -> bytes:
     """Order-0 stream decode via the Pallas kernel (host wrapper).
-    S = decode steps per grid program (v2 blocking); 0 picks a default.
-    v1=True uses the one-step-per-program kernel (comparison baseline)."""
+    S = decode steps per grid program; 0 picks a default. Default kernel is
+    v3 (full-lane-grid log-shift gathers); v2=True forces the per-row
+    kernel, v1=True the one-step-per-program baseline."""
     from . import rans_np
     buf = memoryview(buf)
     logN, order = buf[0], buf[1]
@@ -354,6 +643,12 @@ def decode(buf, interpret: bool = False, S: int = 0, v1: bool = False) -> bytes:
     wrows = (wrows + 7) // 8 * 8
     wpad = np.zeros(wrows * LANE_COLS, np.int32)
     wpad[: data_words.shape[0]] = data_words
+    if not v2:
+        out = decode_order0_device_v3(
+            jnp.asarray(wpad), jnp.asarray(tab),
+            jnp.asarray(x0.reshape(1, N)), K, N, n, S, interpret)
+        plane = np.asarray(out)[:K]
+        return plane.T.reshape(-1)[:n].tobytes()
     out = decode_order0_device_v2(jnp.asarray(wpad), jnp.asarray(tab),
                                   jnp.asarray(x0), K, LR, n, S, interpret)
     plane = np.asarray(out)[: K * LR].reshape(K, N)

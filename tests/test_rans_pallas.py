@@ -32,3 +32,15 @@ def test_pallas_decode_v2_interpret(n, S):
                       n).astype(np.uint8).tobytes()
     e = rans_np.encode(data, order=0)
     assert rans_pallas.decode(e, interpret=True, S=S) == data
+
+
+@pytest.mark.parametrize("n,N,S", [(33000, 256, 4), (200000, 1024, 4),
+                                   (131072, 128, 16), (100, 128, 1)])
+def test_pallas_encode_interpret(n, N, S):
+    """Encode kernel must produce byte-identical streams to the numpy spec."""
+    data = RNG.choice(np.frombuffer(b"FFFFF:F,#AB!x", np.uint8),
+                      n).astype(np.uint8).tobytes()
+    ref = rans_np.encode(data, order=0, n_lanes=N)
+    got = rans_pallas.encode(data, n_lanes=N, S=S, interpret=True)
+    assert got == ref
+    assert rans_np.decode(got) == data
