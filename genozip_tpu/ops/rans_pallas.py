@@ -426,7 +426,7 @@ def decode_order0_device_v3(words, tab, x0, K: int, N: int, n: int,
     )(wmat, tab, x0)
 
 
-def _encode_kernel(syms_ref, tab_ref, out_ref, cnt_ref, st_ref, x_ref,
+def _encode_kernel(syms_ref, tab_ref, out_ref, st_ref, x_ref,
                    *, K: int, LR: int, n: int, S: int, G: int):
     """rANS encode, S steps per program, steps processed in DESCENDING t
     (the input index_map hands program g the (G-1-g)-th step block). Each
@@ -522,8 +522,11 @@ def _encode_kernel(syms_ref, tab_ref, out_ref, cnt_ref, st_ref, x_ref,
                 c_row.astype(jnp.uint32)
             x_ref[b:b + 1, :] = jnp.where(act, xa, xr)
 
-    out_ref[...] = jnp.transpose(outT)
-    cnt_ref[0, 0] = BLK * LANE_COLS - q[0, 0]
+    # rows 0..7 are a header: [0,0] = emitted word count (a separate small
+    # output block is illegal: SMEM/VMEM blocks need >=8 sublanes)
+    hdr = jnp.zeros((8, LANE_COLS), jnp.int32) \
+        .at[0, 0].set(BLK * LANE_COLS - q[0, 0])
+    out_ref[...] = jnp.concatenate([hdr, jnp.transpose(outT)], axis=0)
     st_ref[...] = x_ref[...].astype(jnp.int32)
 
 
@@ -531,23 +534,21 @@ def _encode_kernel(syms_ref, tab_ref, out_ref, cnt_ref, st_ref, x_ref,
 def encode_order0_device(syms, tab, K: int, LR: int, n: int, S: int,
                          interpret: bool = False):
     """syms: (Kp*LR, 128) u8 symbol plane (Kp = ceil(K/S)*S, padded steps
-    high). Returns (blocks (Kp*LR, 128) i32 words, counts (G,) i32,
-    final states (LR, 128) i32)."""
+    high). Returns (blocks (G*(S*LR+8), 128) i32 — per-program 8 header
+    rows ([0,0] = word count) + words, final states (LR, 128) i32)."""
     G = syms.shape[0] // (S * LR)
     return pl.pallas_call(
         partial(_encode_kernel, K=K, LR=LR, n=n, S=S, G=G),
         grid=(G,),
-        out_shape=(jax.ShapeDtypeStruct((G * S * LR, LANE_COLS), jnp.int32),
-                   jax.ShapeDtypeStruct((G, 1), jnp.int32),
+        out_shape=(jax.ShapeDtypeStruct((G * (S * LR + 8), LANE_COLS),
+                                        jnp.int32),
                    jax.ShapeDtypeStruct((LR, LANE_COLS), jnp.int32)),
         in_specs=[pl.BlockSpec((S * LR, LANE_COLS),
                                lambda g, G=G: (G - 1 - g, 0),
                                memory_space=pltpu.VMEM),
                   pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=(pl.BlockSpec((S * LR, LANE_COLS), lambda g: (g, 0),
+        out_specs=(pl.BlockSpec((S * LR + 8, LANE_COLS), lambda g: (g, 0),
                                 memory_space=pltpu.VMEM),
-                   pl.BlockSpec((1, 1), lambda g: (g, 0),
-                                memory_space=pltpu.SMEM),
                    pl.BlockSpec(memory_space=pltpu.VMEM)),
         scratch_shapes=[pltpu.VMEM((LR, LANE_COLS), jnp.uint32)],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
@@ -586,12 +587,13 @@ def encode(data, n_lanes: int = 1024, S: int = 0,
     plane = np.zeros((Kp, N), np.uint8)              # step-major; lanes keep
     plane[:K] = padded.reshape(N, K).T               # K-long chunks
     syms = plane.reshape(Kp * LR, LANE_COLS)
-    blocks, counts, stx = encode_order0_device(
+    blocks, stx = encode_order0_device(
         jnp.asarray(syms), jnp.asarray(np.stack(
             [freq.astype(np.float32), cum.astype(np.float32)])),
         K, LR, n, S, interpret)
-    blocks = np.asarray(blocks).reshape(G, S * LR * LANE_COLS)
-    counts = np.asarray(counts).reshape(-1)
+    blocks = np.asarray(blocks).reshape(G, (S * LR + 8) * LANE_COLS)
+    counts = blocks[:, 0]
+    blocks = blocks[:, 8 * LANE_COLS:]
     parts = [blocks[g, blocks.shape[1] - counts[g]:]
              for g in range(G - 1, -1, -1)]
     words = np.concatenate(parts).astype(np.uint16) if parts else \

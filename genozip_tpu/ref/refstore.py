@@ -162,7 +162,27 @@ def write_ref_file(ref: RefGenome, out_path: str):
         zw.finalize()
 
 
-def load_ref_file(path: str) -> RefGenome:
+def load_ref_file(path: str, cache: bool = True) -> RefGenome:
+    """Load a .ref.gxz. With cache=True (default), the unpacked genome +
+    refhash are memory-mapped from a sidecar cache file created on first
+    load (reference parity: src/ref_cache.c — the shared-memory genome
+    cache across processes; here an mmap'd sidecar shared by the OS page
+    cache). GXZ_NO_REF_CACHE=1 disables."""
+    import os
+    if cache and not os.environ.get("GXZ_NO_REF_CACHE"):
+        cpath = path + ".cache"
+        try:
+            src_m = os.path.getmtime(path)
+            if os.path.exists(cpath) and os.path.getmtime(cpath) >= src_m:
+                return _load_ref_cache(path, cpath)
+        except OSError:
+            pass
+        ref = load_ref_file(path, cache=False)
+        try:
+            _write_ref_cache(ref, cpath)
+            return _load_ref_cache(path, cpath)
+        except OSError:
+            return ref
     with open(path, "rb") as f:
         zr = fmt.ZReader(f)
         hdr = fmt.json_parse(zr.read_one(fmt.SEC_FILE_HEADER)[0])
@@ -180,6 +200,52 @@ def load_ref_file(path: str) -> RefGenome:
         iupac_chars = np.frombuffer(payload[8 * ni:], np.uint8).copy()
         return RefGenome(codes, contigs, refhash, hash_bits,
                          iupac_pos, iupac_chars)
+
+
+_CACHE_MAGIC = b"GXZRC1\0\0"
+
+
+def _write_ref_cache(ref: RefGenome, cpath: str):
+    import json
+    import os
+    meta = json.dumps({"hash_bits": ref.hash_bits, "glen": ref.length,
+                       "nhash": int(ref.refhash.shape[0]),
+                       "niupac": int(ref.iupac_pos.shape[0]
+                                     if ref.iupac_pos is not None else 0),
+                       "contigs": ref.contigs}).encode()
+    meta += b" " * (-(len(meta)) % 8)       # 8-align sections for mmap views
+    tmp = cpath + f".tmp{os.getpid()}"
+    with open(tmp, "wb") as f:
+        f.write(_CACHE_MAGIC)
+        f.write(len(meta).to_bytes(8, "little"))
+        f.write(meta)
+        f.write(ref.codes.tobytes())
+        f.write(b"\0" * (-ref.length % 8))
+        f.write(ref.refhash.astype("<u4").tobytes())
+        if ref.iupac_pos is not None:
+            f.write(ref.iupac_pos.astype("<i8").tobytes())
+            f.write(ref.iupac_chars.tobytes())
+    os.replace(tmp, cpath)  # atomic: concurrent loaders see old or new
+
+
+def _load_ref_cache(path: str, cpath: str) -> RefGenome:
+    import json
+    mm = np.memmap(cpath, dtype=np.uint8, mode="r")
+    assert bytes(mm[:8]) == _CACHE_MAGIC, "bad reference cache"
+    mlen = int.from_bytes(bytes(mm[8:16]), "little")
+    meta = json.loads(bytes(mm[16:16 + mlen]).decode())
+    o = 16 + mlen
+    glen, nh, ni = meta["glen"], meta["nhash"], meta["niupac"]
+    codes = mm[o:o + glen]
+    o += glen + (-glen % 8)
+    refhash = mm[o:o + 4 * nh].view("<u4")
+    o += 4 * nh
+    iupac_pos = iupac_chars = None
+    if ni:
+        iupac_pos = mm[o:o + 8 * ni].view("<i8").astype(np.int64)
+        iupac_chars = np.asarray(mm[o + 8 * ni:o + 9 * ni])
+    return RefGenome(codes, meta["contigs"], refhash, meta["hash_bits"],
+                     iupac_pos, iupac_chars)
 
 
 def make_reference(fa_path: str, out_path: str,

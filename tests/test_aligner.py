@@ -191,3 +191,22 @@ def test_sam_indel_cigars_vs_ref(tmp_path):
     z2 = src + ".noref.gxz"
     zip_file(src, z2)
     assert os.path.getsize(z) < os.path.getsize(z2) * 0.90
+
+
+def test_ref_cache_roundtrip(tmp_path):
+    """mmap sidecar cache (ref_cache.c analog) must load identically."""
+    import os
+    fa = synth_genome(60000, 2)
+    fa_path = os.path.join(str(tmp_path), "c.fa")
+    open(fa_path, "wb").write(fa)
+    ref_path = os.path.join(str(tmp_path), "c.ref.gxz")
+    refstore.make_reference(fa_path, ref_path)
+    r1 = refstore.load_ref_file(ref_path, cache=False)
+    r2 = refstore.load_ref_file(ref_path)          # creates the cache
+    assert os.path.exists(ref_path + ".cache")
+    r3 = refstore.load_ref_file(ref_path)          # loads FROM the cache
+    for r in (r2, r3):
+        assert np.array_equal(np.asarray(r.codes), r1.codes)
+        assert np.array_equal(np.asarray(r.refhash), r1.refhash)
+        assert r.contigs == r1.contigs
+        assert np.array_equal(np.asarray(r.iupac_pos), r1.iupac_pos)
