@@ -524,9 +524,12 @@ def _encode_kernel(syms_ref, tab_ref, out_ref, st_ref, x_ref,
 
     # rows 0..7 are a header: [0,0] = emitted word count (a separate small
     # output block is illegal: SMEM/VMEM blocks need >=8 sublanes)
-    hdr = jnp.zeros((8, LANE_COLS), jnp.int32) \
-        .at[0, 0].set(BLK * LANE_COLS - q[0, 0])
-    out_ref[...] = jnp.concatenate([hdr, jnp.transpose(outT)], axis=0)
+    hr = jax.lax.broadcasted_iota(jnp.int32, (8, LANE_COLS), 0)
+    hc = jax.lax.broadcasted_iota(jnp.int32, (8, LANE_COLS), 1)
+    cnt = BLK * LANE_COLS - q[0, 0]
+    hdr = jnp.where((hr == 0) & (hc == 0), cnt, 0)
+    out_ref[0:8, :] = hdr
+    out_ref[8:, :] = jnp.transpose(outT)
     st_ref[...] = x_ref[...].astype(jnp.int32)
 
 

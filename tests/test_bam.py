@@ -97,3 +97,73 @@ def test_bgzf_exact_roundtrip(tmp_path):
     out = os.path.join(str(tmp_path), "y.fastq.gz")
     piz_file(z, out)
     assert open(out, "rb").read() == orig_bytes  # compressed-byte identical
+
+
+def test_bam_seq_vs_reference(tmp_path):
+    """BAM SEQ goes through the by-reference path (nibbles -> ASCII ->
+    CIGAR walk) and re-nibbles byte-exactly at PIZ."""
+    import os
+    from genozip_tpu.ref import refstore
+    from genozip_tpu.ops import pack as packops
+    from genozip_tpu.zip_pipeline import zip_file
+    from genozip_tpu.piz_pipeline import piz_file
+    from tests.test_aligner import synth_genome
+
+    fa = synth_genome(120000, 1)
+    fa_path = os.path.join(str(tmp_path), "bg.fa")
+    open(fa_path, "wb").write(fa)
+    ref_path = os.path.join(str(tmp_path), "bg.ref.gxz")
+    refstore.make_reference(fa_path, ref_path)
+    ref = refstore.load_ref_file(ref_path)
+
+    rng = np.random.default_rng(12)
+    nib_of = {65: 1, 67: 2, 71: 4, 84: 8, 78: 15}
+    recs = []
+    for i in range(800):
+        p = int(rng.integers(0, ref.length - 150))
+        codes = ref.codes[p:p + 100].copy()
+        nm = int(rng.binomial(100, 0.01))
+        if nm:
+            mp = rng.integers(0, 100, nm)
+            codes[mp] = (codes[mp] + 1) % 4
+        seq = packops.ACGT[codes].tobytes().decode()
+        if i % 40 == 0:
+            seq = seq[:50] + "N" + seq[51:]
+        qname = b"B%d" % i
+        qual = bytes((rng.integers(20, 40, 100)).astype(np.uint8))
+        cig = [(100, 0)]
+        nib = bytearray()
+        for j in range(0, 100, 2):
+            nib.append((nib_of[ord(seq[j])] << 4) | nib_of[ord(seq[j + 1])])
+        rec = struct.pack("<iiBBHHHiiii", 0, p, len(qname) + 1, 60,
+                          4680, len(cig), 0, 100, -1, -1, 0)
+        rec += qname + b"\0"
+        for ln, op in cig:
+            rec += struct.pack("<I", (ln << 4) | op)
+        rec += bytes(nib) + qual + b"NMC" + bytes([min(nm, 255)])
+        recs.append(struct.pack("<i", len(rec)) + rec)
+    hdr_text = b"@HD\tVN:1.6\n@SQ\tSN:ctg0\tLN:120000\n"
+    from genozip_tpu.utils.bgzf import open_bgzf
+    src = os.path.join(str(tmp_path), "r.bam")
+    f = open_bgzf(src)
+    f.write(b"BAM\x01" + struct.pack("<i", len(hdr_text)) + hdr_text
+            + struct.pack("<i", 1) + struct.pack("<i", 5) + b"ctg0\0"
+            + struct.pack("<i", 120000))
+    for r in recs:
+        f.write(r)
+    f.close()
+
+    z = src + ".gxz"
+    zip_file(src, z, reference=ref_path)
+    o = src + ".out.bam"
+    piz_file(z, o, reference=ref_path)
+    import gzip
+    assert gzip.open(o, "rb").read() == gzip.open(src, "rb").read()
+
+    z2 = src + ".noref.gxz"
+    zip_file(src, z2)
+    piz_file(z2, src + ".out2.bam")
+    assert gzip.open(src + ".out2.bam", "rb").read() == \
+        gzip.open(src, "rb").read()
+    assert os.path.getsize(z) < os.path.getsize(z2) * 0.85, \
+        (os.path.getsize(z), os.path.getsize(z2))
