@@ -111,6 +111,252 @@ class BamDT(SamDT):
             ok[oidx] = (last & 15) == 0
         return ascii_col, ok
 
+    # ------------------------------------------------------------------
+    # per-tag binary AUX (reference src/sam_fields.c + bam field types)
+    # ------------------------------------------------------------------
+
+    _FIXSZ = {ord("A"): 1, ord("c"): 1, ord("C"): 1, ord("s"): 2,
+              ord("S"): 2, ord("i"): 4, ord("I"): 4, ord("f"): 4}
+    _BSUB = {ord("c"): 1, ord("C"): 1, ord("s"): 2, ord("S"): 2,
+             ord("i"): 4, ord("I"): 4, ord("f"): 4}
+
+    def _walk_aux(self, aux: Col):
+        """Vectorized field walk over all records at once (one iteration per
+        field ordinal, each a whole-column numpy pass). Returns
+        (f_rec, f_start, f_vlen arrays in (rec, field) order, bad mask)."""
+        n = len(aux)
+        data = aux.data
+        rec_end = aux.offsets[1:]
+        cur = aux.offsets[:-1].copy()
+        bad = np.zeros(n, bool)
+        active = cur < rec_end
+        nulpos = np.nonzero(data == 0)[0]
+        dmax = max(data.shape[0] - 1, 0)
+        at = lambda p: data[np.minimum(p, dmax)]
+        f_rec, f_start, f_vlen = [], [], []
+        for _ in range(4096):
+            idx = np.nonzero(active)[0]
+            if idx.shape[0] == 0:
+                break
+            c = cur[idx]
+            ok = c + 4 <= rec_end[idx]
+            ty = at(c + 2)
+            vl = np.full(idx.shape[0], -1, np.int64)
+            for tch, sz in self._FIXSZ.items():
+                vl = np.where(ty == tch, sz, vl)
+            zh = (ty == ord("Z")) | (ty == ord("H"))
+            if zh.any():
+                srch = np.searchsorted(nulpos, c + 3)
+                has = srch < nulpos.shape[0]
+                npos = np.where(has, nulpos[np.minimum(srch, max(nulpos.shape[0] - 1, 0))], -1)
+                goodz = zh & has & (npos < rec_end[idx])
+                vl = np.where(goodz, npos - (c + 3) + 1, np.where(zh, -1, vl))
+            isb = ty == ord("B")
+            if isb.any():
+                sub = at(c + 3)
+                cnt = (at(c + 4).astype(np.int64) | (at(c + 5).astype(np.int64) << 8)
+                       | (at(c + 6).astype(np.int64) << 16)
+                       | (at(c + 7).astype(np.int64) << 24))
+                elsz = np.full(idx.shape[0], -1, np.int64)
+                for sch, sz in self._BSUB.items():
+                    elsz = np.where(sub == sch, sz, elsz)
+                vl = np.where(isb & (elsz > 0) & (cnt >= 0),
+                              5 + cnt * np.maximum(elsz, 1), vl)
+            ok &= (vl >= 0) & (c + 3 + vl <= rec_end[idx])
+            nb = idx[~ok]
+            bad[nb] = True
+            active[nb] = False
+            gi = idx[ok]
+            if gi.shape[0]:
+                f_rec.append(gi)
+                f_start.append(c[ok])
+                f_vlen.append(vl[ok])
+                cur[gi] = c[ok] + 3 + vl[ok]
+                active[gi] = cur[gi] < rec_end[gi]
+        else:
+            bad[np.nonzero(active)[0]] = True  # runaway: too many fields
+        if not f_rec:
+            z = np.zeros(0, np.int64)
+            return z, z, z, bad
+        fr = np.concatenate(f_rec)
+        fs = np.concatenate(f_start)
+        fv = np.concatenate(f_vlen)
+        order = np.lexsort((fs, fr))     # (rec, field) order
+        fr, fs, fv = fr[order], fs[order], fv[order]
+        keep = ~bad[fr]
+        return fr[keep], fs[keep], fv[keep], bad
+
+    def _seg_aux_bam(self, ctxs, aux: Col, predict=None):
+        """One context per binary aux tag; layout word = 3-byte TAG+type
+        units per record (AUXL dict); typed value streams: fixed ints ->
+        numeric (NM delta-vs-predicted, param=4), f -> raw f32, Z/H ->
+        tokenizer (MD:Z -> OK bitmap + exceptions), B -> raw + len stream."""
+        n = len(aux)
+        data = aux.data
+        fr, fs, fv, bad = self._walk_aux(aux)
+        nf = np.bincount(fr, minlength=n)
+        llens = np.where(bad, 1, 3 * nf)
+        loff = np.concatenate([[0], np.cumsum(llens)])
+        ldata = np.empty(int(loff[-1]), np.uint8)
+        bad_rows = np.nonzero(bad)[0]
+        ldata[loff[:-1][bad_rows]] = 0
+        F = fr.shape[0]
+        if F:
+            fidx = ragged.arange(F) - np.concatenate(
+                [[0], np.cumsum(nf)])[:-1][fr]
+            pdst = loff[:-1][fr] + 3 * fidx
+            for b in range(3):
+                ldata[pdst + b] = data[fs + b]
+        uw, inv = dedup_col(Col(ldata, loff))
+        ctxs["AUXL"] = VBCtx("AUXL", MODE_DICT, b250=inv, vb_words=uw,
+                             cat="b250")
+        if bad_rows.shape[0]:
+            uwx, invx = dedup_col(ragged.take(aux, bad_rows))
+            ctxs["AUXEXC"] = VBCtx("AUXEXC", MODE_DICT, b250=invx,
+                                   vb_words=uwx, cat="text")
+        if F == 0:
+            return
+        key = (data[fs].astype(np.uint32) << 16) \
+            | (data[fs + 1].astype(np.uint32) << 8) \
+            | data[fs + 2].astype(np.uint32)
+        nm_pred = md_col = has_md = None
+        if predict is not None:
+            nm_pred, md_col, has_md = predict
+        for t in np.unique(key):
+            sel = np.nonzero(key == t)[0]
+            b0, b1, b3 = (int(t) >> 16) & 0xFF, (int(t) >> 8) & 0xFF, int(t) & 0xFF
+            name = "AX" + chr(b0) + chr(b1) + chr(b3)
+            vs = fs[sel] + 3
+            vl = fv[sel]
+            rows_t = fr[sel]
+            ty = b3
+            if ty in (ord("c"), ord("C"), ord("s"), ord("S"), ord("i"),
+                      ord("I"), ord("A")):
+                w = self._FIXSZ[ty]
+                v = np.zeros(sel.shape[0], np.int64)
+                for b in range(w):
+                    v |= data[vs + b].astype(np.int64) << (8 * b)
+                if ty == ord("c"):
+                    v = v.astype(np.int8).astype(np.int64)
+                elif ty == ord("s"):
+                    v = v.astype(np.int16).astype(np.int64)
+                elif ty == ord("i"):
+                    v = v.astype(np.int32).astype(np.int64)
+                if nm_pred is not None and (b0, b1) == (ord("N"), ord("M")) \
+                        and ty != ord("A"):
+                    ctxs[name] = VBCtx(name, MODE_NUM,
+                                       local=v - nm_pred[rows_t],
+                                       cat="int", param=4)
+                else:
+                    ctxs[name] = VBCtx(name, MODE_NUM, local=v, cat="int")
+            elif ty in (ord("Z"), ord("H")):
+                vals = ragged.gather_ranges(data, vs, vl - 1)  # sans NUL
+                if md_col is not None and (b0, b1, ty) == (ord("M"), ord("D"),
+                                                           ord("Z")):
+                    pred_vals = ragged.take(md_col, rows_t)
+                    eq = (vals.lens == pred_vals.lens) & has_md[rows_t]
+                    if eq.any():
+                        a = ragged.take(vals, np.nonzero(eq)[0])
+                        b = ragged.take(pred_vals, np.nonzero(eq)[0])
+                        neq = np.unique(np.searchsorted(
+                            a.offsets[1:], np.nonzero(a.data != b.data)[0],
+                            side="right"))
+                        if neq.shape[0]:
+                            ei = np.nonzero(eq)[0]
+                            eq[ei[neq]] = False
+                    ctxs[name + "K"] = VBCtx(name + "K", MODE_NUM,
+                                             local=eq.astype(np.int64),
+                                             cat="int")
+                    if (~eq).any():
+                        exc = ragged.take(vals, np.nonzero(~eq)[0])
+                        ctxs.update(tokenizer_seg_col(name, exc,
+                                                      single_stream=True))
+                else:
+                    ctxs.update(tokenizer_seg_col(name, vals,
+                                                  single_stream=True))
+            else:  # f, B: raw value bytes + len stream (B only; f is fixed)
+                raw = ragged.gather_ranges(data, vs, vl)
+                cat = "float" if ty == ord("f") else "int"
+                ctxs[name] = VBCtx(name, MODE_TXT, local=raw.data, cat=cat)
+                if ty == ord("B"):
+                    ctxs[name + "L"] = VBCtx(name + "L", MODE_NUM, local=vl,
+                                             cat="int")
+
+    def _recon_aux_bam(self, pctxs, n, predict=None):
+        layout = pctxs["AUXL"].dict_take()
+        ld = layout.data
+        llen = layout.lens
+        bad = llen == 1
+        nf = np.where(bad, 0, llen // 3)
+        F = int(nf.sum())
+        field_row = np.repeat(ragged.arange(n), nf)
+        nm_pred = md_col = has_md = None
+        if predict is not None:
+            nm_pred, md_col, has_md = predict
+        if F:
+            fidx = ragged.arange(F) - np.concatenate(
+                [[0], np.cumsum(nf)])[:-1][field_row]
+            pstart = layout.offsets[:-1][field_row] + 3 * fidx
+            key = (ld[pstart].astype(np.uint32) << 16) \
+                | (ld[pstart + 1].astype(np.uint32) << 8) \
+                | ld[pstart + 2].astype(np.uint32)
+            parts = []
+            for t in np.unique(key):
+                sel = np.nonzero(key == t)[0]
+                b0, b1, ty = (int(t) >> 16) & 0xFF, (int(t) >> 8) & 0xFF, \
+                    int(t) & 0xFF
+                name = "AX" + chr(b0) + chr(b1) + chr(ty)
+                rows_t = field_row[sel]
+                pc = pctxs.get(name)
+                if ty in self._FIXSZ and ty != ord("f"):
+                    v = pc.nums()
+                    if pc.param == 4:
+                        v = pc.local.astype(np.int64) + nm_pred[rows_t]
+                    w = self._FIXSZ[ty]
+                    m = np.zeros((sel.shape[0], w), np.uint8)
+                    uv = v.astype(np.uint64) & ((1 << (8 * w)) - 1)
+                    for b in range(w):
+                        m[:, b] = (uv >> (8 * b)) & 0xFF
+                    col = Col.from_fixed(m)
+                elif ty in (ord("Z"), ord("H")):
+                    if name + "K" in pctxs:
+                        okf = pctxs[name + "K"].nums().astype(bool)
+                        pred_vals = ragged.take(md_col, rows_t)
+                        sub = [(np.nonzero(okf)[0],
+                                ragged.take(pred_vals, np.nonzero(okf)[0]))]
+                        exc_cnt = int((~okf).sum())
+                        if exc_cnt:
+                            sub.append((np.nonzero(~okf)[0],
+                                        tokenizer_recon_col(name, pctxs,
+                                                            exc_cnt)))
+                        col = ragged.merge_rows(sel.shape[0], sub)
+                    else:
+                        col = tokenizer_recon_col(name, pctxs, sel.shape[0])
+                    col = ragged.interleave([col], sep_after=[b"\x00"])
+                elif ty == ord("B"):
+                    vl = pctxs[name + "L"].nums()
+                    col = pc.txt_col(vl)
+                else:  # f
+                    col = pc.txt_col(np.full(sel.shape[0], 4, np.int64))
+                parts.append((sel, col))
+            val_col = ragged.merge_rows(F, parts)
+            pref_col = ragged.gather_ranges(ld, pstart,
+                                            np.full(F, 3, np.int64))
+            fields = ragged.interleave([pref_col, val_col])
+            row_lens = np.bincount(field_row, weights=fields.lens,
+                                   minlength=n).astype(np.int64)
+            aux_col = Col(fields.data,
+                          np.concatenate([[0], np.cumsum(row_lens)]))
+        else:
+            aux_col = Col(np.zeros(0, np.uint8), np.zeros(n + 1, np.int64))
+        bad_rows = np.nonzero(bad)[0]
+        if bad_rows.shape[0]:
+            good_rows = np.nonzero(~bad)[0]
+            aux_col = ragged.merge_rows(
+                n, [(good_rows, ragged.take(aux_col, good_rows)),
+                    (bad_rows, pctxs["AUXEXC"].dict_take())])
+        return aux_col
+
     @staticmethod
     def _renibble(ascii_col: Col) -> Col:
         lens = ascii_col.lens
@@ -187,27 +433,33 @@ class BamDT(SamDT):
                               cat="int", param=1)
         ctxs["CIGAR"] = VBCtx("CIGAR", MODE_TXT, local=cigar.data, cat="int")
         ref = getattr(self, "ref", None)
+        predict = None
         if ref is not None and n:
             # SEQ-vs-reference through the inherited SAM walk: synthesize
             # text RNAME/POS/CIGAR columns from the binary fields
+            rname_t = self._rname_text(refid)
+            pos_t = ragged.itoa(pos + 1)
+            cig_t = self._cigar_text(cigar, n_cig)
             ascii_col, nibok = self._seq_ascii(seq, l_seq)
             exact = np.nonzero(nibok)[0]
             a2 = ragged.merge_rows(n, [(exact, ragged.take(ascii_col, exact))])
-            self._seg_seq_vs_ref(
-                ctxs, a2, self._rname_text(refid), ragged.itoa(pos + 1),
-                self._cigar_text(cigar, n_cig), ref)
+            self._seg_seq_vs_ref(ctxs, a2, rname_t, pos_t, cig_t, ref)
             ctxs["NIBOK"] = VBCtx("NIBOK", MODE_NUM,
                                   local=nibok.astype(np.int64), cat="int")
             if (~nibok).any():
                 raw = ragged.take(seq, np.nonzero(~nibok)[0])
                 ctxs["SEQBIN"] = VBCtx("SEQBIN", MODE_TXT, local=raw.data,
                                        cat="seq")
+            if "SQBITMAP" in ctxs:
+                predict = self._predict_from_ctxs(
+                    ctxs["SQBITMAP"].local.astype(bool),
+                    ctxs["SEQNM"].local, ctxs["SEQMISP"].local,
+                    cig_t, pos_t, rname_t, ref)
         else:
             ctxs["SEQBIN"] = VBCtx("SEQBIN", MODE_TXT, local=seq.data,
                                    cat="seq")
         ctxs["QUAL"] = VBCtx("QUAL", MODE_TXT, local=qual.data, cat="qual")
-        ctxs["AUX"] = VBCtx("AUX", MODE_TXT, local=aux.data, cat="text")
-        ctxs["AUXLEN"] = VBCtx("AUXLEN", MODE_NUM, local=aux.lens, cat="int")
+        self._seg_aux_bam(ctxs, aux, predict)
         return VBSegResult(ctxs, n, {})
 
     def recon_vb(self, pctxs: dict, meta: dict) -> bytes:
@@ -223,7 +475,6 @@ class BamDT(SamDT):
         tlen = pctxs["TLEN"].nums()
         n_cig = pctxs["NCIG"].nums()
         l_seq = pctxs["SQLEN"].nums()
-        aux_lens = pctxs["AUXLEN"].nums()
 
         l_rn = name.lens + 1
         seq_bytes = (l_seq + 1) // 2
@@ -246,7 +497,18 @@ class BamDT(SamDT):
         else:
             seq = pctxs["SEQBIN"].txt_col(seq_bytes)
         qual = pctxs["QUAL"].txt_col(l_seq)
-        aux = pctxs["AUX"].txt_col(aux_lens)
+        if "AUXL" in pctxs:
+            predict = None
+            if "SQBITMAP" in pctxs:
+                predict = self._predict_from_ctxs(
+                    pctxs["SQBITMAP"].nums().astype(bool),
+                    pctxs["SEQNM"].nums(), pctxs["SEQMISP"].nums(),
+                    self._cigar_text(cigar, n_cig), ragged.itoa(pos + 1),
+                    self._rname_text(refid), self.ref)
+            aux = self._recon_aux_bam(pctxs, n, predict)
+        else:
+            aux = pctxs["AUX"].txt_col(pctxs["AUXLEN"].nums())
+        aux_lens = aux.lens
 
         block_size = (32 + l_rn + 4 * n_cig + seq_bytes + l_seq + aux_lens)
 

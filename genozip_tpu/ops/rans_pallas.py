@@ -1,34 +1,42 @@
-"""Pallas TPU kernel for wide-interleaved rANS decode (order-0).
+"""Pallas TPU kernels for wide-interleaved rANS (order-0): decode + encode.
 
-STATUS (round 1): RUNS CORRECT ON TPU v5e (grid=(K,) formulation with
-persistent x/p scratch, BlockSpec-pipelined output, per-step window DMA):
-bit-exact vs ops/rans_np.py on hardware and in interpret mode. Measured
-12-15 MB/s steady — the current row body round-trips q/total through the
-scalar core per row; the vector-carry rewrite below is interpret-correct and
-pending TPU measurement (remote compiles through the axon relay take 4-10
-minutes, making iteration expensive; see ROADMAP.md). Not yet the default
-codec path — the XLA lax.scan path (ops/rans_jax.py) remains the device
-coder. Next levers: vector-splat carries (done, unmeasured), 8-row blocking
-to amortize per-row VMEM access, double-buffered window DMA, and the
-mirrored encode kernel.
+STATUS (round 1, measured on TPU v5e through the axon relay):
+  decode v3 (lane-vector, default): 164-192 MB/s kernel-only, bit-exact.
+  encode: 104 MB/s kernel-only, byte-identical streams to rans_np.encode.
+  decode v2 (per-row): 17-21 MB/s -- (1,128) per-row ops are DISPATCH-bound;
+  v1 (one step per program): 12-15 MB/s.
+End-to-end through the relay all paths are ~5-20 MB/s: every call ships the
+stream through the axon host relay (h2d measured 761 MB/s for one 8MB
+buffer but per-call overheads dominate); on a directly-attached TPU the
+kernel-only figure is the meaningful one, and batching many section
+payloads per call amortizes the rest.
 
-Bit-exact with ops/rans_np.py. The lax.scan path is lowering-bound
-(~20 MB/s measured); this kernel keeps all hot state in VMEM
-and replaces every data-dependent memory access with vector primitives:
+v3 design (why it is ~10x v2): every per-step op covers the whole N-lane
+state as one (1, N) vector --
+- table lookup: staircase sums over a (256, N) broadcast: two compares and
+  three reductions give (sym, freq, cum) exactly in f32;
+- ranks: lane-vector log-cumsum (log2 N conditional rolls);
+- renorm-word distribute: temp = win(WG,128) @ onehot_col(128,N) on the MXU,
+  then a row-select reduce -- all values < 2^24 so f32 is exact;
+- the word stream stays in HBM; one worst-case window DMA per S-step
+  program (consumption <= S*N words per step block).
+A log-shift gather (conditional rolls selected by per-lane offset bits) is
+NOT used: stage composition mixes different lanes' offsets -- it is only
+correct for uniform shifts. Caught by the interpret-mode bit-exact tests.
 
-- table lookup: interval-membership one-hot row-sums (pure VPU, exact f32);
-- stream-position ranks: flat cumsum over the (LR, 128) lane grid via
-  log-stage rolls;
-- the per-lane renorm word fetch — the classic rANS decode gather — becomes
-  a log-shift gather: conditional flat-rolls route window word rank-1 to
-  lane l (a general variable-distance backward gather, offset = l-(rank-1));
-- the word stream stays in HBM; a VMEM window of N words is DMA'd per step.
+encode design: programs process steps in DESCENDING t (the input index_map
+reverses blocks); each program writes its emitted words BACKWARD into a
+fixed-size block (8 header rows carry the count) and the host concatenates
+block tails in reverse program order -- all shapes static, no
+data-dependent DMA. x = ((x//f)<<12) + x%f + c uses exact 12-bit-limb long
+division in f32 (every partial dividend < 2^24). Word placement per row
+uses column/row one-hot routing (positions within a step are <=128
+consecutive ints, so at most one emitter per output column).
 
-Lane grid: N lanes as (LR, 128) row-major (flat lane l = (l//128, l%128)),
-matching the stream format's lane order for cumsum semantics. Initial decoder
-states are parsed host-side (they are plain data at the stream head).
-Output is laid out (K*LR, 128) — row-major identical to the (K, N) symbol
-plane — so per-step writes stay tile-aligned.
+Lane layouts: v1/v2 keep lanes as an (LR,128) row-major grid; v3 as a
+(1, N) row. Initial decoder states are parsed host-side (plain data at the
+stream head). Output is the row-major symbol plane; the host transposes
+(numpy, fast) and slices.
 """
 
 import numpy as np

@@ -167,3 +167,54 @@ def test_bam_seq_vs_reference(tmp_path):
         gzip.open(src, "rb").read()
     assert os.path.getsize(z) < os.path.getsize(z2) * 0.85, \
         (os.path.getsize(z), os.path.getsize(z2))
+
+
+def test_bam_binary_aux_per_tag(tmp_path):
+    """Binary aux tags (ints, float, Z strings, B arrays) split into per-tag
+    contexts and round-trip; malformed aux rides AUXEXC."""
+    import os
+    from genozip_tpu.zip_pipeline import zip_file
+    from genozip_tpu.piz_pipeline import piz_file
+    from genozip_tpu.utils.bgzf import open_bgzf
+
+    rng = np.random.default_rng(5)
+    recs = []
+    for i in range(500):
+        qname = b"T%d" % i
+        seq = b""
+        qual = b""
+        aux = (b"NMC" + bytes([i % 5])
+               + b"ASs" + struct.pack("<h", -100 + i % 200)
+               + b"XFf" + struct.pack("<f", 1.5 * (i % 7))
+               + b"RGZ" + b"grp%d\0" % (i % 3)
+               + b"XBB" + b"i" + struct.pack("<i", 3)
+               + struct.pack("<iii", i, i * 2, -i))
+        if i % 97 == 0:
+            aux = b"\xffbroken"          # malformed -> AUXEXC
+        rec = struct.pack("<iiBBHHHiiii", -1, -1, len(qname) + 1, 0,
+                          4680, 0, 4, 0, -1, -1, 0)
+        rec += qname + b"\0" + aux
+        recs.append(struct.pack("<i", len(rec)) + rec)
+    hdr_text = b"@HD\tVN:1.6\n"
+    src = os.path.join(str(tmp_path), "aux.bam")
+    f = open_bgzf(src)
+    f.write(b"BAM\x01" + struct.pack("<i", len(hdr_text)) + hdr_text
+            + struct.pack("<i", 0))
+    for r in recs:
+        f.write(r)
+    f.close()
+    z = src + ".gxz"
+    zip_file(src, z)
+    o = src + ".out.bam"
+    piz_file(z, o)
+    import gzip
+    assert gzip.open(o, "rb").read() == gzip.open(src, "rb").read()
+
+    # per-tag contexts engaged
+    from genozip_tpu.piz_pipeline import PizReader
+    pr = PizReader(z)
+    loaded = pr.load_vb(1, 0)
+    cm = loaded[0]["ctxs"]
+    assert "AUXL" in cm and "AXNMC" in cm and "AXASs" in cm \
+        and "AXXFf" in cm and "AXXBB" in cm and "AUXEXC" in cm
+    pr.close()
