@@ -160,7 +160,17 @@ class SamDT(DataType):
                                   cat="int", param=3)
         else:
             ctxs.update(_num_or_tok("PNEXT", pnext, delta=True))
-        ctxs.update(_num_or_tok("TLEN", tlen))
+        # TLEN as delta vs the proper-pair span prediction
+        # (reference sam_seg_TLEN: tlen ~ PNEXT - POS +/- read span): exact
+        # for FR proper pairs, harmless delta otherwise
+        tv_, tok_ = ragged.atoi(tlen)
+        if pok_.all() and nok_.all() and tok_.all() and len(pos):
+            span = pn_ - pv_ + np.where(pn_ >= pv_, seq.lens, -seq.lens)
+            pred = np.where((pn_ > 0) & (pv_ > 0), span, 0)
+            ctxs["TLEN"] = VBCtx("TLEN", MODE_NUM, local=tv_ - pred,
+                                 cat="int", param=5)
+        else:
+            ctxs.update(_num_or_tok("TLEN", tlen))
         ref = getattr(self, "ref", None)
         if sag_idx is not None:
             from .. import sag as sag_mod
@@ -864,8 +874,17 @@ class SamDT(DataType):
                 pnext = ragged.itoa(pn_)
             else:
                 pnext = _recon_num_or_tok("PNEXT", pctxs, ng)
-            tlen = _recon_num_or_tok("TLEN", pctxs, ng)
             sqlens = pctxs["SQLEN"].nums()
+            pc_tl = pctxs.get("TLEN")
+            if pc_tl is not None and pc_tl.mode == MODE_NUM and \
+                    pc_tl.param == 5:
+                pv_, _ = ragged.atoi(pos)
+                pn_, _ = ragged.atoi(pnext)
+                span = pn_ - pv_ + np.where(pn_ >= pv_, sqlens, -sqlens)
+                pred = np.where((pn_ > 0) & (pv_ > 0), span, 0)
+                tlen = ragged.itoa(pc_tl.local.astype(np.int64) + pred)
+            else:
+                tlen = _recon_num_or_tok("TLEN", pctxs, ng)
             qllens = pctxs["QLLEN"].nums()
             if sag_idx is not None:
                 from .. import sag as sag_mod

@@ -119,3 +119,40 @@ def test_sag_paired_mates_disambiguate(tmp_path):
     zip_file(src, z)
     piz_file(z, src + ".out")
     assert open(src + ".out", "rb").read() == data
+
+
+def test_sag_with_reference_interplay(tmp_path):
+    """SAG + --reference together: MAIN/PRIM VBs use the by-ref SEQ path,
+    DEPN uses the SAG store; byte-exact either way."""
+    from genozip_tpu.ref import refstore
+    from genozip_tpu.ops import pack as packops
+    from tests.test_aligner import synth_genome
+
+    fa = synth_genome(100000, 1)
+    fa_path = os.path.join(str(tmp_path), "sr.fa")
+    open(fa_path, "wb").write(fa)
+    ref_path = os.path.join(str(tmp_path), "sr.ref.gxz")
+    refstore.make_reference(fa_path, ref_path)
+    ref = refstore.load_ref_file(ref_path)
+
+    rows = [b"@HD\tVN:1.6\n@SQ\tSN:ctg0\tLN:100000\n"]
+    for i in range(500):
+        p = int(RNG.integers(0, ref.length - 200))
+        codes = ref.codes[p:p + 100].copy()
+        codes[RNG.integers(0, 100)] = (codes[RNG.integers(0, 100)] + 1) % 4
+        seq = packops.ACGT[codes].tobytes()
+        q = b"F" * 100
+        rows.append(b"S%d\t99\tctg0\t%d\t60\t100M\t=\t%d\t200\t%s\t%s\tNM:i:1\n"
+                    % (i, p + 1, p + 100, seq, q))
+        if i % 4 == 0:
+            sup = seq[30:70]
+            rows.append(b"S%d\t2113\tctg0\t%d\t30\t30H40M30H\t*\t0\t0\t%s\t%s\n"
+                        % (i, p + 777, sup, q[30:70]))
+    data = b"".join(rows)
+    src = os.path.join(str(tmp_path), "sr.sam")
+    open(src, "wb").write(data)
+    z = src + ".gxz"
+    zip_file(src, z, reference=ref_path)
+    o = src + ".out"
+    piz_file(z, o, reference=ref_path)
+    assert open(o, "rb").read() == data
