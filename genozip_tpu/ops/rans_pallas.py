@@ -434,6 +434,196 @@ def decode_order0_device_v3(words, tab, x0, K: int, N: int, n: int,
     )(wmat, tab, x0)
 
 
+def _decode_many_kernel(meta_ref, words_ref, tabs_ref, x0s_ref, out_ref,
+                        x_ref, win_ref, p_ref, sem, *, N: int, S: int):
+    """Batched multi-stream decode: grid = all S-step blocks of all streams,
+    stream-major. Per-program scalars (stream id, block index, n, K, word
+    base) ride in a prefetched meta array; tables and initial states are
+    block-indexed by stream id. One launch decodes a whole VB's sections —
+    per-call dispatch/transfer overhead amortizes across sections (and this
+    is the substrate for order-1-binned QUAL: bins = sub-streams)."""
+    g = pl.program_id(0)
+    blk = meta_ref[1, g]
+    n = meta_ref[2, g]
+    K = meta_ref[3, g]
+    wbase = meta_ref[4, g]
+
+    @pl.when(blk == 0)
+    def _init():
+        x_ref[...] = x0s_ref[...].astype(jnp.uint32)
+        p_ref[0] = wbase
+
+    LR = N // LANE_COLS
+    WG = S * LR + 16
+    frT = jnp.transpose(tabs_ref[0:1, :])
+    crT = jnp.transpose(tabs_ref[1:2, :])
+    crT2 = crT + frT
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, N), 1)
+    lane_len = jnp.clip(n - lane * K, 0, K)
+    sub128 = jax.lax.broadcasted_iota(jnp.int32, (LANE_COLS, 1), 0)
+    subWG = jax.lax.broadcasted_iota(jnp.int32, (WG, 1), 0)
+
+    p = p_ref[0]
+    base8 = pl.multiple_of(8 * (p // (8 * LANE_COLS)), 8)
+    cp = pltpu.make_async_copy(words_ref.at[pl.ds(base8, WG), :],
+                               win_ref, sem)
+    cp.start()
+    cp.wait()
+    win_f = win_ref[...].astype(jnp.float32)
+
+    q = jnp.full((1, 1), p - base8 * LANE_COLS, dtype=jnp.int32)
+    for s in range(S):
+        t = blk * S + s
+        act = t < lane_len
+        x = x_ref[...]
+        slot = (x & jnp.uint32(SCALE - 1)).astype(jnp.int32)
+        slot_f = slot.astype(jnp.float32)
+        ge = (crT <= slot_f).astype(jnp.float32)
+        ge2 = (crT2 <= slot_f).astype(jnp.float32)
+        s_row = jnp.sum(ge, axis=0, keepdims=True).astype(jnp.int32) - 1
+        A = jnp.sum(ge * frT, axis=0, keepdims=True)
+        B = jnp.sum(ge2 * frT, axis=0, keepdims=True)
+        f = (A - B).astype(jnp.int32).astype(jnp.uint32)
+        c = B.astype(jnp.int32).astype(jnp.uint32)
+        f = jnp.where(act, f, jnp.uint32(1))
+        c = jnp.where(act, c, jnp.uint32(0))
+
+        xa = f * (x >> SCALE_BITS) + slot.astype(jnp.uint32) - c
+        x = jnp.where(act, xa, x)
+        need = act & (x < RANS_L)
+        rk = need.astype(jnp.int32)
+        k = 1
+        while k < N:
+            sh = pltpu.roll(rk, k, axis=1)
+            rk = rk + jnp.where(lane >= k, sh, 0)
+            k *= 2
+        total2 = jnp.max(rk, axis=1, keepdims=True)
+
+        idx = q + rk - 1
+        r0 = idx // LANE_COLS
+        c0 = idx - r0 * LANE_COLS
+        M1 = (sub128 == c0).astype(jnp.float32)
+        temp = jax.lax.dot(win_f, M1,
+                           precision=jax.lax.Precision.HIGHEST)
+        onr = (subWG == r0).astype(jnp.float32)
+        got = jnp.sum(onr * temp, axis=0, keepdims=True) \
+            .astype(jnp.int32).astype(jnp.uint32)
+
+        x = jnp.where(need, (x << 16) | got, x)
+        x_ref[...] = x
+        out_ref[s:s + 1, :] = jnp.where(act, s_row, 0).astype(jnp.uint8)
+        q = q + total2
+
+    p_ref[0] = base8 * LANE_COLS + q[0, 0]
+
+
+@partial(jax.jit, static_argnames=("N", "S", "G", "interpret"))
+def decode_many_device(meta, words, tabs, x0s, N: int, S: int, G: int,
+                       interpret: bool = False):
+    """meta: (5, G) i32 [sid, blk, n, K, word_base]; words: (WR*128,) i32;
+    tabs: (B*2, 256) f32; x0s: (B, N) i32. Output (G*S, N) u8."""
+    LR = N // LANE_COLS
+    wmat = words.reshape(-1, LANE_COLS)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(G,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
+                  pl.BlockSpec((2, 256), lambda g, m: (m[0, g], 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, N), lambda g, m: (m[0, g], 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((S, N), lambda g, m: (g, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((1, N), jnp.uint32),
+                        pltpu.VMEM((S * LR + 16, LANE_COLS), jnp.int32),
+                        pltpu.SMEM((1,), jnp.int32),
+                        pltpu.SemaphoreType.DMA(())],
+    )
+    return pl.pallas_call(
+        partial(_decode_many_kernel, N=N, S=S),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((G * S, N), jnp.uint8),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(meta, wmat, tabs, x0s)
+
+
+def _bucket_up(v: int, floor: int = 8) -> int:
+    b = floor
+    while b < v:
+        b = b + (b >> 1) if b + (b >> 1) >= v else b * 2
+    return b
+
+
+def decode_many(bufs, S: int = 8, interpret: bool = False):
+    """Decode many order-0 streams (all with the same lane count) in ONE
+    kernel launch. Returns list[bytes]."""
+    from . import rans_np
+    B = len(bufs)
+    assert B > 0
+    word_parts = []
+    tabs = []
+    x0s = []
+    wbase = 0
+    G = 0
+    prog_meta = []
+    outs_shape = []
+    N = None
+    for buf in bufs:
+        buf = memoryview(buf)
+        logN, order = buf[0], buf[1]
+        assert order == 0
+        Ns = 1 << logN
+        if N is None:
+            N = Ns
+        assert Ns == N, "decode_many: all streams must share a lane count"
+        n = int.from_bytes(buf[2:6], "little")
+        off = 6
+        freq, off = rans_np._freqs_deserialize(buf, off)
+        cum = np.concatenate([[0], np.cumsum(freq)[:-1]]).astype(np.uint32)
+        tabs.append(np.stack([freq.astype(np.float32),
+                              cum.astype(np.float32)]))
+        words = np.frombuffer(buf[off:], dtype="<u2")
+        st = words[: 2 * N].astype(np.uint32)
+        x0s.append(((st[0::2] << 16) | st[1::2]).astype(np.int32))
+        dw = words[2 * N:].astype(np.int32)
+        K, _ = rans_np.lane_layout(n, N)
+        nblk = (K + S - 1) // S if K else 0
+        for b_i in range(nblk):
+            prog_meta.append((len(tabs) - 1, b_i, n, K, wbase))
+        G += nblk
+        outs_shape.append((K, n, nblk))
+        # stream's words at a 1024-word-aligned base
+        wlen = (dw.shape[0] + 1023) // 1024 * 1024
+        wp = np.zeros(wlen, np.int32)
+        wp[: dw.shape[0]] = dw
+        word_parts.append(wp)
+        wbase += wlen
+    LR = N // LANE_COLS
+    Gp = _bucket_up(max(G, 1))
+    while len(prog_meta) < Gp:
+        prog_meta.append((0, 1 << 24, 0, 0, 0))   # dummy: act always false
+    meta = np.asarray(prog_meta, np.int32).T.copy()
+    word_parts.append(np.zeros((S * LR + 24) * LANE_COLS, np.int32))
+    words = np.concatenate(word_parts)
+    Bp = _bucket_up(B, 4)
+    while len(tabs) < Bp:
+        tabs.append(np.zeros((2, 256), np.float32))
+        x0s.append(np.zeros(N, np.int32))
+    out = decode_many_device(
+        jnp.asarray(meta), jnp.asarray(words),
+        jnp.asarray(np.concatenate(tabs, axis=0)),
+        jnp.asarray(np.stack(x0s)), N, S, Gp, interpret)
+    plane = np.asarray(out)
+    res = []
+    row = 0
+    for K, n, nblk in outs_shape:
+        sub = plane[row:row + K]
+        row += nblk * S
+        res.append(sub.T.reshape(-1)[:n].tobytes() if K else b"")
+    return res
+
+
 def _encode_kernel(syms_ref, tab_ref, out_ref, st_ref, x_ref,
                    *, K: int, LR: int, n: int, S: int, G: int):
     """rANS encode, S steps per program, steps processed in DESCENDING t

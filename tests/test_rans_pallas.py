@@ -44,3 +44,17 @@ def test_pallas_encode_interpret(n, N, S):
     got = rans_pallas.encode(data, n_lanes=N, S=S, interpret=True)
     assert got == ref
     assert rans_np.decode(got) == data
+
+
+def test_pallas_decode_many_interpret():
+    """Batched multi-stream decode must match per-stream decode bit-exactly
+    (mixed sizes incl. empty/tiny streams)."""
+    N = 256
+    datas, bufs = [], []
+    for n in (33000, 517, 0, 120000, 1):
+        d = RNG.choice(np.frombuffer(b"FFFFF:F,#AB!x", np.uint8),
+                       n).astype(np.uint8).tobytes()
+        datas.append(d)
+        bufs.append(rans_np.encode(d, order=0, n_lanes=N))
+    outs = rans_pallas.decode_many(bufs, S=8, interpret=True)
+    assert outs == datas
