@@ -450,7 +450,7 @@ def _decode_many_kernel(meta_ref, words_ref, tabs_ref, x0s_ref, out_ref,
 
     @pl.when(blk == 0)
     def _init():
-        x_ref[...] = x0s_ref[...].astype(jnp.uint32)
+        x_ref[...] = x0s_ref[0:1, :].astype(jnp.uint32)
         p_ref[0] = wbase
 
     LR = N // LANE_COLS
@@ -528,9 +528,9 @@ def decode_many_device(meta, words, tabs, x0s, N: int, S: int, G: int,
         num_scalar_prefetch=1,
         grid=(G,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
-                  pl.BlockSpec((2, 256), lambda g, m: (m[0, g], 0),
+                  pl.BlockSpec((8, 256), lambda g, m: (m[0, g], 0),
                                memory_space=pltpu.VMEM),
-                  pl.BlockSpec((1, N), lambda g, m: (m[0, g], 0),
+                  pl.BlockSpec((8, N), lambda g, m: (m[0, g], 0),
                                memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((S, N), lambda g, m: (g, 0),
                                memory_space=pltpu.VMEM),
@@ -581,11 +581,15 @@ def decode_many(bufs, S: int = 8, interpret: bool = False):
         off = 6
         freq, off = rans_np._freqs_deserialize(buf, off)
         cum = np.concatenate([[0], np.cumsum(freq)[:-1]]).astype(np.uint32)
-        tabs.append(np.stack([freq.astype(np.float32),
-                              cum.astype(np.float32)]))
+        t8 = np.zeros((8, 256), np.float32)        # 8-row table blocks (TPU
+        t8[0] = freq.astype(np.float32)            # tiling: >=8 sublanes)
+        t8[1] = cum.astype(np.float32)
+        tabs.append(t8)
         words = np.frombuffer(buf[off:], dtype="<u2")
         st = words[: 2 * N].astype(np.uint32)
-        x0s.append(((st[0::2] << 16) | st[1::2]).astype(np.int32))
+        x8 = np.zeros((8, N), np.int32)
+        x8[0] = ((st[0::2] << 16) | st[1::2]).astype(np.int32)
+        x0s.append(x8)
         dw = words[2 * N:].astype(np.int32)
         K, _ = rans_np.lane_layout(n, N)
         nblk = (K + S - 1) // S if K else 0
@@ -608,12 +612,12 @@ def decode_many(bufs, S: int = 8, interpret: bool = False):
     words = np.concatenate(word_parts)
     Bp = _bucket_up(B, 4)
     while len(tabs) < Bp:
-        tabs.append(np.zeros((2, 256), np.float32))
-        x0s.append(np.zeros(N, np.int32))
+        tabs.append(np.zeros((8, 256), np.float32))
+        x0s.append(np.zeros((8, N), np.int32))
     out = decode_many_device(
         jnp.asarray(meta), jnp.asarray(words),
         jnp.asarray(np.concatenate(tabs, axis=0)),
-        jnp.asarray(np.stack(x0s)), N, S, Gp, interpret)
+        jnp.asarray(np.concatenate(x0s, axis=0)), N, S, Gp, interpret)
     plane = np.asarray(out)
     res = []
     row = 0
@@ -622,6 +626,212 @@ def decode_many(bufs, S: int = 8, interpret: bool = False):
         row += nblk * S
         res.append(sub.T.reshape(-1)[:n].tobytes() if K else b"")
     return res
+
+
+def _encode_many_kernel(meta_ref, syms_ref, tabs_ref, out_ref, sts_ref,
+                        x_ref, *, N: int, S: int):
+    """Batched multi-stream encode. meta rows: [sid, thi (= highest-step
+    base of this block, descending over a stream's programs), n, K,
+    syms_blk (absolute input block index; consumed by the index_map)].
+    Each program writes words backward into its own fixed block (8 header
+    rows carry the count); host compacts per stream in reverse program
+    order. Dummy programs use the last (padding) stream slot so their
+    state writes can't clobber a real stream's final states."""
+    g = pl.program_id(0)
+    thi = meta_ref[1, g]
+    n = meta_ref[2, g]
+    K = meta_ref[3, g]
+
+    @pl.when(thi + S >= K)   # first (highest-step) block of its stream
+    def _init():
+        x_ref[...] = jnp.full((1, N), RANS_L, jnp.uint32)
+
+    LR = N // LANE_COLS
+    BLK = S * LR
+    frT = jnp.transpose(tabs_ref[0:1, :])
+    crT = jnp.transpose(tabs_ref[1:2, :])
+    iota256T = jax.lax.broadcasted_iota(jnp.int32, (256, 1), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, N), 1)
+    lane_len = jnp.clip(n - lane * K, 0, K)
+    sub128 = jax.lax.broadcasted_iota(jnp.int32, (LANE_COLS, 1), 0)
+    blkrow_iota = jax.lax.broadcasted_iota(jnp.int32, (1, BLK), 1)
+
+    q = jnp.full((1, 1), BLK * LANE_COLS, dtype=jnp.int32)
+    outT = jnp.zeros((LANE_COLS, BLK), jnp.int32)
+    for s in range(S):
+        t = thi + (S - 1 - s)
+        act = t < lane_len
+        sym = syms_ref[S - 1 - s: S - s, :].astype(jnp.int32)   # (1, N)
+        inm = (iota256T == sym).astype(jnp.float32)             # (256, N)
+        f_row = jnp.sum(inm * frT, axis=0, keepdims=True).astype(jnp.int32)
+        c_row = jnp.sum(inm * crT, axis=0, keepdims=True).astype(jnp.int32)
+        f_row = jnp.where(act, f_row, 1)
+        c_row = jnp.where(act, c_row, 0)
+        fu = f_row.astype(jnp.uint32)
+
+        x = x_ref[...]
+        # x >= f<<20 as (x>>20) >= f: f can be 4096 (single-symbol
+        # table) and f<<20 would overflow uint32
+        emit = act & ((x >> 20) >= fu)
+        word = (x & jnp.uint32(0xFFFF)).astype(jnp.int32)
+        x = jnp.where(emit, x >> 16, x)
+
+        rk = emit.astype(jnp.int32)
+        k = 1
+        while k < N:
+            sh = pltpu.roll(rk, k, axis=1)
+            rk = rk + jnp.where(lane >= k, sh, 0)
+            k *= 2
+        total = jnp.max(rk, axis=1, keepdims=True)
+        pos = q - total + rk - 1
+        r0 = pos // LANE_COLS
+        c0 = pos - r0 * LANE_COLS
+        # a step can emit up to N words spanning LR+1 target rows; band by
+        # target row (each band has <=1 emitter per column) — positions are
+        # consecutive so the bands are rbase..rbase+LR, a STATIC loop
+        rbase = (q - total) // LANE_COLS
+        for j in range(LR + 1):
+            sel_j = emit & (r0 == rbase + j)
+            selc = (sub128 == jnp.where(sel_j, c0, -1)).astype(jnp.int32)
+            wcol = jnp.sum(selc * word, axis=1, keepdims=True)   # (128, 1)
+            onrow = (blkrow_iota == rbase + j).astype(jnp.int32)  # (1, BLK)
+            outT = outT + onrow * wcol
+        q = q - total
+
+        hi12 = (x >> 24).astype(jnp.int32)
+        mid12 = ((x >> 12) & jnp.uint32(0xFFF)).astype(jnp.int32)
+        lo12 = (x & jnp.uint32(0xFFF)).astype(jnp.int32)
+        ff = f_row.astype(jnp.float32)
+
+        def _divmod(d):
+            qq = jnp.floor(d.astype(jnp.float32) / ff).astype(jnp.int32)
+            rr = d - qq * f_row
+            fix_up = (rr >= f_row).astype(jnp.int32)
+            qq = qq + fix_up
+            rr = rr - fix_up * f_row
+            fix_dn = (rr < 0).astype(jnp.int32)
+            qq = qq - fix_dn
+            rr = rr + fix_dn * f_row
+            return qq, rr
+
+        q1, r1 = _divmod(hi12)
+        q2, r2 = _divmod((r1 << 12) | mid12)
+        q3, r3 = _divmod((r2 << 12) | lo12)
+        quot = (q1.astype(jnp.uint32) << 24) | \
+            (q2.astype(jnp.uint32) << 12) | q3.astype(jnp.uint32)
+        xa = (quot << SCALE_BITS) + r3.astype(jnp.uint32) + \
+            c_row.astype(jnp.uint32)
+        x_ref[...] = jnp.where(act, xa, x)
+
+    hr = jax.lax.broadcasted_iota(jnp.int32, (8, LANE_COLS), 0)
+    hc = jax.lax.broadcasted_iota(jnp.int32, (8, LANE_COLS), 1)
+    cnt = BLK * LANE_COLS - q[0, 0]
+    out_ref[0:8, :] = jnp.where((hr == 0) & (hc == 0), cnt, 0)
+    out_ref[8:, :] = jnp.transpose(outT)
+    sts_ref[...] = jnp.broadcast_to(x_ref[...].astype(jnp.int32), (8, N))
+
+
+@partial(jax.jit, static_argnames=("N", "S", "G", "interpret"))
+def encode_many_device(meta, syms, tabs, N: int, S: int, G: int,
+                       interpret: bool = False):
+    """meta: (5, G) i32 [sid, thi, n, K, syms_blk]; syms: (TB*S, N) u8
+    (concatenated per-stream planes, S-row blocks); tabs: (B*2, 256).
+    Returns (blocks (G*(S*LR+8), 128) i32, states (B, N) i32)."""
+    LR = N // LANE_COLS
+    B = tabs.shape[0] // 2
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(G,),
+        in_specs=[pl.BlockSpec((S, N), lambda g, m: (m[4, g], 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((8, 256), lambda g, m: (m[0, g], 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(pl.BlockSpec((S * LR + 8, LANE_COLS), lambda g, m: (g, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((8, N), lambda g, m: (m[0, g], 0),
+                                memory_space=pltpu.VMEM)),
+        scratch_shapes=[pltpu.VMEM((1, N), jnp.uint32)],
+    )
+    return pl.pallas_call(
+        partial(_encode_many_kernel, N=N, S=S),
+        grid_spec=grid_spec,
+        out_shape=(jax.ShapeDtypeStruct((G * (S * LR + 8), LANE_COLS),
+                                        jnp.int32),
+                   jax.ShapeDtypeStruct((B * 8, N), jnp.int32)),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(meta, syms, tabs)
+
+
+def encode_many(datas, n_lanes: int = 1024, S: int = 8,
+                interpret: bool = False):
+    """Encode many byte payloads as order-0 streams in ONE kernel launch.
+    Byte-identical to rans_np.encode(d, order=0, n_lanes=n_lanes) each."""
+    from . import rans_np
+    N = n_lanes
+    LR = N // LANE_COLS
+    B = len(datas)
+    assert B > 0
+    tabs, heads, plane_parts, prog_meta, shapes = [], [], [], [], []
+    blk_base = 0
+    for d in datas:
+        a = np.frombuffer(d, np.uint8) if isinstance(
+            d, (bytes, bytearray, memoryview)) else np.asarray(d, np.uint8)
+        n = a.shape[0]
+        freq = rans_np.normalize_freqs(np.bincount(a, minlength=256))
+        cum = np.concatenate([[0], np.cumsum(freq)[:-1]]).astype(np.uint32)
+        t8 = np.zeros((8, 256), np.float32)
+        t8[0] = freq.astype(np.float32)
+        t8[1] = cum.astype(np.float32)
+        tabs.append(t8)
+        heads.append(bytes([int(np.log2(N)), 0]) + int(n).to_bytes(4, "little")
+                     + rans_np._freqs_serialize(freq))
+        K, _ = rans_np.lane_layout(n, N)
+        nblk = (K + S - 1) // S if K else 0
+        Kp = nblk * S
+        if K:
+            padded = np.zeros(N * K, np.uint8)
+            padded[:n] = a
+            plane = np.zeros((Kp, N), np.uint8)
+            plane[:K] = padded.reshape(N, K).T
+            plane_parts.append(plane)
+        for b_i in range(nblk):   # program b_i handles the highest steps 1st
+            thi = (nblk - 1 - b_i) * S
+            prog_meta.append((len(tabs) - 1, thi, n, K,
+                              blk_base + (nblk - 1 - b_i)))
+        shapes.append((n, K, nblk))
+        blk_base += nblk
+    G = len(prog_meta)
+    Gp = _bucket_up(max(G, 1))
+    Bp = _bucket_up(B, 4)
+    while len(prog_meta) < Gp:   # dummies park on the padding stream slot
+        prog_meta.append((Bp - 1, 1 << 24, 0, 0, 0))
+    while len(tabs) < Bp:
+        tabs.append(np.zeros((8, 256), np.float32))
+    meta = np.asarray(prog_meta, np.int32).T.copy()
+    syms = np.concatenate(plane_parts) if plane_parts else \
+        np.zeros((S, N), np.uint8)
+    blocks, sts = encode_many_device(
+        jnp.asarray(meta), jnp.asarray(syms),
+        jnp.asarray(np.concatenate(tabs, axis=0)), N, S, Gp, interpret)
+    blocks = np.asarray(blocks).reshape(Gp, (S * LR + 8) * LANE_COLS)
+    counts = blocks[:, 0]
+    payload = blocks[:, 8 * LANE_COLS:]
+    sts = np.asarray(sts).astype(np.uint32)
+    outs = []
+    prog = 0
+    for i, (n, K, nblk) in enumerate(shapes):
+        x = sts[8 * i] if K else np.full(N, RANS_L, np.uint32)
+        st = np.empty(2 * N, np.uint16)
+        st[0::2] = (x >> 16).astype(np.uint16)
+        st[1::2] = (x & 0xFFFF).astype(np.uint16)
+        parts = [payload[g, payload.shape[1] - counts[g]:]
+                 for g in range(prog + nblk - 1, prog - 1, -1)]
+        words = np.concatenate(parts).astype(np.uint16) if parts else \
+            np.zeros(0, np.uint16)
+        outs.append(heads[i] + st.tobytes() + words.tobytes())
+        prog += nblk
+    return outs
 
 
 def _encode_kernel(syms_ref, tab_ref, out_ref, st_ref, x_ref,
@@ -670,7 +880,7 @@ def _encode_kernel(syms_ref, tab_ref, out_ref, st_ref, x_ref,
             fu = f_row.astype(jnp.uint32)
 
             xr = x_ref[b:b + 1, :]
-            emit = act & (xr >= (fu << 20))
+            emit = act & ((xr >> 20) >= fu)  # f can be 4096: no <<20
             word = (xr & jnp.uint32(0xFFFF)).astype(jnp.int32)
             xr = jnp.where(emit, xr >> 16, xr)
 

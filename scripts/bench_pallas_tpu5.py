@@ -33,3 +33,20 @@ def main():
 
 if __name__ == "__main__":
     main()
+    enc_many()
+# (encode_many measurement appended)
+def enc_many():
+    import jax, time, numpy as np
+    from genozip_tpu.ops import rans_np, rans_pallas
+    rng = np.random.default_rng(7)
+    datas = [rng.choice(np.frombuffer(b"FFFFF:F,#AB!x", np.uint8), 256 << 10).astype(np.uint8).tobytes() for _ in range(32)]
+    total = sum(len(d) for d in datas)
+    t0 = time.time()
+    outs = rans_pallas.encode_many(datas, n_lanes=1024, S=8)
+    c = time.time() - t0
+    refs = [rans_np.encode(d, order=0, n_lanes=1024) for d in datas]
+    assert outs == refs, "ENC MISMATCH"
+    ts = []
+    for _ in range(3):
+        t0 = time.time(); rans_pallas.encode_many(datas, n_lanes=1024, S=8); ts.append(time.time() - t0)
+    print(f"encode_many 32x256KB: {total/1e6/min(ts):.1f} MB/s (compile {c:.0f}s)", flush=True)

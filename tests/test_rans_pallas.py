@@ -58,3 +58,15 @@ def test_pallas_decode_many_interpret():
         bufs.append(rans_np.encode(d, order=0, n_lanes=N))
     outs = rans_pallas.decode_many(bufs, S=8, interpret=True)
     assert outs == datas
+
+
+def test_pallas_encode_many_interpret():
+    """Batched multi-stream encode: byte-identical streams, incl. the f=4096
+    single-symbol edge case."""
+    N = 256
+    datas = [RNG.choice(np.frombuffer(b"FFFFF:F,#AB!x", np.uint8),
+                        n).astype(np.uint8).tobytes()
+             for n in (33000, 0, 1, 51700)] + [b"F" * 4000]
+    outs = rans_pallas.encode_many(datas, n_lanes=N, S=4, interpret=True)
+    refs = [rans_np.encode(d, order=0, n_lanes=N) for d in datas]
+    assert outs == refs
