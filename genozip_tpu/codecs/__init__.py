@@ -40,11 +40,26 @@ NAMES = {NONE: "NONE", RANS0: "RANS0", RANS1: "RANS1", PACK0: "PACK0",
 
 # toggled by the pipeline: use the JAX (device) rANS for large payloads
 _JAX_MIN_SIZE = 1 << 62   # effectively disabled until enabled
+_DEVICE_BATCH = False     # batch a VB's RANS0 payloads into one kernel call
 
 
-def enable_device_rans(min_size: int = 256 * 1024):
-    global _JAX_MIN_SIZE
+def enable_device_rans(min_size: int = 256 * 1024, batch: bool = True):
+    global _JAX_MIN_SIZE, _DEVICE_BATCH
     _JAX_MIN_SIZE = min_size
+    _DEVICE_BATCH = batch
+
+
+def device_batch_min():
+    """Payload size threshold for batched device encoding (0 = disabled)."""
+    return _JAX_MIN_SIZE if _DEVICE_BATCH and _JAX_MIN_SIZE < (1 << 62) else 0
+
+
+def compress_many_rans0(payloads):
+    """Batched order-0 encode of many payloads in one device kernel launch
+    (ops/rans_pallas.encode_many); streams are format-identical to the
+    host coder's."""
+    from ..ops import rans_pallas
+    return rans_pallas.encode_many(payloads, n_lanes=1024, S=8)
 
 
 def _bucket(n: int) -> int:

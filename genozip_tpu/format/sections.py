@@ -182,8 +182,10 @@ class ZReader:
             out = [e for e in out if e.comp_i == comp_i]
         return out
 
-    def read_section(self, ent: SectionEnt):
-        """Returns (payload_bytes, header_dict)."""
+    def read_section_raw(self, ent: SectionEnt):
+        """Returns (compressed_bytes, header_dict) — decrypted and digest-
+        checked, NOT decompressed (batched device decoding decompresses
+        many sections in one kernel launch)."""
         self.f.seek(ent.offset)
         hdr = _HDR.unpack(self.f.read(HDR_SIZE))
         (magic, sec_type, codec, flags, ltype, vb_i, comp_i, did,
@@ -198,10 +200,15 @@ class ZReader:
                                        ent.offset, comp)
         assert (zlib.adler32(comp) & 0xFFFFFFFF) == adler, \
             f"section digest mismatch at {ent!r} (wrong password?)"
-        payload = codecs.decompress(comp, codec, uncomp_len)
         meta = dict(sec_type=sec_type, codec=codec, flags=flags, ltype=ltype,
                     vb_i=vb_i, comp_i=comp_i, dict_id=did, param=param,
                     comp_len=comp_len, uncomp_len=uncomp_len)
+        return comp, meta
+
+    def read_section(self, ent: SectionEnt):
+        """Returns (payload_bytes, header_dict)."""
+        comp, meta = self.read_section_raw(ent)
+        payload = codecs.decompress(comp, meta["codec"], meta["uncomp_len"])
         return payload, meta
 
     def read_one(self, sec_type, vb_i=None, comp_i=None, dict_id=None):

@@ -92,15 +92,40 @@ class PizReader:
 
     def _load_ctx_sections(self, vb_i, comp_i, names=None):
         """Read B250/LOCAL payload arrays for a VB. Returns
-        {name: {'b250': arr|None, 'local': (arr, ltype)|None}}."""
-        out = {}
+        {name: {'b250': arr|None, 'local': (arr, ltype)|None}}. With the
+        device-rANS batch enabled, a VB's big order-0 sections decode in
+        ONE kernel launch."""
+        from . import codecs
+        raws = []
         for ent in self.zr.sections(vb_i=vb_i, comp_i=comp_i):
             if ent.sec_type not in (fmt.SEC_B250, fmt.SEC_LOCAL):
                 continue
             name = ent.dict_id.rstrip(b"\0").decode()
             if names is not None and name not in names:
                 continue
-            payload, meta = self.zr.read_section(ent)
+            comp, meta = self.zr.read_section_raw(ent)
+            raws.append((ent, name, comp, meta))
+        # batched device decode of big RANS0 streams sharing a lane count
+        bmin = codecs.device_batch_min()
+        payloads = {}
+        if bmin:
+            groups = {}
+            for i, (ent, name, comp, meta) in enumerate(raws):
+                if meta["codec"] == codecs.RANS0 and \
+                        meta["uncomp_len"] >= bmin and len(comp) > 6 and \
+                        comp[1] == 0 and (1 << comp[0]) >= 128:
+                    groups.setdefault(comp[0], []).append(i)
+            from .ops import rans_pallas
+            for logn, idxs in groups.items():
+                outs = rans_pallas.decode_many([raws[i][2] for i in idxs])
+                for i, o in zip(idxs, outs):
+                    payloads[i] = o[: raws[i][3]["uncomp_len"]]
+        out = {}
+        for i, (ent, name, comp, meta) in enumerate(raws):
+            payload = payloads.get(i)
+            if payload is None:
+                payload = codecs.decompress(comp, meta["codec"],
+                                            meta["uncomp_len"])
             d = out.setdefault(name, {})
             if ent.sec_type == fmt.SEC_B250:
                 d["b250"] = np.frombuffer(

@@ -73,6 +73,7 @@ class ZipJob:
             if ents:
                 self.ra_index[f"{comp_i}:{vb_i}"] = ents
 
+        pending = []  # (sec_type, name, payload, codec, ltype, flags, units)
         for name, c in res.ctxs.items():
             g = self.gctxs.get(name)
             if g is None:
@@ -100,12 +101,9 @@ class ZipJob:
                 else:
                     if g.b250_codec is None:
                         g.b250_codec = codec_assign.assign_best(payload, "b250")
-                    ent = zw.write_section(
-                        fmt.SEC_B250, payload, codec=g.b250_codec, vb_i=vb_i,
-                        comp_i=comp_i, dict_id=name,
-                        ltype=fmt.lt_for_dtype(payload_arr.dtype))
-                    stats.add_section(name, int(c.b250.shape[0]),
-                                      zw.offset - ent.offset)
+                    pending.append((fmt.SEC_B250, name, payload, g.b250_codec,
+                                    fmt.lt_for_dtype(payload_arr.dtype), 0,
+                                    int(c.b250.shape[0])))
             if c.local is not None:
                 local = c.local
                 if c.mode == "num":
@@ -119,12 +117,31 @@ class ZipJob:
                 else:
                     if g.local_codec is None:
                         g.local_codec = codec_assign.assign_best(payload, c.cat)
-                    ent = zw.write_section(
-                        fmt.SEC_LOCAL, payload, codec=g.local_codec, vb_i=vb_i,
-                        comp_i=comp_i, dict_id=name,
-                        ltype=fmt.lt_for_dtype(local.dtype),
-                        flags=FLAG_DELTA if c.param == 1 else 0)
-                    stats.add_section(name, len(payload), zw.offset - ent.offset)
+                    pending.append((fmt.SEC_LOCAL, name, payload,
+                                    g.local_codec, fmt.lt_for_dtype(local.dtype),
+                                    FLAG_DELTA if c.param == 1 else 0,
+                                    len(payload)))
+
+        # batched device encoding: one kernel launch for the VB's big order-0
+        # payloads (amortizes per-call dispatch/transfer overhead)
+        precomp = {}
+        bmin = codecs.device_batch_min()
+        if bmin:
+            batch_idx = [i for i, e in enumerate(pending)
+                         if e[3] == codecs.RANS0 and len(e[2]) >= bmin]
+            if batch_idx:
+                blobs = codecs.compress_many_rans0(
+                    [pending[i][2] for i in batch_idx])
+                precomp = dict(zip(batch_idx, blobs))
+
+        for i, (sec, name, payload, codec, ltype, flags, units) in \
+                enumerate(pending):
+            pc = precomp.get(i)
+            ent = zw.write_section(
+                sec, payload, codec=codec, vb_i=vb_i, comp_i=comp_i,
+                dict_id=name, ltype=ltype, flags=flags,
+                precompressed=pc, uncomp_len=len(payload) if pc else None)
+            stats.add_section(name, units, zw.offset - ent.offset)
 
         vb_adler = zlib.adler32(data)
         vb_hdr = {"n": res.num_lines, "len": int(data.shape[0]),

@@ -31,9 +31,7 @@ def main():
     dt = time.time() - t0
     print(f"per-stream x32: {total/1e6/dt:.1f} MB/s", flush=True)
 
-if __name__ == "__main__":
-    main()
-    enc_many()
+
 # (encode_many measurement appended)
 def enc_many():
     import jax, time, numpy as np
@@ -50,3 +48,7 @@ def enc_many():
     for _ in range(3):
         t0 = time.time(); rans_pallas.encode_many(datas, n_lanes=1024, S=8); ts.append(time.time() - t0)
     print(f"encode_many 32x256KB: {total/1e6/min(ts):.1f} MB/s (compile {c:.0f}s)", flush=True)
+
+if __name__ == "__main__":
+    main()
+    enc_many()

@@ -70,3 +70,31 @@ def test_pallas_encode_many_interpret():
     outs = rans_pallas.encode_many(datas, n_lanes=N, S=4, interpret=True)
     refs = [rans_np.encode(d, order=0, n_lanes=N) for d in datas]
     assert outs == refs
+
+
+def test_device_rans_batched_pipeline(tmp_path):
+    """GXZ_DEVICE_RANS batch mode: a VB's big order-0 sections encode and
+    decode through one kernel launch each; archives stay format-identical."""
+    import os
+    from genozip_tpu import codecs
+    from genozip_tpu.zip_pipeline import zip_file
+    from genozip_tpu.piz_pipeline import piz_file
+    from tests.test_roundtrip import synth_fastq
+    old = (codecs._JAX_MIN_SIZE, codecs._DEVICE_BATCH)
+    try:
+        codecs.enable_device_rans(32 * 1024)
+        data = synth_fastq(n_reads=3000)
+        src = os.path.join(str(tmp_path), "d.fastq")
+        open(src, "wb").write(data)
+        z = src + ".gxz"
+        zip_file(src, z, vb_size=256 * 1024)
+        # archives decode with the plain host path too
+        codecs._JAX_MIN_SIZE, codecs._DEVICE_BATCH = 1 << 62, False
+        piz_file(z, src + ".host.out")
+        assert open(src + ".host.out", "rb").read() == data
+        # and with the batched device path
+        codecs.enable_device_rans(32 * 1024)
+        piz_file(z, src + ".dev.out")
+        assert open(src + ".dev.out", "rb").read() == data
+    finally:
+        codecs._JAX_MIN_SIZE, codecs._DEVICE_BATCH = old
