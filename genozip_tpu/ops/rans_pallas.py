@@ -434,6 +434,359 @@ def decode_order0_device_v3(words, tab, x0, K: int, N: int, n: int,
     )(wmat, tab, x0)
 
 
+def _decode_kernel_o1(words_ref, ftab_ref, ctab_ref, x0_ref, out_ref, x_ref,
+                      ctx_ref, win_ref, p_ref, sem, *, K: int, N: int,
+                      n: int, S: int):
+    """Order-1 lane-vector decode: per-lane context tables materialize as
+    TWO MXU matmuls per step — frL = freq2.T @ onehot(ctx) gives every lane
+    its own (256,) frequency column; the staircase then runs on (256, N)
+    per-lane tables exactly like order-0. Context = previous decoded symbol
+    within the lane's chunk (0 at chunk start), carried in VMEM."""
+    g = pl.program_id(0)
+
+    @pl.when(g == 0)
+    def _init():
+        x_ref[...] = x0_ref[...].astype(jnp.uint32)
+        ctx_ref[...] = jnp.zeros((1, N), jnp.int32)
+        p_ref[0] = 0
+
+    LR = N // LANE_COLS
+    WG = S * LR + 16
+    ftabT = jnp.transpose(ftab_ref[...])             # (sym, ctx)
+    ctabT = jnp.transpose(ctab_ref[...])
+    iota256T = jax.lax.broadcasted_iota(jnp.int32, (256, 1), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, N), 1)
+    lane_len = jnp.clip(n - lane * K, 0, K)
+    sub128 = jax.lax.broadcasted_iota(jnp.int32, (LANE_COLS, 1), 0)
+    subWG = jax.lax.broadcasted_iota(jnp.int32, (WG, 1), 0)
+
+    p = p_ref[0]
+    base8 = pl.multiple_of(8 * (p // (8 * LANE_COLS)), 8)
+    cp = pltpu.make_async_copy(words_ref.at[pl.ds(base8, WG), :],
+                               win_ref, sem)
+    cp.start()
+    cp.wait()
+    win_f = win_ref[...].astype(jnp.float32)
+
+    q = jnp.full((1, 1), p - base8 * LANE_COLS, dtype=jnp.int32)
+    ctx = ctx_ref[...]
+    for s in range(S):
+        t = g * S + s
+        act = t < lane_len
+        x = x_ref[...]
+        slot = (x & jnp.uint32(SCALE - 1)).astype(jnp.int32)
+        slot_f = slot.astype(jnp.float32)
+        ctxoh = (iota256T == ctx).astype(jnp.float32)          # (256, N)
+        frL = jax.lax.dot(ftabT, ctxoh,
+                          precision=jax.lax.Precision.HIGHEST)  # (256, N)
+        crL = jax.lax.dot(ctabT, ctxoh,
+                          precision=jax.lax.Precision.HIGHEST)
+        ge = (crL <= slot_f).astype(jnp.float32)
+        ge2 = (crL + frL <= slot_f).astype(jnp.float32)
+        s_row = jnp.sum(ge, axis=0, keepdims=True).astype(jnp.int32) - 1
+        A = jnp.sum(ge * frL, axis=0, keepdims=True)
+        B = jnp.sum(ge2 * frL, axis=0, keepdims=True)
+        f = (A - B).astype(jnp.int32).astype(jnp.uint32)
+        c = B.astype(jnp.int32).astype(jnp.uint32)
+        f = jnp.where(act, f, jnp.uint32(1))
+        c = jnp.where(act, c, jnp.uint32(0))
+
+        xa = f * (x >> SCALE_BITS) + slot.astype(jnp.uint32) - c
+        x = jnp.where(act, xa, x)
+        need = act & (x < RANS_L)
+        rk = need.astype(jnp.int32)
+        k = 1
+        while k < N:
+            sh = pltpu.roll(rk, k, axis=1)
+            rk = rk + jnp.where(lane >= k, sh, 0)
+            k *= 2
+        total2 = jnp.max(rk, axis=1, keepdims=True)
+
+        idx = q + rk - 1
+        r0 = idx // LANE_COLS
+        c0 = idx - r0 * LANE_COLS
+        M1 = (sub128 == c0).astype(jnp.float32)
+        temp = jax.lax.dot(win_f, M1,
+                           precision=jax.lax.Precision.HIGHEST)
+        onr = (subWG == r0).astype(jnp.float32)
+        got = jnp.sum(onr * temp, axis=0, keepdims=True) \
+            .astype(jnp.int32).astype(jnp.uint32)
+
+        x = jnp.where(need, (x << 16) | got, x)
+        x_ref[...] = x
+        out_ref[s:s + 1, :] = jnp.where(act, s_row, 0).astype(jnp.uint8)
+        ctx = jnp.where(act, s_row, ctx)
+        q = q + total2
+
+    ctx_ref[...] = ctx
+    p_ref[0] = base8 * LANE_COLS + q[0, 0]
+
+
+@partial(jax.jit, static_argnames=("K", "N", "n", "S", "interpret"))
+def decode_order1_device(words, ftab, ctab, x0, K: int, N: int, n: int,
+                         S: int, interpret: bool = False):
+    LR = N // LANE_COLS
+    wmat = words.reshape(-1, LANE_COLS)
+    G = (K + S - 1) // S
+    return pl.pallas_call(
+        partial(_decode_kernel_o1, K=K, N=N, n=n, S=S),
+        grid=(G,),
+        out_shape=jax.ShapeDtypeStruct((G * S, N), jnp.uint8),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((S, N), lambda g: (g, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((1, N), jnp.uint32),
+                        pltpu.VMEM((1, N), jnp.int32),
+                        pltpu.VMEM((S * LR + 16, LANE_COLS), jnp.int32),
+                        pltpu.SMEM((1,), jnp.int32),
+                        pltpu.SemaphoreType.DMA(())],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(wmat, ftab, ctab, x0)
+
+
+def _encode_kernel_o1(syms_ref, ctxs_ref, ftab_ref, ctab_ref, out_ref,
+                      st_ref, x_ref, *, K: int, N: int, n: int, S: int,
+                      G: int):
+    """Order-1 lane-vector encode: contexts are just the shifted symbol
+    plane (data, not a recurrence) — the host passes ctx_plane[t] =
+    syms[t-1] (0 at chunk start). Per-lane (f, c) via one-hot row selects
+    against MXU-gathered per-lane table columns."""
+    g = pl.program_id(0)
+
+    @pl.when(g == 0)
+    def _init():
+        x_ref[...] = jnp.full((1, N), RANS_L, jnp.uint32)
+
+    LR = N // LANE_COLS
+    BLK = S * LR
+    ftabT = jnp.transpose(ftab_ref[...])
+    ctabT = jnp.transpose(ctab_ref[...])
+    iota256T = jax.lax.broadcasted_iota(jnp.int32, (256, 1), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, N), 1)
+    lane_len = jnp.clip(n - lane * K, 0, K)
+    sub128 = jax.lax.broadcasted_iota(jnp.int32, (LANE_COLS, 1), 0)
+    blkrow_iota = jax.lax.broadcasted_iota(jnp.int32, (1, BLK), 1)
+
+    q = jnp.full((1, 1), BLK * LANE_COLS, dtype=jnp.int32)
+    outT = jnp.zeros((LANE_COLS, BLK), jnp.int32)
+    for s in range(S):
+        t = (G - 1 - g) * S + (S - 1 - s)
+        act = t < lane_len
+        sym = syms_ref[S - 1 - s: S - s, :].astype(jnp.int32)
+        ctx = ctxs_ref[S - 1 - s: S - s, :].astype(jnp.int32)
+        symoh = (iota256T == sym).astype(jnp.float32)
+        ctxoh = (iota256T == ctx).astype(jnp.float32)
+        frL = jax.lax.dot(ftabT, ctxoh,
+                          precision=jax.lax.Precision.HIGHEST)
+        crL = jax.lax.dot(ctabT, ctxoh,
+                          precision=jax.lax.Precision.HIGHEST)
+        f_row = jnp.sum(symoh * frL, axis=0, keepdims=True).astype(jnp.int32)
+        c_row = jnp.sum(symoh * crL, axis=0, keepdims=True).astype(jnp.int32)
+        f_row = jnp.where(act, f_row, 1)
+        c_row = jnp.where(act, c_row, 0)
+        fu = f_row.astype(jnp.uint32)
+
+        x = x_ref[...]
+        emit = act & ((x >> 20) >= fu)
+        word = (x & jnp.uint32(0xFFFF)).astype(jnp.int32)
+        x = jnp.where(emit, x >> 16, x)
+
+        rk = emit.astype(jnp.int32)
+        k = 1
+        while k < N:
+            sh = pltpu.roll(rk, k, axis=1)
+            rk = rk + jnp.where(lane >= k, sh, 0)
+            k *= 2
+        total = jnp.max(rk, axis=1, keepdims=True)
+        pos = q - total + rk - 1
+        r0 = pos // LANE_COLS
+        c0 = pos - r0 * LANE_COLS
+        rbase = (q - total) // LANE_COLS
+        for j in range(LR + 1):
+            sel_j = emit & (r0 == rbase + j)
+            selc = (sub128 == jnp.where(sel_j, c0, -1)).astype(jnp.int32)
+            wcol = jnp.sum(selc * word, axis=1, keepdims=True)
+            onrow = (blkrow_iota == rbase + j).astype(jnp.int32)
+            outT = outT + onrow * wcol
+        q = q - total
+
+        hi12 = (x >> 24).astype(jnp.int32)
+        mid12 = ((x >> 12) & jnp.uint32(0xFFF)).astype(jnp.int32)
+        lo12 = (x & jnp.uint32(0xFFF)).astype(jnp.int32)
+        ff = f_row.astype(jnp.float32)
+
+        def _divmod(d):
+            qq = jnp.floor(d.astype(jnp.float32) / ff).astype(jnp.int32)
+            rr = d - qq * f_row
+            fix_up = (rr >= f_row).astype(jnp.int32)
+            qq = qq + fix_up
+            rr = rr - fix_up * f_row
+            fix_dn = (rr < 0).astype(jnp.int32)
+            qq = qq - fix_dn
+            rr = rr + fix_dn * f_row
+            return qq, rr
+
+        q1, r1 = _divmod(hi12)
+        q2, r2 = _divmod((r1 << 12) | mid12)
+        q3, r3 = _divmod((r2 << 12) | lo12)
+        quot = (q1.astype(jnp.uint32) << 24) | \
+            (q2.astype(jnp.uint32) << 12) | q3.astype(jnp.uint32)
+        xa = (quot << SCALE_BITS) + r3.astype(jnp.uint32) + \
+            c_row.astype(jnp.uint32)
+        x_ref[...] = jnp.where(act, xa, x)
+
+    hr = jax.lax.broadcasted_iota(jnp.int32, (8, LANE_COLS), 0)
+    hc = jax.lax.broadcasted_iota(jnp.int32, (8, LANE_COLS), 1)
+    cnt = BLK * LANE_COLS - q[0, 0]
+    out_ref[0:8, :] = jnp.where((hr == 0) & (hc == 0), cnt, 0)
+    out_ref[8:, :] = jnp.transpose(outT)
+    st_ref[...] = jnp.broadcast_to(x_ref[...].astype(jnp.int32), (8, N))
+
+
+@partial(jax.jit, static_argnames=("K", "N", "n", "S", "interpret"))
+def encode_order1_device(syms, ctxs, ftab, ctab, K: int, N: int, n: int,
+                         S: int, interpret: bool = False):
+    LR = N // LANE_COLS
+    G = syms.shape[0] // S
+    return pl.pallas_call(
+        partial(_encode_kernel_o1, K=K, N=N, n=n, S=S, G=G),
+        grid=(G,),
+        out_shape=(jax.ShapeDtypeStruct((G * (S * LR + 8), LANE_COLS),
+                                        jnp.int32),
+                   jax.ShapeDtypeStruct((8, N), jnp.int32)),
+        in_specs=[pl.BlockSpec((S, N), lambda g, G=G: (G - 1 - g, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((S, N), lambda g, G=G: (G - 1 - g, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=(pl.BlockSpec((S * LR + 8, LANE_COLS), lambda g: (g, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.VMEM)),
+        scratch_shapes=[pltpu.VMEM((1, N), jnp.uint32)],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(syms, ctxs, ftab, ctab)
+
+
+def _order1_tables(buf, off):
+    """Parse the order-1 table section (zlib'd per-context freq tables,
+    rans_np format) into (freq2, cum2) f32 (256, 256)."""
+    import zlib as _z
+    from . import rans_np
+    rawlen = int.from_bytes(buf[off:off + 4], "little")
+    clen = int.from_bytes(buf[off + 4:off + 8], "little")
+    raw = memoryview(_z.decompress(bytes(buf[off + 8: off + 8 + clen])))
+    assert len(raw) == rawlen
+    off += 8 + clen
+    used = np.unpackbits(np.frombuffer(raw[:32], np.uint8),
+                         bitorder="little").astype(bool)
+    freq2 = np.zeros((256, 256), np.float32)
+    cum2 = np.zeros((256, 256), np.float32)
+    o2 = 32
+    for cx in np.nonzero(used)[0]:
+        fr, o2 = rans_np._freqs_deserialize(raw, o2)
+        freq2[cx] = fr.astype(np.float32)
+        cum2[cx] = np.concatenate([[0], np.cumsum(fr)[:-1]]).astype(np.float32)
+    return freq2, cum2, off
+
+
+def decode_order1(buf, S: int = 8, interpret: bool = False) -> bytes:
+    """Order-1 stream decode via the MXU context-table kernel."""
+    from . import rans_np
+    buf = memoryview(buf)
+    logN, order = buf[0], buf[1]
+    assert order == 1
+    N = 1 << logN
+    assert N >= LANE_COLS
+    n = int.from_bytes(buf[2:6], "little")
+    freq2, cum2, off = _order1_tables(buf, 6)
+    words = np.frombuffer(buf[off:], dtype="<u2")
+    K, _ = lane_layout(n, N)
+    if K == 0:
+        return b""
+    LR = N // LANE_COLS
+    st = words[: 2 * N].astype(np.uint32)
+    x0 = ((st[0::2] << 16) | st[1::2]).astype(np.int32).reshape(1, N)
+    dw = words[2 * N:].astype(np.int32)
+    wrows = (dw.shape[0] + LANE_COLS - 1) // LANE_COLS + S * LR + 24
+    wrows = (wrows + 7) // 8 * 8
+    wpad = np.zeros(wrows * LANE_COLS, np.int32)
+    wpad[: dw.shape[0]] = dw
+    out = decode_order1_device(jnp.asarray(wpad), jnp.asarray(freq2),
+                               jnp.asarray(cum2), jnp.asarray(x0),
+                               K, N, n, S, interpret)
+    plane = np.asarray(out)[:K]
+    return plane.T.reshape(-1)[:n].tobytes()
+
+
+def encode_order1(data, n_lanes: int = 1024, S: int = 8,
+                  interpret: bool = False) -> bytes:
+    """Order-1 encode via the MXU context-table kernel — byte-identical to
+    rans_np.encode(data, order=1, n_lanes=n_lanes)."""
+    import zlib as _z
+    from . import rans_np
+    a = np.frombuffer(data, np.uint8) if isinstance(
+        data, (bytes, bytearray, memoryview)) else np.asarray(data, np.uint8)
+    n = a.shape[0]
+    N = n_lanes
+    LR = N // LANE_COLS
+    K, lane_len = lane_layout(n, N)
+    m, K, lane_len = rans_np._to_matrix(a, N)
+    ctx_m = np.zeros_like(m)
+    if K:
+        ctx_m[1:] = m[:-1]
+    hist2 = np.zeros((256, 256), np.int64)
+    if K:
+        active_all = np.arange(K)[:, None] < lane_len[None, :]
+        np.add.at(hist2, (ctx_m[active_all], m[active_all]), 1)
+    freq2 = np.zeros((256, 256), np.uint32)
+    cum2 = np.zeros((256, 256), np.uint32)
+    used_ctx = hist2.sum(axis=1) > 0
+    parts = [np.packbits(used_ctx.astype(np.uint8),
+                         bitorder="little").tobytes()]
+    for cx in np.nonzero(used_ctx)[0]:
+        freq2[cx] = rans_np.normalize_freqs(hist2[cx])
+        cum2[cx] = np.concatenate([[0], np.cumsum(freq2[cx])[:-1]])
+        parts.append(rans_np._freqs_serialize(freq2[cx]))
+    raw = b"".join(parts)
+    comp = _z.compress(raw, 6)
+    ftab = len(raw).to_bytes(4, "little") + len(comp).to_bytes(4, "little") \
+        + comp
+    header = bytes([int(np.log2(N)), 1]) + int(n).to_bytes(4, "little") + ftab
+    if K == 0:
+        x = np.full(N, RANS_L, np.uint32)
+        st = np.empty(2 * N, np.uint16)
+        st[0::2] = (x >> 16).astype(np.uint16)
+        st[1::2] = (x & 0xFFFF).astype(np.uint16)
+        return header + st.tobytes()
+    G = (K + S - 1) // S
+    Kp = G * S
+    syms = np.zeros((Kp, N), np.uint8)
+    syms[:K] = m
+    ctxs = np.zeros((Kp, N), np.uint8)
+    ctxs[:K] = ctx_m
+    blocks, stx = encode_order1_device(
+        jnp.asarray(syms), jnp.asarray(ctxs),
+        jnp.asarray(freq2.astype(np.float32)),
+        jnp.asarray(cum2.astype(np.float32)), K, N, n, S, interpret)
+    blocks = np.asarray(blocks).reshape(G, (S * LR + 8) * LANE_COLS)
+    counts = blocks[:, 0]
+    payload = blocks[:, 8 * LANE_COLS:]
+    parts2 = [payload[g, payload.shape[1] - counts[g]:]
+              for g in range(G - 1, -1, -1)]
+    words = np.concatenate(parts2).astype(np.uint16)
+    x = np.asarray(stx)[0].astype(np.uint32)
+    st = np.empty(2 * N, np.uint16)
+    st[0::2] = (x >> 16).astype(np.uint16)
+    st[1::2] = (x & 0xFFFF).astype(np.uint16)
+    return header + st.tobytes() + words.tobytes()
+
+
 def _decode_many_kernel(meta_ref, words_ref, tabs_ref, x0s_ref, out_ref,
                         x_ref, win_ref, p_ref, sem, *, N: int, S: int):
     """Batched multi-stream decode: grid = all S-step blocks of all streams,

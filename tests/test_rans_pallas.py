@@ -98,3 +98,15 @@ def test_device_rans_batched_pipeline(tmp_path):
         assert open(src + ".dev.out", "rb").read() == data
     finally:
         codecs._JAX_MIN_SIZE, codecs._DEVICE_BATCH = old
+
+
+@pytest.mark.parametrize("N,S", [(256, 8), (1024, 8)])
+def test_pallas_order1_interpret(N, S):
+    """Order-1 (MXU context-table) kernels: byte-identical encode, exact
+    decode."""
+    data = RNG.choice(np.frombuffer(b"FFFFF:F,#", np.uint8),
+                      150000).astype(np.uint8).tobytes()
+    ref = rans_np.encode(data, order=1, n_lanes=N)
+    assert rans_pallas.encode_order1(data, n_lanes=N, S=S,
+                                     interpret=True) == ref
+    assert rans_pallas.decode_order1(ref, S=S, interpret=True) == data
