@@ -72,6 +72,11 @@ def build_parser():
     c.add_argument("-r", "--regions", default=None,
                    help="chr[:start-end][,...] region filter")
     c.add_argument("--no-header", action="store_true")
+    c.add_argument("--bases", default=None,
+                   help="keep reads whose SEQ uses only these IUPAC chars "
+                        "(^ prefix negates; reference --bases)")
+    c.add_argument("--count", action="store_true",
+                   help="print the number of records that pass the filters")
     c.add_argument("--reference", default=None)
     c.add_argument("--password", default=None)
     c.add_argument("--sam", action="store_true",

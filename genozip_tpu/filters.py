@@ -35,6 +35,18 @@ def cat_filtered(args, out):
     head = getattr(args, "head", None)
     downsample = getattr(args, "downsample", None)
     tail = getattr(args, "tail", None)
+    count_only = getattr(args, "count", False)
+    bases = getattr(args, "bases", None)
+    bases_pos = None
+    if bases:
+        # reference parity: genocat --bases (src/bases_filter.c) — keep only
+        # reads whose SEQ uses ONLY the given IUPAC characters (^ negates)
+        neg = bases.startswith("^")
+        bs = bases[1:] if neg else bases
+        allowed = np.zeros(256, bool)
+        allowed[np.frombuffer(bs.upper().encode(), np.uint8)] = True
+        allowed[np.frombuffer(bs.lower().encode(), np.uint8)] = True
+        bases_pos = (allowed, neg)
     regions = None
     ra = None
     if getattr(args, "regions", None):
@@ -57,7 +69,8 @@ def cat_filtered(args, out):
         if regions is not None:
             from . import regions as regions_mod
             buf = regions_mod.filter_lines(buf, dt_name, regions)
-        if grep is None and head is None and downsample is None and tail is None:
+        if grep is None and head is None and downsample is None and \
+                tail is None and bases_pos is None and not count_only:
             out.write(buf)
             continue
         starts, ends = _lines_of(buf)
@@ -71,10 +84,20 @@ def cat_filtered(args, out):
                 continue
             if grep and grep not in rec:
                 continue
+            if bases_pos is not None:
+                seq = _rec_seq(rec, dt_name)
+                allowed, neg = bases_pos
+                a = np.frombuffer(seq, np.uint8)
+                all_in = bool(allowed[a].all()) if a.shape[0] else True
+                if (not neg and not all_in) or (neg and all_in):
+                    continue
             if tail:
                 tail_buf.append(rec)
                 if len(tail_buf) > tail:
                     tail_buf.pop(0)
+                continue
+            if count_only:
+                emitted += 1
                 continue
             out.write(rec)
             emitted += 1
@@ -83,7 +106,21 @@ def cat_filtered(args, out):
                 return
     for rec in tail_buf:
         out.write(rec)
+    if count_only:
+        out.write(b"%d\n" % (len(tail_buf) if tail else emitted))
     pr.close()
+
+
+def _rec_seq(rec: bytes, dt_name: str) -> bytes:
+    """The SEQ payload of one reconstructed record (for --bases)."""
+    if dt_name == "fastq":
+        p1 = rec.find(b"\n")
+        p2 = rec.find(b"\n", p1 + 1)
+        return rec[p1 + 1:p2 if p2 >= 0 else len(rec)]
+    if dt_name == "sam":
+        f = rec.split(b"\t", 10)
+        return f[9] if len(f) > 9 else b""
+    return rec.rstrip(b"\n")
 
 
 def cat_translated_sam(args, out):

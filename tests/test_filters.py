@@ -235,3 +235,38 @@ def test_vcf_ref_vs_genome(tmp_path):
     out = src + ".out"
     piz_file(z, out, reference=ref_path)
     assert open(out, "rb").read() == data
+
+
+def test_bases_and_count_filters(tmp_path):
+    """--bases IUPAC filtering and --count (reference src/bases_filter.c,
+    genocat --count)."""
+    import io
+    from types import SimpleNamespace
+    from genozip_tpu.zip_pipeline import zip_file
+    from genozip_tpu.filters import cat_filtered
+    rows = []
+    for i in range(60):
+        seq = b"ACGTACGTAC" if i % 3 else b"ACGTNNGTAC"
+        rows.append(b"@r%d\n%s\n+\nFFFFFFFFFF\n" % (i, seq))
+    data = b"".join(rows)
+    src = f"{tmp_path}/b.fastq"
+    open(src, "wb").write(data)
+    z = src + ".gxz"
+    zip_file(src, z)
+
+    def run(**kw):
+        buf = io.BytesIO()
+        base = dict(input=z, grep=None, head=None, tail=None,
+                    downsample=None, regions=None, no_header=False,
+                    reference=None, count=False, bases=None)
+        base.update(kw)
+        cat_filtered(SimpleNamespace(**base), buf)
+        return buf.getvalue()
+
+    only_acgt = run(bases="ACGT")
+    assert b"N" not in only_acgt.split(b"\n")[1]
+    assert only_acgt.count(b"@r") == 40
+    with_n = run(bases="^ACGT")
+    assert with_n.count(b"@r") == 20
+    assert run(count=True) == b"60\n"
+    assert run(count=True, bases="ACGT") == b"40\n"
