@@ -1,10 +1,14 @@
 """Pallas TPU kernels for wide-interleaved rANS (order-0): decode + encode.
 
 STATUS (round 1, measured on TPU v5e through the axon relay):
-  decode v3 (lane-vector, default): 164-192 MB/s kernel-only, bit-exact.
-  encode: 104 MB/s kernel-only, byte-identical streams to rans_np.encode.
+  order-0 decode v3 (lane-vector, default): 164-192 MB/s kernel-only.
+  order-0 encode: 104 MB/s kernel-only; byte-identical streams.
+  order-1 decode (MXU context tables): 71 MB/s kernel-only; encode OK.
+  batched decode_many: 3.5x per-stream end-to-end (21.8 vs 6.3 MB/s
+  through the relay for 32x256KB sections).
   decode v2 (per-row): 17-21 MB/s -- (1,128) per-row ops are DISPATCH-bound;
-  v1 (one step per program): 12-15 MB/s.
+  v1 (one step per program): 12-15 MB/s. All numbers verified bit-exact
+  ON HARDWARE, not just in interpret mode.
 End-to-end through the relay all paths are ~5-20 MB/s: every call ships the
 stream through the axon host relay (h2d measured 761 MB/s for one 8MB
 buffer but per-call overheads dominate); on a directly-attached TPU the
