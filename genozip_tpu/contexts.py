@@ -52,11 +52,37 @@ class VBCtx:
 
 def dedup_col(col: Col):
     """Vectorized ragged dedup: returns (unique Col in first-seen order,
-    inverse int64[n]). Uses pad+void-view np.unique for narrow rows, python
-    fallback for wide ones."""
+    inverse int64[n]). Native path: one-pass 64-bit row hashes + np.unique
+    + one-pass representative verify (exact fallback on collision); numpy
+    path: pad+hash-fold matrix; python dict for wide rows."""
     n = len(col)
     if n == 0:
         return Col.from_list([]), np.zeros(0, np.int64)
+    from . import native
+    if native.available() and n > 64:
+        h = native.row_hash(col.data, col.offsets)
+        _, first_idx, inverse = np.unique(h, return_index=True,
+                                          return_inverse=True)
+        if native.rows_equal_rep(col.data, col.offsets, first_idx[inverse]):
+            order = np.argsort(first_idx, kind="stable")
+            rank = np.empty_like(order)
+            rank[order] = np.arange(order.shape[0])
+            inverse = rank[inverse]
+            return ragged.take(col, first_idx[order]), \
+                inverse.astype(np.int64)
+        # 64-bit collision (astronomically rare): exact python fallback
+        seen = {}
+        inv = np.empty(n, dtype=np.int64)
+        uw = []
+        for i in range(n):
+            r = col.row(i)
+            j = seen.get(r)
+            if j is None:
+                j = len(uw)
+                seen[r] = j
+                uw.append(r)
+            inv[i] = j
+        return Col.from_list(uw), inv
     maxw = int(col.lens.max()) if n else 0
     if maxw <= 96:
         w = max(maxw, 1)

@@ -56,6 +56,9 @@ class FastqDT(DataType):
     def vb_boundary(self, data: np.ndarray, is_eof: bool) -> int:
         if is_eof:
             return data.shape[0]
+        from .. import native
+        if native.available():
+            return native.stride_boundary(data, 4)  # SIMD memchr scan
         nl = np.nonzero(data == ord("\n"))[0]
         quads = nl.shape[0] // 4
         if quads == 0:

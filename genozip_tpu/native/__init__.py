@@ -82,6 +82,16 @@ def get():
             lib.gxz_copy_ranges.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
                                             ctypes.c_void_p, ctypes.c_void_p,
                                             ctypes.c_void_p, ctypes.c_int64]
+            lib.gxz_row_hash.restype = None
+            lib.gxz_row_hash.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                         ctypes.c_int64, ctypes.c_void_p]
+            lib.gxz_rows_equal_rep.restype = ctypes.c_int
+            lib.gxz_rows_equal_rep.argtypes = [ctypes.c_void_p,
+                                               ctypes.c_void_p,
+                                               ctypes.c_void_p, ctypes.c_int64]
+            lib.gxz_stride_boundary.restype = ctypes.c_int64
+            lib.gxz_stride_boundary.argtypes = [ctypes.c_void_p,
+                                                ctypes.c_int64, ctypes.c_int64]
             _lib = lib
         except Exception:
             _lib = None
@@ -207,3 +217,32 @@ def bam_scan(data: np.ndarray, max_records: int):
                            offsets.ctypes.data, max_records,
                            ctypes.byref(consumed))
     return offsets[:cnt], int(consumed.value)
+
+
+def row_hash(data: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    lib = get()
+    n = offsets.shape[0] - 1
+    out = np.empty(n, np.uint64)
+    data = np.ascontiguousarray(data)
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    lib.gxz_row_hash(data.ctypes.data, offsets.ctypes.data, n,
+                     out.ctypes.data)
+    return out
+
+
+def rows_equal_rep(data: np.ndarray, offsets: np.ndarray,
+                   rep: np.ndarray) -> bool:
+    lib = get()
+    n = offsets.shape[0] - 1
+    data = np.ascontiguousarray(data)
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    rep = np.ascontiguousarray(rep, dtype=np.int64)
+    return bool(lib.gxz_rows_equal_rep(data.ctypes.data, offsets.ctypes.data,
+                                       rep.ctypes.data, n))
+
+
+def stride_boundary(data: np.ndarray, stride: int) -> int:
+    lib = get()
+    data = np.ascontiguousarray(data)
+    return int(lib.gxz_stride_boundary(data.ctypes.data, data.shape[0],
+                                       stride))

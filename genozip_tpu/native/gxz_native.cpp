@@ -662,4 +662,57 @@ void gxz_aes256_ctr(const uint8_t* key, const uint8_t* counter0,
     }
 }
 
+// 64-bit per-row hash of a ragged byte column (8-byte blocks + mix), for
+// vectorized dictionary dedup (collisions detected by gxz_rows_equal_rep).
+void gxz_row_hash(const uint8_t* data, const int64_t* offsets, int64_t n,
+                  uint64_t* out) {
+    for (int64_t i = 0; i < n; i++) {
+        int64_t p = offsets[i], end = offsets[i + 1];
+        uint64_t h = 0x9E3779B97F4A7C15ull ^ (uint64_t)(end - p);
+        while (p + 8 <= end) {
+            uint64_t w;
+            memcpy(&w, data + p, 8);
+            h = (h ^ w) * 0x100000001B3ull;
+            h ^= h >> 29;
+            p += 8;
+        }
+        uint64_t w = 0;
+        for (int j = 0; p < end; p++, j += 8) w |= (uint64_t)data[p] << j;
+        h = (h ^ w) * 0x100000001B3ull;
+        h ^= h >> 31;
+        h *= 0xBF58476D1CE4E5B9ull;
+        h ^= h >> 29;
+        out[i] = h;
+    }
+}
+
+// 1 if every row equals its representative row (rep[i] = row index), else 0.
+int gxz_rows_equal_rep(const uint8_t* data, const int64_t* offsets,
+                       const int64_t* rep, int64_t n) {
+    for (int64_t i = 0; i < n; i++) {
+        int64_t r = rep[i];
+        int64_t la = offsets[i + 1] - offsets[i];
+        int64_t lb = offsets[r + 1] - offsets[r];
+        if (la != lb) return 0;
+        if (la && memcmp(data + offsets[i], data + offsets[r], (size_t)la))
+            return 0;
+    }
+    return 1;
+}
+
+// Byte offset just past the last newline whose 1-based ordinal is a multiple
+// of `stride` (FASTQ record alignment); 0 if none. memchr = SIMD scan.
+int64_t gxz_stride_boundary(const uint8_t* data, int64_t len, int64_t stride) {
+    const uint8_t* p = data;
+    const uint8_t* end = data + len;
+    int64_t cnt = 0, last = -1;
+    while (p < end) {
+        const uint8_t* q = (const uint8_t*)memchr(p, '\n', (size_t)(end - p));
+        if (!q) break;
+        if ((++cnt % stride) == 0) last = q - data;
+        p = q + 1;
+    }
+    return last + 1;
+}
+
 }  // extern "C"
