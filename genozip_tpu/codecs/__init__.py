@@ -54,12 +54,14 @@ def device_batch_min():
     return _JAX_MIN_SIZE if _DEVICE_BATCH and _JAX_MIN_SIZE < (1 << 62) else 0
 
 
-def compress_many_rans0(payloads):
-    """Batched order-0 encode of many payloads in one device kernel launch
-    (ops/rans_pallas.encode_many); streams are format-identical to the
-    host coder's."""
+def compress_many_rans(payloads, order: int):
+    """Batched encode of many payloads in one device kernel launch
+    (ops/rans_pallas.encode_many / encode_many_o1); streams are
+    format-identical to the host coder's."""
     from ..ops import rans_pallas
-    return rans_pallas.encode_many(payloads, n_lanes=1024, S=8)
+    if order == 0:
+        return rans_pallas.encode_many(payloads, n_lanes=1024, S=8)
+    return rans_pallas.encode_many_o1(payloads, n_lanes=1024, S=8)
 
 
 def _bucket(n: int) -> int:

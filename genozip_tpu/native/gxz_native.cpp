@@ -353,8 +353,9 @@ int64_t gxz_rans_decode(const uint8_t* in, int64_t in_len, uint8_t* out,
 
     const uint16_t* words = (const uint16_t*)(in + off);
     int64_t nwords = (in_len - (int64_t)off) / 2;
-    auto [K, N2] = layout(n);
-    (void)N2;
+    // K from the HEADER's lane count — streams from other encoders (device
+    // kernels) may use a different N than this encoder's heuristic picks
+    int64_t K = n > 0 ? (n + N - 1) / N : 0;
 
     std::vector<uint32_t> x(N);
     for (int l = 0; l < N; l++)

@@ -905,6 +905,15 @@ def decode_many_device(meta, words, tabs, x0s, N: int, S: int, G: int,
     )(meta, wmat, tabs, x0s)
 
 
+def _auto_interpret(interpret: bool) -> bool:
+    """pallas_call can't lower natively on the CPU backend — auto-switch
+    to interpret mode there (tests / CPU-only hosts)."""
+    if interpret:
+        return True
+    import jax
+    return jax.default_backend() == "cpu"
+
+
 def _bucket_up(v: int, floor: int = 8) -> int:
     b = floor
     while b < v:
@@ -915,6 +924,7 @@ def _bucket_up(v: int, floor: int = 8) -> int:
 def decode_many(bufs, S: int = 8, interpret: bool = False):
     """Decode many order-0 streams (all with the same lane count) in ONE
     kernel launch. Returns list[bytes]."""
+    interpret = _auto_interpret(interpret)
     from . import rans_np
     B = len(bufs)
     assert B > 0
@@ -1124,6 +1134,7 @@ def encode_many(datas, n_lanes: int = 1024, S: int = 8,
                 interpret: bool = False):
     """Encode many byte payloads as order-0 streams in ONE kernel launch.
     Byte-identical to rans_np.encode(d, order=0, n_lanes=n_lanes) each."""
+    interpret = _auto_interpret(interpret)
     from . import rans_np
     N = n_lanes
     LR = N // LANE_COLS
@@ -1160,8 +1171,8 @@ def encode_many(datas, n_lanes: int = 1024, S: int = 8,
         blk_base += nblk
     G = len(prog_meta)
     Gp = _bucket_up(max(G, 1))
-    Bp = _bucket_up(B, 4)
-    while len(prog_meta) < Gp:   # dummies park on the padding stream slot
+    Bp = _bucket_up(B + 1, 4)    # ALWAYS a padding stream slot: dummy
+    while len(prog_meta) < Gp:   # programs write stale states into it
         prog_meta.append((Bp - 1, 1 << 24, 0, 0, 0))
     while len(tabs) < Bp:
         tabs.append(np.zeros((8, 256), np.float32))
@@ -1423,3 +1434,430 @@ def decode(buf, interpret: bool = False, S: int = 0, v1: bool = False,
                                   jnp.asarray(x0), K, LR, n, S, interpret)
     plane = np.asarray(out)[: K * LR].reshape(K, N)
     return plane.T.reshape(-1)[:n].tobytes()
+
+
+# ---------------------------------------------------------------------------
+# order-1 batched multi-stream kernels (QUAL's codec on the device path)
+# ---------------------------------------------------------------------------
+
+def _decode_many_o1_kernel(meta_ref, words_ref, ftabs_ref, ctabs_ref,
+                           x0s_ref, out_ref, x_ref, ctx_ref, win_ref, p_ref,
+                           sem, *, N: int, S: int):
+    """decode_many with per-lane context tables (order-1): per-stream
+    (256, 256) tables block-indexed by stream id; frL/crL = table.T @
+    onehot(ctx) MXU matmuls per step; ctx carried in VMEM, reset per
+    stream."""
+    g = pl.program_id(0)
+    blk = meta_ref[1, g]
+    n = meta_ref[2, g]
+    K = meta_ref[3, g]
+    wbase = meta_ref[4, g]
+
+    @pl.when(blk == 0)
+    def _init():
+        x_ref[...] = x0s_ref[0:1, :].astype(jnp.uint32)
+        ctx_ref[...] = jnp.zeros((1, N), jnp.int32)
+        p_ref[0] = wbase
+
+    LR = N // LANE_COLS
+    WG = S * LR + 16
+    ftabT = jnp.transpose(ftabs_ref[...])
+    ctabT = jnp.transpose(ctabs_ref[...])
+    iota256T = jax.lax.broadcasted_iota(jnp.int32, (256, 1), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, N), 1)
+    lane_len = jnp.clip(n - lane * K, 0, K)
+    sub128 = jax.lax.broadcasted_iota(jnp.int32, (LANE_COLS, 1), 0)
+    subWG = jax.lax.broadcasted_iota(jnp.int32, (WG, 1), 0)
+
+    p = p_ref[0]
+    base8 = pl.multiple_of(8 * (p // (8 * LANE_COLS)), 8)
+    cp = pltpu.make_async_copy(words_ref.at[pl.ds(base8, WG), :],
+                               win_ref, sem)
+    cp.start()
+    cp.wait()
+    win_f = win_ref[...].astype(jnp.float32)
+
+    q = jnp.full((1, 1), p - base8 * LANE_COLS, dtype=jnp.int32)
+    ctx = ctx_ref[...]
+    for s in range(S):
+        t = blk * S + s
+        act = t < lane_len
+        x = x_ref[...]
+        slot = (x & jnp.uint32(SCALE - 1)).astype(jnp.int32)
+        slot_f = slot.astype(jnp.float32)
+        ctxoh = (iota256T == ctx).astype(jnp.float32)
+        frL = jax.lax.dot(ftabT, ctxoh,
+                          precision=jax.lax.Precision.HIGHEST)
+        crL = jax.lax.dot(ctabT, ctxoh,
+                          precision=jax.lax.Precision.HIGHEST)
+        ge = (crL <= slot_f).astype(jnp.float32)
+        ge2 = (crL + frL <= slot_f).astype(jnp.float32)
+        s_row = jnp.sum(ge, axis=0, keepdims=True).astype(jnp.int32) - 1
+        A = jnp.sum(ge * frL, axis=0, keepdims=True)
+        B = jnp.sum(ge2 * frL, axis=0, keepdims=True)
+        f = (A - B).astype(jnp.int32).astype(jnp.uint32)
+        c = B.astype(jnp.int32).astype(jnp.uint32)
+        f = jnp.where(act, f, jnp.uint32(1))
+        c = jnp.where(act, c, jnp.uint32(0))
+
+        xa = f * (x >> SCALE_BITS) + slot.astype(jnp.uint32) - c
+        x = jnp.where(act, xa, x)
+        need = act & (x < RANS_L)
+        rk = need.astype(jnp.int32)
+        k = 1
+        while k < N:
+            sh = pltpu.roll(rk, k, axis=1)
+            rk = rk + jnp.where(lane >= k, sh, 0)
+            k *= 2
+        total2 = jnp.max(rk, axis=1, keepdims=True)
+
+        idx = q + rk - 1
+        r0 = idx // LANE_COLS
+        c0 = idx - r0 * LANE_COLS
+        M1 = (sub128 == c0).astype(jnp.float32)
+        temp = jax.lax.dot(win_f, M1,
+                           precision=jax.lax.Precision.HIGHEST)
+        onr = (subWG == r0).astype(jnp.float32)
+        got = jnp.sum(onr * temp, axis=0, keepdims=True) \
+            .astype(jnp.int32).astype(jnp.uint32)
+
+        x = jnp.where(need, (x << 16) | got, x)
+        x_ref[...] = x
+        out_ref[s:s + 1, :] = jnp.where(act, s_row, 0).astype(jnp.uint8)
+        ctx = jnp.where(act, s_row, ctx)
+        q = q + total2
+
+    ctx_ref[...] = ctx
+    p_ref[0] = base8 * LANE_COLS + q[0, 0]
+
+
+@partial(jax.jit, static_argnames=("N", "S", "G", "interpret"))
+def decode_many_o1_device(meta, words, ftabs, ctabs, x0s, N: int, S: int,
+                          G: int, interpret: bool = False):
+    LR = N // LANE_COLS
+    wmat = words.reshape(-1, LANE_COLS)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(G,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
+                  pl.BlockSpec((256, 256), lambda g, m: (m[0, g], 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((256, 256), lambda g, m: (m[0, g], 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((8, N), lambda g, m: (m[0, g], 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((S, N), lambda g, m: (g, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((1, N), jnp.uint32),
+                        pltpu.VMEM((1, N), jnp.int32),
+                        pltpu.VMEM((S * LR + 16, LANE_COLS), jnp.int32),
+                        pltpu.SMEM((1,), jnp.int32),
+                        pltpu.SemaphoreType.DMA(())],
+    )
+    return pl.pallas_call(
+        partial(_decode_many_o1_kernel, N=N, S=S),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((G * S, N), jnp.uint8),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(meta, wmat, ftabs, ctabs, x0s)
+
+
+def decode_many_o1(bufs, S: int = 8, interpret: bool = False):
+    """Decode many ORDER-1 streams (same lane count) in one launch."""
+    interpret = _auto_interpret(interpret)
+    from . import rans_np
+    B = len(bufs)
+    assert B > 0
+    word_parts, ftabs, ctabs, x0s = [], [], [], []
+    wbase = 0
+    G = 0
+    prog_meta = []
+    outs_shape = []
+    N = None
+    for buf in bufs:
+        buf = memoryview(buf)
+        logN, order = buf[0], buf[1]
+        assert order == 1
+        Ns = 1 << logN
+        if N is None:
+            N = Ns
+        assert Ns == N
+        n = int.from_bytes(buf[2:6], "little")
+        freq2, cum2, off = _order1_tables(buf, 6)
+        ftabs.append(freq2)
+        ctabs.append(cum2)
+        words = np.frombuffer(buf[off:], dtype="<u2")
+        st = words[: 2 * N].astype(np.uint32)
+        x8 = np.zeros((8, N), np.int32)
+        x8[0] = ((st[0::2] << 16) | st[1::2]).astype(np.int32)
+        x0s.append(x8)
+        dw = words[2 * N:].astype(np.int32)
+        K, _ = rans_np.lane_layout(n, N)
+        nblk = (K + S - 1) // S if K else 0
+        for b_i in range(nblk):
+            prog_meta.append((len(ftabs) - 1, b_i, n, K, wbase))
+        G += nblk
+        outs_shape.append((K, n, nblk))
+        wlen = (dw.shape[0] + 1023) // 1024 * 1024
+        wp = np.zeros(wlen, np.int32)
+        wp[: dw.shape[0]] = dw
+        word_parts.append(wp)
+        wbase += wlen
+    LR = N // LANE_COLS
+    Gp = _bucket_up(max(G, 1))
+    while len(prog_meta) < Gp:
+        prog_meta.append((0, 1 << 24, 0, 0, 0))
+    meta = np.asarray(prog_meta, np.int32).T.copy()
+    word_parts.append(np.zeros((S * LR + 24) * LANE_COLS, np.int32))
+    words = np.concatenate(word_parts)
+    Bp = _bucket_up(B, 4)
+    while len(ftabs) < Bp:
+        ftabs.append(np.zeros((256, 256), np.float32))
+        ctabs.append(np.zeros((256, 256), np.float32))
+        x0s.append(np.zeros((8, N), np.int32))
+    out = decode_many_o1_device(
+        jnp.asarray(meta), jnp.asarray(words),
+        jnp.asarray(np.concatenate(ftabs, axis=0)),
+        jnp.asarray(np.concatenate(ctabs, axis=0)),
+        jnp.asarray(np.concatenate(x0s, axis=0)), N, S, Gp, interpret)
+    plane = np.asarray(out)
+    res = []
+    row = 0
+    for K, n, nblk in outs_shape:
+        sub = plane[row:row + K]
+        row += nblk * S
+        res.append(sub.T.reshape(-1)[:n].tobytes() if K else b"")
+    return res
+
+
+def _encode_many_o1_kernel(meta_ref, syms_ref, ctxs_ref, ftabs_ref,
+                           ctabs_ref, out_ref, sts_ref, x_ref,
+                           *, N: int, S: int):
+    """Batched order-1 encode: encode_many with MXU per-lane context
+    tables; ctx plane = shifted symbol plane (host-built)."""
+    g = pl.program_id(0)
+    thi = meta_ref[1, g]
+    n = meta_ref[2, g]
+    K = meta_ref[3, g]
+
+    @pl.when(thi + S >= K)
+    def _init():
+        x_ref[...] = jnp.full((1, N), RANS_L, jnp.uint32)
+
+    LR = N // LANE_COLS
+    BLK = S * LR
+    ftabT = jnp.transpose(ftabs_ref[...])
+    ctabT = jnp.transpose(ctabs_ref[...])
+    iota256T = jax.lax.broadcasted_iota(jnp.int32, (256, 1), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, N), 1)
+    lane_len = jnp.clip(n - lane * K, 0, K)
+    sub128 = jax.lax.broadcasted_iota(jnp.int32, (LANE_COLS, 1), 0)
+    blkrow_iota = jax.lax.broadcasted_iota(jnp.int32, (1, BLK), 1)
+
+    q = jnp.full((1, 1), BLK * LANE_COLS, dtype=jnp.int32)
+    outT = jnp.zeros((LANE_COLS, BLK), jnp.int32)
+    for s in range(S):
+        t = thi + (S - 1 - s)
+        act = t < lane_len
+        sym = syms_ref[S - 1 - s: S - s, :].astype(jnp.int32)
+        ctx = ctxs_ref[S - 1 - s: S - s, :].astype(jnp.int32)
+        symoh = (iota256T == sym).astype(jnp.float32)
+        ctxoh = (iota256T == ctx).astype(jnp.float32)
+        frL = jax.lax.dot(ftabT, ctxoh,
+                          precision=jax.lax.Precision.HIGHEST)
+        crL = jax.lax.dot(ctabT, ctxoh,
+                          precision=jax.lax.Precision.HIGHEST)
+        f_row = jnp.sum(symoh * frL, axis=0, keepdims=True).astype(jnp.int32)
+        c_row = jnp.sum(symoh * crL, axis=0, keepdims=True).astype(jnp.int32)
+        f_row = jnp.where(act, f_row, 1)
+        c_row = jnp.where(act, c_row, 0)
+        fu = f_row.astype(jnp.uint32)
+
+        x = x_ref[...]
+        emit = act & ((x >> 20) >= fu)
+        word = (x & jnp.uint32(0xFFFF)).astype(jnp.int32)
+        x = jnp.where(emit, x >> 16, x)
+
+        rk = emit.astype(jnp.int32)
+        k = 1
+        while k < N:
+            sh = pltpu.roll(rk, k, axis=1)
+            rk = rk + jnp.where(lane >= k, sh, 0)
+            k *= 2
+        total = jnp.max(rk, axis=1, keepdims=True)
+        pos = q - total + rk - 1
+        r0 = pos // LANE_COLS
+        c0 = pos - r0 * LANE_COLS
+        rbase = (q - total) // LANE_COLS
+        for j in range(LR + 1):
+            sel_j = emit & (r0 == rbase + j)
+            selc = (sub128 == jnp.where(sel_j, c0, -1)).astype(jnp.int32)
+            wcol = jnp.sum(selc * word, axis=1, keepdims=True)
+            onrow = (blkrow_iota == rbase + j).astype(jnp.int32)
+            outT = outT + onrow * wcol
+        q = q - total
+
+        hi12 = (x >> 24).astype(jnp.int32)
+        mid12 = ((x >> 12) & jnp.uint32(0xFFF)).astype(jnp.int32)
+        lo12 = (x & jnp.uint32(0xFFF)).astype(jnp.int32)
+        ff = f_row.astype(jnp.float32)
+
+        def _divmod(d):
+            qq = jnp.floor(d.astype(jnp.float32) / ff).astype(jnp.int32)
+            rr = d - qq * f_row
+            fix_up = (rr >= f_row).astype(jnp.int32)
+            qq = qq + fix_up
+            rr = rr - fix_up * f_row
+            fix_dn = (rr < 0).astype(jnp.int32)
+            qq = qq - fix_dn
+            rr = rr + fix_dn * f_row
+            return qq, rr
+
+        q1, r1 = _divmod(hi12)
+        q2, r2 = _divmod((r1 << 12) | mid12)
+        q3, r3 = _divmod((r2 << 12) | lo12)
+        quot = (q1.astype(jnp.uint32) << 24) | \
+            (q2.astype(jnp.uint32) << 12) | q3.astype(jnp.uint32)
+        xa = (quot << SCALE_BITS) + r3.astype(jnp.uint32) + \
+            c_row.astype(jnp.uint32)
+        x_ref[...] = jnp.where(act, xa, x)
+
+    hr = jax.lax.broadcasted_iota(jnp.int32, (8, LANE_COLS), 0)
+    hc = jax.lax.broadcasted_iota(jnp.int32, (8, LANE_COLS), 1)
+    cnt = BLK * LANE_COLS - q[0, 0]
+    out_ref[0:8, :] = jnp.where((hr == 0) & (hc == 0), cnt, 0)
+    out_ref[8:, :] = jnp.transpose(outT)
+    sts_ref[...] = jnp.broadcast_to(x_ref[...].astype(jnp.int32), (8, N))
+
+
+@partial(jax.jit, static_argnames=("N", "S", "G", "interpret"))
+def encode_many_o1_device(meta, syms, ctxs, ftabs, ctabs, N: int, S: int,
+                          G: int, interpret: bool = False):
+    LR = N // LANE_COLS
+    B = ftabs.shape[0] // 256
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(G,),
+        in_specs=[pl.BlockSpec((S, N), lambda g, m: (m[4, g], 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((S, N), lambda g, m: (m[4, g], 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((256, 256), lambda g, m: (m[0, g], 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((256, 256), lambda g, m: (m[0, g], 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(pl.BlockSpec((S * LR + 8, LANE_COLS), lambda g, m: (g, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((8, N), lambda g, m: (m[0, g], 0),
+                                memory_space=pltpu.VMEM)),
+        scratch_shapes=[pltpu.VMEM((1, N), jnp.uint32)],
+    )
+    return pl.pallas_call(
+        partial(_encode_many_o1_kernel, N=N, S=S),
+        grid_spec=grid_spec,
+        out_shape=(jax.ShapeDtypeStruct((G * (S * LR + 8), LANE_COLS),
+                                        jnp.int32),
+                   jax.ShapeDtypeStruct((B * 8, N), jnp.int32)),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(meta, syms, ctxs, ftabs, ctabs)
+
+
+def _order1_header(a: np.ndarray, N: int):
+    """(header bytes, freq2, cum2) for an order-1 stream over `a`."""
+    import zlib as _z
+    from . import rans_np
+    n = a.shape[0]
+    m, K, lane_len = rans_np._to_matrix(a, N)
+    ctx_m = np.zeros_like(m)
+    if K:
+        ctx_m[1:] = m[:-1]
+    hist2 = np.zeros((256, 256), np.int64)
+    if K:
+        active_all = np.arange(K)[:, None] < lane_len[None, :]
+        np.add.at(hist2, (ctx_m[active_all], m[active_all]), 1)
+    freq2 = np.zeros((256, 256), np.uint32)
+    cum2 = np.zeros((256, 256), np.uint32)
+    used_ctx = hist2.sum(axis=1) > 0
+    parts = [np.packbits(used_ctx.astype(np.uint8),
+                         bitorder="little").tobytes()]
+    for cx in np.nonzero(used_ctx)[0]:
+        freq2[cx] = rans_np.normalize_freqs(hist2[cx])
+        cum2[cx] = np.concatenate([[0], np.cumsum(freq2[cx])[:-1]])
+        parts.append(rans_np._freqs_serialize(freq2[cx]))
+    raw = b"".join(parts)
+    comp = _z.compress(raw, 6)
+    ftab = len(raw).to_bytes(4, "little") + len(comp).to_bytes(4, "little") \
+        + comp
+    header = bytes([int(np.log2(N)), 1]) + int(n).to_bytes(4, "little") + ftab
+    return header, m, ctx_m, K, freq2, cum2
+
+
+def encode_many_o1(datas, n_lanes: int = 1024, S: int = 8,
+                   interpret: bool = False):
+    """Encode many payloads as ORDER-1 streams in one kernel launch."""
+    interpret = _auto_interpret(interpret)
+    from . import rans_np
+    N = n_lanes
+    LR = N // LANE_COLS
+    B = len(datas)
+    assert B > 0
+    ftabs, ctabs, heads = [], [], []
+    sym_parts, ctx_parts, prog_meta, shapes = [], [], [], []
+    blk_base = 0
+    for d in datas:
+        a = np.frombuffer(d, np.uint8) if isinstance(
+            d, (bytes, bytearray, memoryview)) else np.asarray(d, np.uint8)
+        header, m, ctx_m, K, freq2, cum2 = _order1_header(a, N)
+        heads.append(header)
+        ftabs.append(freq2.astype(np.float32))
+        ctabs.append(cum2.astype(np.float32))
+        nblk = (K + S - 1) // S if K else 0
+        Kp = nblk * S
+        if K:
+            sp = np.zeros((Kp, N), np.uint8)
+            sp[:K] = m
+            cp = np.zeros((Kp, N), np.uint8)
+            cp[:K] = ctx_m
+            sym_parts.append(sp)
+            ctx_parts.append(cp)
+        for b_i in range(nblk):
+            thi = (nblk - 1 - b_i) * S
+            prog_meta.append((len(ftabs) - 1, thi, a.shape[0], K,
+                              blk_base + (nblk - 1 - b_i)))
+        shapes.append((a.shape[0], K, nblk))
+        blk_base += nblk
+    G = len(prog_meta)
+    Gp = _bucket_up(max(G, 1))
+    Bp = _bucket_up(B + 1, 4)    # ALWAYS a padding stream slot: dummy
+    while len(prog_meta) < Gp:   # programs write stale states into it
+        prog_meta.append((Bp - 1, 1 << 24, 0, 0, 0))
+    while len(ftabs) < Bp:
+        ftabs.append(np.zeros((256, 256), np.float32))
+        ctabs.append(np.zeros((256, 256), np.float32))
+    meta = np.asarray(prog_meta, np.int32).T.copy()
+    syms = np.concatenate(sym_parts) if sym_parts else np.zeros((S, N), np.uint8)
+    ctxs = np.concatenate(ctx_parts) if ctx_parts else np.zeros((S, N), np.uint8)
+    blocks, sts = encode_many_o1_device(
+        jnp.asarray(meta), jnp.asarray(syms), jnp.asarray(ctxs),
+        jnp.asarray(np.concatenate(ftabs, axis=0)),
+        jnp.asarray(np.concatenate(ctabs, axis=0)), N, S, Gp, interpret)
+    blocks = np.asarray(blocks).reshape(Gp, (S * LR + 8) * LANE_COLS)
+    counts = blocks[:, 0]
+    payload = blocks[:, 8 * LANE_COLS:]
+    sts = np.asarray(sts).astype(np.uint32)
+    outs = []
+    prog = 0
+    for i, (n, K, nblk) in enumerate(shapes):
+        x = sts[8 * i] if K else np.full(N, RANS_L, np.uint32)
+        st = np.empty(2 * N, np.uint16)
+        st[0::2] = (x >> 16).astype(np.uint16)
+        st[1::2] = (x & 0xFFFF).astype(np.uint16)
+        parts = [payload[g, payload.shape[1] - counts[g]:]
+                 for g in range(prog + nblk - 1, prog - 1, -1)]
+        words = np.concatenate(parts).astype(np.uint16) if parts else \
+            np.zeros(0, np.uint16)
+        outs.append(heads[i] + st.tobytes() + words.tobytes())
+        prog += nblk
+    return outs

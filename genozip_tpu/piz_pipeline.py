@@ -111,13 +111,15 @@ class PizReader:
         if bmin:
             groups = {}
             for i, (ent, name, comp, meta) in enumerate(raws):
-                if meta["codec"] == codecs.RANS0 and \
+                if meta["codec"] in (codecs.RANS0, codecs.RANS1) and \
                         meta["uncomp_len"] >= bmin and len(comp) > 6 and \
-                        comp[1] == 0 and (1 << comp[0]) >= 128:
-                    groups.setdefault(comp[0], []).append(i)
+                        comp[1] in (0, 1) and (1 << comp[0]) >= 128:
+                    groups.setdefault((comp[0], comp[1]), []).append(i)
             from .ops import rans_pallas
-            for logn, idxs in groups.items():
-                outs = rans_pallas.decode_many([raws[i][2] for i in idxs])
+            for (logn, order), idxs in groups.items():
+                fn = rans_pallas.decode_many if order == 0 else \
+                    rans_pallas.decode_many_o1
+                outs = fn([raws[i][2] for i in idxs])
                 for i, o in zip(idxs, outs):
                     payloads[i] = o[: raws[i][3]["uncomp_len"]]
         out = {}

@@ -127,12 +127,13 @@ class ZipJob:
         precomp = {}
         bmin = codecs.device_batch_min()
         if bmin:
-            batch_idx = [i for i, e in enumerate(pending)
-                         if e[3] == codecs.RANS0 and len(e[2]) >= bmin]
-            if batch_idx:
-                blobs = codecs.compress_many_rans0(
-                    [pending[i][2] for i in batch_idx])
-                precomp = dict(zip(batch_idx, blobs))
+            for order, cid in ((0, codecs.RANS0), (1, codecs.RANS1)):
+                batch_idx = [i for i, e in enumerate(pending)
+                             if e[3] == cid and len(e[2]) >= bmin]
+                if batch_idx:
+                    blobs = codecs.compress_many_rans(
+                        [pending[i][2] for i in batch_idx], order)
+                    precomp.update(zip(batch_idx, blobs))
 
         for i, (sec, name, payload, codec, ltype, flags, units) in \
                 enumerate(pending):

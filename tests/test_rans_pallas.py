@@ -110,3 +110,15 @@ def test_pallas_order1_interpret(N, S):
     assert rans_pallas.encode_order1(data, n_lanes=N, S=S,
                                      interpret=True) == ref
     assert rans_pallas.decode_order1(ref, S=S, interpret=True) == data
+
+
+def test_pallas_order1_many_interpret():
+    """Batched order-1 kernels: byte-identical encode, exact decode."""
+    N = 256
+    datas = [RNG.choice(np.frombuffer(b"FFFFF:F,#", np.uint8),
+                        n).astype(np.uint8).tobytes()
+             for n in (40000, 0, 1, 90001)]
+    outs = rans_pallas.encode_many_o1(datas, n_lanes=N, S=8, interpret=True)
+    refs = [rans_np.encode(d, order=1, n_lanes=N) for d in datas]
+    assert outs == refs
+    assert rans_pallas.decode_many_o1(refs, S=8, interpret=True) == datas
