@@ -5,7 +5,11 @@ STATUS (round 1, measured on TPU v5e through the axon relay):
   order-0 encode: 104 MB/s kernel-only; byte-identical streams.
   order-1 decode (MXU context tables): 71 MB/s kernel-only; encode OK.
   batched decode_many: 3.5x per-stream end-to-end (21.8 vs 6.3 MB/s
-  through the relay for 32x256KB sections).
+  through the relay for 32x256KB sections). Order-1 batched kernels
+  (encode_many_o1/decode_many_o1) also verified bit-exact on hardware;
+  the full batched ZIP/PIZ pipeline round-trips byte-identical on the
+  TPU, though per-VB relay round-trips dominate its wall clock in this
+  environment.
   decode v2 (per-row): 17-21 MB/s -- (1,128) per-row ops are DISPATCH-bound;
   v1 (one step per program): 12-15 MB/s. All numbers verified bit-exact
   ON HARDWARE, not just in interpret mode.
