@@ -70,10 +70,9 @@ class VcfDT(DataType):
                 elif fname in ("ID", "QUAL"):
                     ctxs.update(tokenizer_seg_col(fname, col))
                 elif fname == "INFO":
-                    # per-position streams ~= per-tag contexts when the tag
-                    # structure is uniform (reference: per-INFO-tag
-                    # sub-contexts, src/vcf_info.c)
-                    ctxs.update(tokenizer_seg_col("INFO", col, max_tokens=64))
+                    if not self._seg_info(ctxs, col):
+                        ctxs.update(tokenizer_seg_col("INFO", col,
+                                                      max_tokens=64))
             if nf > 9:
                 if self._seg_samples(ctxs, fields, nf):
                     pass
@@ -136,6 +135,160 @@ class VcfDT(DataType):
                                       (np.nonzero(~same)[0], rest)])
 
     MAX_FMT_TAGS = 24
+
+    # ------------------------------------------------------------------
+    # per-tag INFO contexts (reference src/vcf_info.c: one context per tag)
+    # ------------------------------------------------------------------
+
+    @staticmethod
+    def _info_ctx_name(key: bytes) -> str:
+        s = "".join(ch if ch.isalnum() else "_"
+                    for ch in key[:6].decode("latin-1"))
+        return "I" + (s or "_")
+
+    def _seg_info(self, ctxs, col) -> bool:
+        """INFO split into KEY[=VALUE] fields on ';'; layout word = INFO
+        text with each VALUE elided to a \\x01 mark (INFOL dict); one value
+        context per key (name collisions after truncation are harmless:
+        both keys share a stream in deterministic global field order)."""
+        from ..seg import TOK_MARK
+        n = len(col)
+        data = col.data
+        if n == 0 or (data.shape[0] and (data == TOK_MARK).any()):
+            return False
+        sp = np.nonzero(data == ord(";"))[0]
+        frow = np.searchsorted(col.offsets[1:], sp, side="right")
+        # field boundaries per row: starts at row start and after each ';'
+        nf = np.bincount(frow, minlength=n) + 1
+        F = int(nf.sum())
+        f_of = np.repeat(ragged.arange(n), nf)
+        first = np.concatenate([[0], np.cumsum(nf)])[:-1]
+        fidx = ragged.arange(F) - first[f_of]
+        sp_base = np.concatenate([[0], np.cumsum(nf - 1)])[:-1]
+        fs = np.where(fidx == 0, col.offsets[:-1][f_of], 0)
+        nz = np.nonzero(fidx > 0)[0]
+        if nz.shape[0]:
+            fs[nz] = sp[sp_base[f_of[nz]] + fidx[nz] - 1] + 1
+        fe = np.empty(F, np.int64)
+        last = fidx == nf[f_of] - 1
+        fe[last] = col.offsets[1:][f_of[last]]
+        nz = np.nonzero(~last)[0]
+        if nz.shape[0]:
+            fe[nz] = sp[sp_base[f_of[nz]] + fidx[nz]]
+        # first '=' within each field
+        eqp = np.nonzero(data == ord("="))[0]
+        if eqp.shape[0]:
+            srch = np.searchsorted(eqp, fs)
+            has = srch < eqp.shape[0]
+            eqpos = np.where(
+                has, eqp[np.minimum(srch, eqp.shape[0] - 1)], 1 << 62)
+        else:
+            eqpos = np.full(F, 1 << 62, np.int64)
+        valued = eqpos < fe
+        kend = np.where(valued, eqpos, fe)
+        # layout: KEY (+ '=' + mark) joined by ';'
+        klen = kend - fs
+        piece = klen + np.where(valued, 2, 0)
+        row_llen = np.bincount(f_of, weights=piece, minlength=n) \
+            .astype(np.int64) + (nf - 1)
+        loff = np.concatenate([[0], np.cumsum(row_llen)])
+        ldata = np.empty(int(loff[-1]), np.uint8)
+        # destination start of each field within the layout
+        dst = np.empty(F, np.int64)
+        cum_in_row = np.zeros(F, np.int64)
+        # per-row prefix of (piece + 1) for separator accounting
+        adv = piece + 1
+        cadv = np.cumsum(adv) - adv
+        cum_in_row = cadv - cadv[first[f_of]]
+        dst = loff[:-1][f_of] + cum_in_row
+        tot_k = int(klen.sum())
+        if tot_k:
+            pos = ragged.arange(tot_k) - np.repeat(
+                np.concatenate([[0], np.cumsum(klen)])[:-1], klen)
+            ldata[np.repeat(dst, klen) + pos] = \
+                data[np.repeat(fs, klen) + pos]
+        v = np.nonzero(valued)[0]
+        ldata[dst[v] + klen[v]] = ord("=")
+        ldata[dst[v] + klen[v] + 1] = TOK_MARK
+        nl = np.nonzero(~last)[0]
+        ldata[dst[nl] + piece[nl]] = ord(";")
+        new_ctxs = {}
+        uw, inv = dedup_col(Col(ldata, loff))
+        new_ctxs["INFOL"] = VBCtx("INFOL", MODE_DICT, b250=inv, vb_words=uw,
+                                  cat="b250")
+        # per-key value streams (valued fields only), global field order
+        if v.shape[0]:
+            keys = ragged.gather_ranges(data, fs[v], klen[v])
+            kw, kinv = dedup_col(keys)
+            names = [self._info_ctx_name(kw.row(w)) for w in range(len(kw))]
+            if len(set(names)) != len(names):
+                return False  # 6-char truncation collision: tokenizer path
+            for w, name in enumerate(names):
+                sel = v[kinv == w]
+                vals = ragged.gather_ranges(data, kend[sel] + 1,
+                                            fe[sel] - kend[sel] - 1)
+                iv, iok = ragged.atoi(vals)
+                if vals.data.shape[0] and iok.all():
+                    new_ctxs[name] = VBCtx(name, MODE_NUM, local=iv,
+                                           cat="int")
+                else:
+                    new_ctxs.update(tokenizer_seg_col(name, vals,
+                                                      single_stream=True))
+        if set(new_ctxs) & set(ctxs):
+            return False  # name clash with fixed-field contexts
+        ctxs.update(new_ctxs)
+        return True
+
+    def _recon_info(self, pctxs, ng) -> Col:
+        from ..seg import TOK_MARK
+        layout = pctxs["INFOL"].dict_take()
+        ld = layout.data
+        marks = np.nonzero(ld == TOK_MARK)[0]
+        if marks.shape[0] == 0:
+            return layout
+        mrow = np.searchsorted(layout.offsets[1:], marks, side="right")
+        # key of each mark: bytes between the previous ';'/row-start and '='
+        # (mark is always preceded by '=')
+        keq = marks - 1
+        # find key start: previous ';' + 1 or row start
+        semis = np.nonzero(ld == ord(";"))[0]
+        si = np.searchsorted(semis, keq)
+        prev_semi = np.where(si > 0,
+                             semis[np.minimum(np.maximum(si - 1, 0),
+                                              max(semis.shape[0] - 1, 0))]
+                             if semis.shape[0] else -1, -1)
+        row_start = layout.offsets[:-1][mrow]
+        ks = np.maximum(prev_semi + 1, row_start)
+        keys = ragged.gather_ranges(ld, ks, keq - ks)
+        kw, kinv = dedup_col(keys)
+        parts = []
+        for w in range(len(kw)):
+            name = self._info_ctx_name(kw.row(w))
+            sel = np.nonzero(kinv == w)[0]
+            pc = pctxs.get(name)
+            if pc is not None and pc.mode == MODE_NUM and pc.b250 is None:
+                vcol = ragged.itoa(pc.nums())
+            else:
+                vcol = tokenizer_recon_col(name, pctxs, sel.shape[0])
+            parts.append((sel, vcol))
+        val_col = ragged.merge_rows(marks.shape[0], parts)
+        # splice values over marks
+        piece_lens = np.ones(ld.shape[0], np.int64)
+        piece_lens[marks] = val_col.lens
+        dsto = np.concatenate([[0], np.cumsum(piece_lens)])
+        out = np.empty(int(dsto[-1]), np.uint8)
+        nonmark = np.ones(ld.shape[0], bool)
+        nonmark[marks] = False
+        out[dsto[:-1][nonmark]] = ld[nonmark]
+        vl = val_col.lens
+        tot = int(vl.sum())
+        if tot:
+            pos = ragged.arange(tot) - np.repeat(val_col.offsets[:-1], vl)
+            out[np.repeat(dsto[:-1][marks], vl) + pos] = val_col.data
+        extra = np.zeros(ng, np.int64)
+        np.add.at(extra, mrow, val_col.lens - 1)
+        new_lens = layout.lens + extra
+        return Col(out, np.concatenate([[0], np.cumsum(new_lens)]))
 
     def _sample_cells(self, fields, nf):
         """Concatenate the sample columns sample-major (transposed: all rows
@@ -343,6 +496,8 @@ class VcfDT(DataType):
                     cols.append(pctxs[fname].dict_take())
                 elif fname == "POS" and "POS" in pctxs and pctxs["POS"].mode == MODE_NUM:
                     cols.append(ragged.itoa(pctxs["POS"].nums()))
+                elif fname == "INFO" and "INFOL" in pctxs:
+                    cols.append(self._recon_info(pctxs, ng))
                 else:
                     cols.append(tokenizer_recon_col(fname, pctxs, ng))
                 seps.append(b"\t")

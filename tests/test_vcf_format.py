@@ -105,3 +105,29 @@ def test_vcf_haploid_and_wide_alleles(tmp_path):
                        RNG.integers(0, 12), RNG.integers(0, 99)))
     data = b"".join(rows)
     roundtrip(str(tmp_path), "hap.vcf", data)
+
+
+def test_vcf_info_per_tag(tmp_path):
+    """Per-key INFO contexts (src/vcf_info.c): variable tag order and flag
+    tags round-trip; numeric tags become int streams."""
+    hdr = (b"##fileformat=VCFv4.2\n#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER"
+           b"\tINFO\n")
+    rows = [hdr]
+    for i in range(800):
+        if i % 7 == 0:
+            info = b"DB;DP=%d;AF=0.%03d" % (i % 90 + 1, i % 999)
+        elif i % 7 == 1:
+            info = b"."
+        elif i % 7 == 2:
+            info = b"DP=%d;ANN=G|missense|MODERATE;DB" % (i % 70)
+        else:
+            info = b"DP=%d;AF=0.%03d;MQ=%d" % (i % 90 + 1, (i * 3) % 999,
+                                               30 + i % 30)
+        rows.append(b"chr5\t%d\t.\tA\tG\t40\tPASS\t%s\n" % (1000 + i * 9, info))
+    data = b"".join(rows)
+    roundtrip(str(tmp_path), "info.vcf", data)
+    body = data.split(b"\n", 1)[1].split(b"\n", 1)[1]
+    dt = get("vcf")()
+    res = dt.seg_vb(np.frombuffer(body, np.uint8))
+    assert "INFOL" in res.ctxs
+    assert "IDP" in res.ctxs and res.ctxs["IDP"].mode == "num"
