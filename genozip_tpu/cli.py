@@ -77,6 +77,12 @@ def build_parser():
                         "(^ prefix negates; reference --bases)")
     c.add_argument("--count", action="store_true",
                    help="print the number of records that pass the filters")
+    c.add_argument("--lines", default=None,
+                   help="record range first-last, 1-based inclusive "
+                        "(reference --lines)")
+    c.add_argument("--qnames", default=None,
+                   help="comma-separated QNAMEs, or @FILE with one per line "
+                        "(reference --qnames / qname_filter.c)")
     c.add_argument("--reference", default=None)
     c.add_argument("--password", default=None)
     c.add_argument("--sam", action="store_true",

@@ -36,6 +36,22 @@ def cat_filtered(args, out):
     downsample = getattr(args, "downsample", None)
     tail = getattr(args, "tail", None)
     count_only = getattr(args, "count", False)
+    lines_rng = None
+    if getattr(args, "lines", None):
+        # reference parity: genocat --lines=first-last (1-based, inclusive)
+        spec = args.lines
+        a, _, b = spec.partition("-")
+        lines_rng = (int(a) if a else 1, int(b) if b else 1 << 62)
+    qnames = None
+    if getattr(args, "qnames", None):
+        # reference parity: genocat --qnames / --qnames-file
+        # (src/qname_filter.c): keep records whose QNAME is listed
+        spec = args.qnames
+        if spec.startswith("@"):
+            with open(spec[1:], "rb") as f:
+                qnames = {ln.strip() for ln in f if ln.strip()}
+        else:
+            qnames = {q.encode() for q in spec.split(",") if q}
     bases = getattr(args, "bases", None)
     bases_pos = None
     if bases:
@@ -70,7 +86,8 @@ def cat_filtered(args, out):
             from . import regions as regions_mod
             buf = regions_mod.filter_lines(buf, dt_name, regions)
         if grep is None and head is None and downsample is None and \
-                tail is None and bases_pos is None and not count_only:
+                tail is None and bases_pos is None and not count_only and \
+                lines_rng is None and qnames is None:
             out.write(buf)
             continue
         starts, ends = _lines_of(buf)
@@ -80,9 +97,15 @@ def cat_filtered(args, out):
             e = ends[(r + 1) * lines_per_rec - 1]
             rec = buf[s:e]
             rec_i += 1
+            if lines_rng and not (lines_rng[0] <= rec_i <= lines_rng[1]):
+                if rec_i > lines_rng[1]:
+                    break
+                continue
             if downsample and (rec_i - 1) % downsample != 0:
                 continue
             if grep and grep not in rec:
+                continue
+            if qnames is not None and _rec_qname(rec, dt_name) not in qnames:
                 continue
             if bases_pos is not None:
                 seq = _rec_seq(rec, dt_name)
@@ -109,6 +132,16 @@ def cat_filtered(args, out):
     if count_only:
         out.write(b"%d\n" % (len(tail_buf) if tail else emitted))
     pr.close()
+
+
+def _rec_qname(rec: bytes, dt_name: str) -> bytes:
+    """The QNAME of one reconstructed record (for --qnames)."""
+    if dt_name == "fastq":
+        e = min(x for x in (rec.find(b"\n"), rec.find(b" "), rec.find(b"\t"),
+                            len(rec)) if x >= 0)
+        q = rec[1:e]
+        return q[:-2] if q[-2:-1] == b"/" else q
+    return rec.split(b"\t", 1)[0]
 
 
 def _rec_seq(rec: bytes, dt_name: str) -> bytes:

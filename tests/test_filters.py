@@ -270,3 +270,38 @@ def test_bases_and_count_filters(tmp_path):
     assert with_n.count(b"@r") == 20
     assert run(count=True) == b"60\n"
     assert run(count=True, bases="ACGT") == b"40\n"
+
+
+def test_qnames_and_lines_filters(tmp_path):
+    """--qnames (qname_filter.c analog) and --lines range output."""
+    import io
+    from types import SimpleNamespace
+    from genozip_tpu.zip_pipeline import zip_file
+    from genozip_tpu.filters import cat_filtered
+    rows = []
+    for i in range(50):
+        rows.append(b"@read%d some desc\nACGTACGTAC\n+\nFFFFFFFFFF\n" % i)
+    data = b"".join(rows)
+    src = f"{tmp_path}/q.fastq"
+    open(src, "wb").write(data)
+    z = src + ".gxz"
+    zip_file(src, z)
+
+    def run(**kw):
+        buf = io.BytesIO()
+        base = dict(input=z, grep=None, head=None, tail=None,
+                    downsample=None, regions=None, no_header=False,
+                    reference=None, count=False, bases=None, lines=None,
+                    qnames=None)
+        base.update(kw)
+        cat_filtered(SimpleNamespace(**base), buf)
+        return buf.getvalue()
+
+    got = run(qnames="read3,read7")
+    assert got.count(b"@read") == 2 and b"@read3 " in got and b"@read7 " in got
+    qf = f"{tmp_path}/names.txt"
+    open(qf, "w").write("read10\nread11\n")
+    assert run(qnames="@" + qf).count(b"@read") == 2
+    got = run(lines="5-8")
+    assert got.count(b"@read") == 4 and b"@read4 " in got and b"@read7 " in got
+    assert run(lines="49-") .count(b"@read") == 2
