@@ -210,3 +210,22 @@ def test_ref_cache_roundtrip(tmp_path):
         assert np.array_equal(np.asarray(r.refhash), r1.refhash)
         assert r.contigs == r1.contigs
         assert np.array_equal(np.asarray(r.iupac_pos), r1.iupac_pos)
+
+
+def test_ref_cache_staleness(tmp_path):
+    """A rebuilt .ref.gxz invalidates its sidecar cache (mtime check)."""
+    import os
+    import time
+    fa1 = synth_genome(30000, 1)
+    fa_path = os.path.join(str(tmp_path), "s.fa")
+    open(fa_path, "wb").write(fa1)
+    ref_path = os.path.join(str(tmp_path), "s.ref.gxz")
+    refstore.make_reference(fa_path, ref_path)
+    r1 = refstore.load_ref_file(ref_path)   # creates cache
+    time.sleep(0.05)
+    fa2 = synth_genome(31000, 1)            # different genome
+    open(fa_path, "wb").write(fa2)
+    refstore.make_reference(fa_path, ref_path)
+    os.utime(ref_path)                      # ensure newer mtime
+    r2 = refstore.load_ref_file(ref_path)   # must NOT serve the stale cache
+    assert r2.length == 31000 and r1.length == 30000
