@@ -80,6 +80,9 @@ def cat_filtered(args, out):
                 from . import regions as regions_mod
                 if not any(regions_mod.regions_overlap(regions, c, lo, hi)
                            for (c, lo, hi) in ents):
+                    if pr.ensure_gencomp():
+                        # keep the PRIM/DEPN queues in VB order
+                        pr.drain_vb_gencomp(vb_i)
                     continue  # random-access VB skip
         buf = pr.read_vb(vb_i)
         if regions is not None:
@@ -121,6 +124,10 @@ def cat_filtered(args, out):
                 continue
             if count_only:
                 emitted += 1
+                if head and emitted >= head:
+                    out.write(b"%d\n" % emitted)
+                    pr.close()
+                    return
                 continue
             out.write(rec)
             emitted += 1

@@ -66,6 +66,11 @@ class PizReader:
             payload, meta = self.zr.read_section(ent)
             name = ent.dict_id.rstrip(b"\0").decode()
             self.dicts[name] = parse_dict_payload(payload)
+        # gencomp (PRIM/DEPN deported-line) state — loaded lazily on the
+        # first MAIN-component read so every consumer (unzip, cat, coverage,
+        # translations) re-interleaves identically (src/gencomp_piz.c)
+        self._gc_loaded = False
+        self._gc_prim = self._gc_depn = None
 
     def _dict(self, name):
         d = self.dicts.get(name)
@@ -152,8 +157,72 @@ class PizReader:
             pair_sec = self._load_ctx_sections(vb_i, 0, pair_names) if pair_names else {}
         return vb_hdr, sec, pair_sec
 
+    def ensure_gencomp(self):
+        """Load the PRIM/DEPN queues + SAG store if the archive has gencomp.
+        Idempotent. Every MAIN-component consumer needs this before (or via)
+        read_vb so deported lines re-interleave (src/sam_sag_load.c)."""
+        if self._gc_loaded:
+            return self._gc_depn is not None
+        self._gc_loaded = True
+        gc = self.file_hdr.get("gencomp")
+        if not gc:
+            return False
+        from collections import deque
+
+        def _read_comp(comp_i, nvbs):
+            q = deque()
+            chunks = []
+            for gvb in range(1, nvbs + 1):
+                buf = self.read_vb(gvb, comp_i)
+                chunks.append(buf)
+                pos = 0
+                while pos < len(buf):
+                    e = buf.index(b"\n", pos) + 1
+                    q.append(buf[pos:e])
+                    pos = e
+            return q, b"".join(chunks)
+
+        self._gc_prim, prim_txt = _read_comp(1, gc.get("prim_vbs", 0))
+        if prim_txt:
+            # SAG store before DEPN recon (reference src/sam_sag_load.c)
+            from .sag import SagStore
+            self.dt.sag_store = SagStore.from_text(
+                np.frombuffer(prim_txt, np.uint8))
+        self._gc_depn, _ = _read_comp(2, gc.get("depn_vbs", 0))
+        return True
+
+    def merge_vb_gencomp(self, out: bytes) -> bytes:
+        """Re-interleave the just-reconstructed MAIN VB's deported lines.
+        Call immediately after recon_loaded_vb on comp 0 (queue order ==
+        MAIN VB order, so VBs must be consumed or drained sequentially)."""
+        e = np.zeros(0, np.int64)
+        pp = self._last_pctxs.get("GPPOS")
+        dp = self._last_pctxs.get("GCPOS")
+        if pp is None and dp is None:
+            return out
+        return _merge_gencomp(out, pp.nums() if pp is not None else e,
+                              self._gc_prim,
+                              dp.nums() if dp is not None else e,
+                              self._gc_depn)
+
+    def drain_vb_gencomp(self, vb_i: int):
+        """Consume a skipped MAIN VB's share of the PRIM/DEPN queues without
+        reconstructing it (used by random-access VB skipping)."""
+        with self.io_lock:
+            sec = self._load_ctx_sections(vb_i, 0, ["GPPOS", "GCPOS"])
+        for name, q in (("GPPOS", self._gc_prim), ("GCPOS", self._gc_depn)):
+            loc = sec.get(name, {}).get("local")
+            for _ in range(loc[0].shape[0] if loc is not None else 0):
+                q.popleft()
+
     def read_vb(self, vb_i: int, comp_i: int = 0) -> bytes:
-        return self.recon_loaded_vb(self.load_vb(vb_i, comp_i), vb_i, comp_i)
+        # gencomp must load BEFORE recon: it reads comps 1/2 (clobbering
+        # _last_pctxs) and installs the SAG store the MAIN recon may need
+        gc = comp_i == 0 and self.ensure_gencomp()
+        out = self.recon_loaded_vb(self.load_vb(vb_i, comp_i), vb_i, comp_i)
+        if gc:
+            out = self.merge_vb_gencomp(out)
+        return out
 
     def recon_loaded_vb(self, loaded, vb_i: int, comp_i: int = 0) -> bytes:
         vb_hdr, sec, pair_sec = loaded
@@ -243,31 +312,7 @@ def piz_file(z_path: str, out_path: str | None = None,
     comps = pr.components()
     total_all = 0
 
-    depn_queue = prim_queue = None
-    gc = pr.file_hdr.get("gencomp")
-    if gc:
-        from collections import deque
-
-        def _read_comp(comp_i, nvbs):
-            q = deque()
-            chunks = []
-            for gvb in range(1, nvbs + 1):
-                buf = pr.read_vb(gvb, comp_i)
-                chunks.append(buf)
-                pos = 0
-                while pos < len(buf):
-                    e = buf.index(b"\n", pos) + 1
-                    q.append(buf[pos:e])
-                    pos = e
-            return q, b"".join(chunks)
-
-        prim_queue, prim_txt = _read_comp(1, gc.get("prim_vbs", 0))
-        if prim_txt:
-            # SAG store before DEPN recon (reference src/sam_sag_load.c)
-            from .sag import SagStore
-            pr.dt.sag_store = SagStore.from_text(
-                np.frombuffer(prim_txt, np.uint8))
-        depn_queue, _ = _read_comp(2, gc.get("depn_vbs", 0))
+    has_gencomp = pr.ensure_gencomp()
     for comp_i, comp in enumerate(comps):
         path = None
         if out_path:
@@ -316,16 +361,8 @@ def piz_file(z_path: str, out_path: str | None = None,
                     if vb_i < nvb else None
                 with profiler.timer("piz:recon+digest"):
                     out = pr.recon_loaded_vb(loaded, vb_i, comp_i)
-                    if depn_queue is not None and comp_i == 0 and \
-                            ("GCPOS" in pr._last_pctxs or
-                             "GPPOS" in pr._last_pctxs):
-                        e = np.zeros(0, np.int64)
-                        pp = pr._last_pctxs.get("GPPOS")
-                        dp = pr._last_pctxs.get("GCPOS")
-                        out = _merge_gencomp(
-                            out, pp.nums() if pp is not None else e,
-                            prim_queue,
-                            dp.nums() if dp is not None else e, depn_queue)
+                    if has_gencomp and comp_i == 0:
+                        out = pr.merge_vb_gencomp(out)
                     adler = zlib.adler32(out, adler)
                     if md5:
                         md5.update(out)

@@ -22,29 +22,30 @@ DEPN_MASK = 0x900  # secondary | supplementary
 
 
 def qname_hash(col: Col) -> np.ndarray:
-    """Vectorized 64-bit hash per row (same fold as contexts.dedup_col).
-    Used only as a prescan *filter* — collisions deport extra primaries,
-    never corrupt data."""
+    """Vectorized 64-bit hash per row. Width-INDEPENDENT: zero-padded tail
+    words multiply to 0 and the row length folds into the final mix, so the
+    same qname hashes identically whatever the batch's max row width (the
+    prescan batches and the split batches differ). Used only as a prescan
+    *filter* — collisions deport extra primaries, never corrupt data."""
     n = len(col)
     if n == 0:
         return np.zeros(0, np.uint64)
-    w = int(col.lens.max()) if n else 0
-    w = max(w, 1)
-    mat = np.zeros((n, w + 1), dtype=np.uint8)
+    w = max(int(col.lens.max()), 1)
+    mat = np.zeros((n, w), dtype=np.uint8)
     lens = np.minimum(col.lens, w)
     total = int(lens.sum())
     if total:
         pos = ragged.arange(total) - np.repeat(col.offsets[:-1], lens)
         rows = np.repeat(ragged.arange(n), lens)
         mat[rows, pos] = col.data[np.repeat(col.offsets[:-1], lens) + pos]
-    mat[:, w] = lens & 0xFF
-    w8 = (mat.shape[1] + 7) // 8 * 8
+    w8 = (w + 7) // 8 * 8
     m8 = np.zeros((n, w8), dtype=np.uint8)
-    m8[:, :mat.shape[1]] = mat
+    m8[:, :w] = mat
     cols64 = m8.view("<u8")
     mult = (np.arange(1, cols64.shape[1] + 1, dtype=np.uint64)
             * np.uint64(0x9E3779B97F4A7C15)) | np.uint64(1)
     h = (cols64 * mult[None, :]).sum(axis=1, dtype=np.uint64)
+    h ^= lens.astype(np.uint64) * np.uint64(0xFF51AFD7ED558CCD)
     return (h ^ (h >> np.uint64(31))) * np.uint64(0xBF58476D1CE4E5B9)
 
 
