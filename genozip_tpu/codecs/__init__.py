@@ -33,10 +33,13 @@ DELTA_RANS = 9   # byte-wise delta then rANS order-0 (pos-like streams)
 RLE0 = 10     # run-length (value,run) pairs, each rANS'd — long-run streams
 DOMQ = 11     # dominant-symbol quality: RLE'd dom-mask + rANS'd exceptions
 STRIPE4 = 12  # 4-byte-plane transpose then order-1 rANS (u32/f32 arrays)
+ARITH0 = 13   # wide-interleaved adaptive range coder, order-0
+ARITH1 = 14   # order-1 (context = previous byte)
 
 NAMES = {NONE: "NONE", RANS0: "RANS0", RANS1: "RANS1", PACK0: "PACK0",
          PACK1: "PACK1", ZLIB: "ZLIB", BZ2: "BZ2", LZMA: "LZMA", ACGT: "ACGT",
-         DELTA_RANS: "DELTA", RLE0: "RLE0", DOMQ: "DOMQ", STRIPE4: "STRIPE4"}
+         DELTA_RANS: "DELTA", RLE0: "RLE0", DOMQ: "DOMQ", STRIPE4: "STRIPE4",
+         ARITH0: "ARITH0", ARITH1: "ARITH1"}
 
 # toggled by the pipeline: use the JAX (device) rANS for large payloads
 _JAX_MIN_SIZE = 1 << 62   # effectively disabled until enabled
@@ -98,6 +101,22 @@ def _rans_decode(blob) -> bytes:
     if native.available():
         return native.rans_decode(blob)
     return rans_np.decode(blob)
+
+
+def _arith_encode(data: bytes, order: int) -> bytes:
+    from .. import native
+    if native.available():
+        return native.arith_encode(data, order)
+    from ..ops import arith_np
+    return arith_np.encode(data, order=order)
+
+
+def _arith_decode(blob) -> bytes:
+    from .. import native
+    if native.available():
+        return native.arith_decode(blob)
+    from ..ops import arith_np
+    return arith_np.decode(blob)
 
 
 def _pack_encode(data: bytes, order: int) -> bytes:
@@ -284,6 +303,10 @@ def compress(data: bytes, codec: int) -> bytes:
         return _domq_encode(data)
     if codec == STRIPE4:
         return _stripe4_encode(data)
+    if codec == ARITH0:
+        return _arith_encode(data, 0)
+    if codec == ARITH1:
+        return _arith_encode(data, 1)
     raise ValueError(f"unknown codec {codec}")
 
 
@@ -310,6 +333,8 @@ def decompress(blob, codec: int, uncomp_len: int) -> bytes:
         out = _domq_decode(blob)
     elif codec == STRIPE4:
         out = _stripe4_decode(blob)
+    elif codec in (ARITH0, ARITH1):
+        out = _arith_decode(blob)
     else:
         raise ValueError(f"unknown codec {codec}")
     if len(out) > uncomp_len and codec in (RANS0, RANS1, DELTA_RANS):

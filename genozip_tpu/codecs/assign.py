@@ -12,7 +12,7 @@ ZIP-side global context state.
 import numpy as np
 
 from . import (NONE, RANS0, RANS1, PACK0, PACK1, ZLIB, BZ2, LZMA, ACGT,
-               DELTA_RANS, RLE0, DOMQ, STRIPE4, compress)
+               DELTA_RANS, RLE0, DOMQ, STRIPE4, ARITH0, ARITH1, compress)
 
 SAMPLE_SIZE = 64 * 1024
 MIN_SIZE_TO_COMPRESS = 64
@@ -38,21 +38,21 @@ def candidates_for(data: np.ndarray, category: str):
     if category == "seq":
         cands = [ACGT, RANS1, LZMA]
     elif category == "qual":
-        cands = [RANS1, RANS0]
+        cands = [RANS1, ARITH1, RANS0]
         if nuniq is not None and nuniq <= 16:
-            cands = [PACK1, RANS1, RANS0]
+            cands = [PACK1, RANS1, ARITH1, RANS0]
         if data.shape[0]:
             counts = np.bincount(data[:4096], minlength=256)
             if counts.max() > 0.7 * min(data.shape[0], 4096):
                 cands = [DOMQ] + cands
     elif category == "b250":
-        cands = [RANS0, RANS1, ZLIB]
+        cands = [RANS0, ARITH0, RANS1, ZLIB]
     elif category == "int":
         cands = [RANS0, RANS1, DELTA_RANS, STRIPE4, ZLIB]
     elif category == "float":
         cands = [STRIPE4, RANS1, ZLIB]
     elif category == "text":
-        cands = [RANS1, ZLIB, BZ2, LZMA]
+        cands = [RANS1, ARITH1, ZLIB, BZ2, LZMA]
     elif category == "pbwt":
         # PBWT output is long runs: RLE first, entropy coders as backstop
         cands = [RLE0, RANS1, PACK1, RANS0]

@@ -48,6 +48,14 @@ def get():
             lib.gxz_rans_decode.argtypes = [
                 ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
                 ctypes.c_int64]
+            lib.gxz_arith_encode.restype = ctypes.c_int64
+            lib.gxz_arith_encode.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int,
+                ctypes.c_void_p, ctypes.c_int64]
+            lib.gxz_arith_decode.restype = ctypes.c_int64
+            lib.gxz_arith_decode.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+                ctypes.c_int64]
             lib.gxz_bam_scan.restype = ctypes.c_int64
             lib.gxz_bam_scan.argtypes = [
                 ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
@@ -120,6 +128,27 @@ def rans_decode(blob, n_hint: int | None = None) -> bytes:
     out = np.empty(max(n, 1), np.uint8)
     r = lib.gxz_rans_decode(a.ctypes.data, a.shape[0], out.ctypes.data, n)
     assert r == n, f"native rans decode failed ({r})"
+    return out[:n].tobytes()
+
+
+def arith_encode(data: bytes, order: int = 0) -> bytes:
+    lib = get()
+    a = np.frombuffer(data, np.uint8) if not isinstance(data, np.ndarray) else data
+    n = a.shape[0]
+    cap = 2 * n + (1 << 20)
+    out = np.empty(cap, np.uint8)
+    r = lib.gxz_arith_encode(a.ctypes.data, n, order, out.ctypes.data, cap)
+    assert r > 0, "native arith encode failed"
+    return out[:r].tobytes()
+
+
+def arith_decode(blob) -> bytes:
+    lib = get()
+    a = np.frombuffer(blob, np.uint8) if not isinstance(blob, np.ndarray) else blob
+    n = int.from_bytes(bytes(a[2:6]), "little")
+    out = np.empty(max(n, 1), np.uint8)
+    r = lib.gxz_arith_decode(a.ctypes.data, a.shape[0], out.ctypes.data, n)
+    assert r == n, f"native arith decode failed ({r})"
     return out[:n].tobytes()
 
 

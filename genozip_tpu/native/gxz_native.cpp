@@ -701,6 +701,226 @@ int gxz_rows_equal_rep(const uint8_t* data, const int64_t* offsets,
     return 1;
 }
 
+// ---------------------------------------------------------------------------
+// ARITH-W32: wide-interleaved adaptive range coder. Bit-exact twin of the
+// numpy spec in ops/arith_np.py (the arith_dynamic.c role, redesigned as N
+// lockstep carryless Subbotin lanes sharing ONE adaptive model with batched
+// per-step updates). Model storage here is freq[] + a Fenwick tree per
+// context (O(log 256) prefix/update/search) — same values, faster walk.
+
+namespace arith {
+
+constexpr uint32_t A_TOP = 1u << 24, A_BOT = 1u << 16;
+constexpr uint32_t A_INC = 24, A_MAX_TOTAL = 1u << 15;
+
+int a_choose_log_lanes(int64_t n) {
+    if (n < (1 << 12)) return 4;
+    if (n < (1 << 18)) return 6;
+    return 8;
+}
+
+struct Model {
+    int nctx;
+    std::vector<uint32_t> freq;    // nctx*256
+    std::vector<uint32_t> total;   // nctx
+    std::vector<uint32_t> tree;    // nctx*257 Fenwick (1-indexed)
+
+    explicit Model(int order) : nctx(order ? 256 : 1),
+        freq((size_t)nctx * 256, 1), total(nctx, 256),
+        tree((size_t)nctx * 257, 0) {
+        for (int c = 0; c < nctx; c++) rebuild(c);
+    }
+    void rebuild(int c) {
+        uint32_t* t = &tree[(size_t)c * 257];
+        const uint32_t* f = &freq[(size_t)c * 256];
+        for (int i = 1; i <= 256; i++) t[i] = f[i - 1];
+        for (int i = 1; i <= 256; i++) {
+            int p = i + (i & -i);
+            if (p <= 256) t[p] += t[i];
+        }
+    }
+    inline uint32_t prefix(int c, int s) const {   // sum f[0..s-1]
+        const uint32_t* t = &tree[(size_t)c * 257];
+        uint32_t r = 0;
+        for (int pos = s; pos; pos -= pos & -pos) r += t[pos];
+        return r;
+    }
+    inline void add(int c, int s, uint32_t d) {
+        uint32_t* t = &tree[(size_t)c * 257];
+        for (int pos = s + 1; pos <= 256; pos += pos & -pos) t[pos] += d;
+        freq[(size_t)c * 256 + s] += d;
+        total[c] += d;
+    }
+    // largest sym with prefix(sym) <= v; sets cum = prefix(sym)
+    inline int search(int c, uint32_t v, uint32_t* cum) const {
+        const uint32_t* t = &tree[(size_t)c * 257];
+        int idx = 0;
+        uint32_t rem = v;
+        for (int bit = 128; bit; bit >>= 1) {
+            int nxt = idx + bit;
+            if (nxt <= 256 && t[nxt] <= rem) { idx = nxt; rem -= t[nxt]; }
+        }
+        *cum = v - rem;
+        return idx;
+    }
+    void rescale(int c) {
+        while (total[c] > A_MAX_TOTAL) {
+            uint32_t* f = &freq[(size_t)c * 256];
+            uint32_t tot = 0;
+            for (int i = 0; i < 256; i++) { f[i] = (f[i] + 1) >> 1; tot += f[i]; }
+            total[c] = tot;
+        }
+        rebuild(c);
+    }
+};
+
+}  // namespace arith
+
+int64_t gxz_arith_encode(const uint8_t* data, int64_t n, int order,
+                         uint8_t* out, int64_t cap) {
+    using namespace arith;
+    int logN = a_choose_log_lanes(n);
+    int N = 1 << logN;
+    int64_t K = n > 0 ? (n + N - 1) / N : 0;
+    std::vector<int64_t> lane_len(N);
+    for (int l = 0; l < N; l++) {
+        int64_t v = n - (int64_t)l * K;
+        lane_len[l] = v < 0 ? 0 : (v > K ? K : v);
+    }
+    std::vector<uint32_t> low(N, 0), rng(N, 0xFFFFFFFFu);
+    std::vector<std::vector<uint8_t>> lane_bytes(N);
+    std::vector<int32_t> ev;              // global event order: lane ids
+    Model model(order);
+    std::vector<uint8_t> syms(N), ctxs(N);
+    std::vector<int> dirty;
+
+    for (int64_t t = 0; t < K; t++) {
+        for (int l = 0; l < N; l++) {
+            if (t >= lane_len[l]) continue;
+            uint8_t s = data[(int64_t)l * K + t];
+            uint8_t cx = (order && t) ? data[(int64_t)l * K + t - 1] : 0;
+            syms[l] = s; ctxs[l] = cx;
+            uint32_t tot = model.total[cx];
+            uint32_t f = model.freq[(size_t)cx * 256 + s];
+            uint32_t c = model.prefix(cx, s);
+            uint32_t r = rng[l] / tot;
+            low[l] += c * r;
+            rng[l] = f * r;
+        }
+        for (bool any = true; any; ) {            // renorm, iteration-major
+            any = false;
+            for (int l = 0; l < N; l++) {
+                if (t >= lane_len[l]) continue;
+                uint32_t lo = low[l], rg = rng[l];
+                bool c1 = ((lo ^ (lo + rg)) < A_TOP), c2 = rg < A_BOT;
+                if (!(c1 || c2)) continue;
+                if (!c1) rng[l] = (0u - lo) & (A_BOT - 1);
+                lane_bytes[l].push_back((uint8_t)(lo >> 24));
+                ev.push_back(l);
+                low[l] <<= 8; rng[l] <<= 8;
+                any = true;
+            }
+        }
+        dirty.clear();
+        for (int l = 0; l < N; l++) {
+            if (t >= lane_len[l]) continue;
+            int cx = order ? ctxs[l] : 0;
+            model.add(cx, syms[l], A_INC);
+            if (model.total[cx] > A_MAX_TOTAL) dirty.push_back(cx);
+        }
+        for (int cx : dirty)
+            if (model.total[cx] > A_MAX_TOTAL) model.rescale(cx);
+    }
+    for (int l = 0; l < N; l++)                    // flush
+        for (int k = 0; k < 4; k++) {
+            lane_bytes[l].push_back((uint8_t)(low[l] >> 24));
+            low[l] <<= 8;
+        }
+
+    int64_t need = 6 + 4LL * N + (int64_t)ev.size();
+    if (need > cap) return -1;
+    uint8_t* p = out;
+    *p++ = (uint8_t)logN; *p++ = (uint8_t)order;
+    for (int k = 0; k < 4; k++) *p++ = (uint8_t)((uint64_t)n >> (8 * k));
+    for (int l = 0; l < N; l++)
+        for (int k = 0; k < 4; k++) *p++ = lane_bytes[l][k];
+    std::vector<int64_t> j(N, 0);
+    for (int32_t l : ev) *p++ = lane_bytes[l][4 + j[l]++];
+    return p - out;
+}
+
+int64_t gxz_arith_decode(const uint8_t* in, int64_t in_len, uint8_t* out,
+                         int64_t n_expect) {
+    using namespace arith;
+    if (in_len < 6) return -1;
+    int logN = in[0], order = in[1];
+    int N = 1 << logN;
+    int64_t n = 0;
+    for (int k = 0; k < 4; k++) n |= (int64_t)in[2 + k] << (8 * k);
+    if (n != n_expect) return -2;
+    int64_t K = n > 0 ? (n + N - 1) / N : 0;
+    std::vector<int64_t> lane_len(N);
+    for (int l = 0; l < N; l++) {
+        int64_t v = n - (int64_t)l * K;
+        lane_len[l] = v < 0 ? 0 : (v > K ? K : v);
+    }
+    const uint8_t* body = in + 6;
+    const uint8_t* bend = in + in_len;
+    if (body + 4LL * N > bend) return -3;
+    std::vector<uint32_t> low(N, 0), rng(N, 0xFFFFFFFFu), code(N);
+    for (int l = 0; l < N; l++) {
+        code[l] = ((uint32_t)body[0] << 24) | ((uint32_t)body[1] << 16) |
+                  ((uint32_t)body[2] << 8) | body[3];
+        body += 4;
+    }
+    Model model(order);
+    std::vector<uint8_t> syms(N), ctxs(N);
+    std::vector<int> dirty;
+    for (int64_t t = 0; t < K; t++) {
+        for (int l = 0; l < N; l++) {
+            if (t >= lane_len[l]) continue;
+            uint8_t cx = (order && t) ? out[(int64_t)l * K + t - 1] : 0;
+            ctxs[l] = cx;
+            uint32_t tot = model.total[cx];
+            uint32_t r = rng[l] / tot;
+            uint32_t v = (code[l] - low[l]) / r;
+            if (v > tot - 1) v = tot - 1;
+            uint32_t c;
+            int s = model.search(cx, v, &c);
+            if (s > 255) s = 255;
+            uint32_t f = model.freq[(size_t)cx * 256 + s];
+            low[l] += c * r;
+            rng[l] = f * r;
+            out[(int64_t)l * K + t] = (uint8_t)s;
+            syms[l] = (uint8_t)s;
+        }
+        for (bool any = true; any; ) {
+            any = false;
+            for (int l = 0; l < N; l++) {
+                if (t >= lane_len[l]) continue;
+                uint32_t lo = low[l], rg = rng[l];
+                bool c1 = ((lo ^ (lo + rg)) < A_TOP), c2 = rg < A_BOT;
+                if (!(c1 || c2)) continue;
+                if (!c1) rng[l] = (0u - lo) & (A_BOT - 1);
+                uint8_t b = body < bend ? *body++ : 0;
+                code[l] = (code[l] << 8) | b;
+                low[l] <<= 8; rng[l] <<= 8;
+                any = true;
+            }
+        }
+        dirty.clear();
+        for (int l = 0; l < N; l++) {
+            if (t >= lane_len[l]) continue;
+            int cx = order ? ctxs[l] : 0;
+            model.add(cx, syms[l], A_INC);
+            if (model.total[cx] > A_MAX_TOTAL) dirty.push_back(cx);
+        }
+        for (int cx : dirty)
+            if (model.total[cx] > A_MAX_TOTAL) model.rescale(cx);
+    }
+    return n;
+}
+
 // Byte offset just past the last newline whose 1-based ordinal is a multiple
 // of `stride` (FASTQ record alignment); 0 if none. memchr = SIMD scan.
 int64_t gxz_stride_boundary(const uint8_t* data, int64_t len, int64_t stride) {
