@@ -165,11 +165,20 @@ def encode(data: bytes | np.ndarray, order: int = 0,
             flush[:, k] = (low >> 24).astype(np.uint8)
             low <<= np.uint32(8)
 
-    # rebuild per-lane byte sequences, then lay out in decoder order
     ev_lane = np.concatenate(ev_lane) if ev_lane else np.zeros(0, np.int64)
     ev_byte = np.concatenate(ev_byte) if ev_byte else np.zeros(0, np.uint8)
+    return bytes(header) + assemble_stream(ev_lane, ev_byte, flush, N)
+
+
+def assemble_stream(ev_lane: np.ndarray, ev_byte: np.ndarray,
+                    flush: np.ndarray, N: int) -> bytes:
+    """Lay the emitted bytes out in DECODER consumption order: 4 initial
+    bytes per lane, then for global event e of lane l its (4+j)-th byte
+    (j = the lane's running event index). Shared by the numpy spec and the
+    JAX twin (ops/arith_jax.py)."""
     n_ev = np.bincount(ev_lane, minlength=N).astype(np.int64)
-    lane_bytes = np.zeros((N, int(n_ev.max()) + 4 if N else 4), dtype=np.uint8)
+    lane_bytes = np.zeros((N, int(n_ev.max() if n_ev.shape[0] else 0) + 4),
+                          dtype=np.uint8)
     # j-th event of lane l -> lane_bytes[l, j]; flush occupies the last 4
     order_in_lane = np.zeros(ev_lane.shape[0], np.int64)
     if ev_lane.shape[0]:
@@ -183,9 +192,8 @@ def encode(data: bytes | np.ndarray, order: int = 0,
     lane_bytes[np.arange(N)[:, None], (n_ev[:, None] + np.arange(4)[None, :])] = flush
 
     out = bytearray(lane_bytes[:, :4].tobytes())   # initial fill, lane-major
-    # event block: global event e of lane l consumes lane_bytes[l, 4+j]
     out += lane_bytes[ev_lane, order_in_lane + 4].tobytes()
-    return bytes(header) + bytes(out)
+    return bytes(out)
 
 
 def decode(buf: bytes | memoryview) -> bytes:

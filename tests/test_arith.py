@@ -46,6 +46,18 @@ def test_native_bit_exact(order):
         assert arith_np.decode(bn) == a.tobytes(), name
 
 
+@pytest.mark.parametrize("order", [0, 1])
+def test_jax_twin_bit_exact(order):
+    from genozip_tpu.ops import arith_jax
+    for name, a in corpora().items():
+        if a.shape[0] > 60000:
+            a = a[:60000]  # keep CPU-jax scan time bounded
+        bj = arith_jax.encode(a, order=order)
+        bp = arith_np.encode(a, order=order)
+        assert bj == bp, f"{name}: jax encode differs from spec"
+        assert arith_jax.decode(bp) == a.tobytes(), name
+
+
 def test_adaptivity_beats_static_on_drifting_stream():
     """A stream whose distribution drifts over time: the adaptive coder must
     beat static-table rANS (the whole point of arith_dynamic)."""
