@@ -458,7 +458,10 @@ class BamDT(SamDT):
         else:
             ctxs["SEQBIN"] = VBCtx("SEQBIN", MODE_TXT, local=seq.data,
                                    cat="seq")
-        ctxs["QUAL"] = VBCtx("QUAL", MODE_TXT, local=qual.data, cat="qual")
+        # QUAL: seq-channel demux + strand normalization (codecs/qual.py);
+        # ascii SEQ recomputed identically at PIZ from reconstructed nibbles
+        qa, _ = self._seq_ascii(seq, l_seq)
+        ctxs["QUAL"] = self._seg_qual_core(qual, qa, flag)
         self._seg_aux_bam(ctxs, aux, predict)
         return VBSegResult(ctxs, n, {})
 
@@ -496,7 +499,8 @@ class BamDT(SamDT):
             seq = ragged.merge_rows(n_rec, parts)
         else:
             seq = pctxs["SEQBIN"].txt_col(seq_bytes)
-        qual = pctxs["QUAL"].txt_col(l_seq)
+        qa, _ = self._seq_ascii(seq, l_seq)
+        qual = self.qual_col_core(pctxs, qa, l_seq, flag)
         if "AUXL" in pctxs:
             predict = None
             if "SQBITMAP" in pctxs:

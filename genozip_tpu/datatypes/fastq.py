@@ -103,9 +103,37 @@ class FastqDT(DataType):
             else:
                 ctxs["NONREF"] = VBCtx("NONREF", MODE_TXT, local=seq.data,
                                        cat="seq")
-            ctxs["QUAL"] = VBCtx("QUAL", MODE_TXT, local=qual.data, cat="qual")
+            ctxs["QUAL"] = self._seg_qual(seq, qual)
         meta = {"no_final_nl": bool(no_final_nl)}
         return VBSegResult(ctxs, n, meta)
+
+    def _seg_qual(self, seq, qual):
+        """QUAL with optional SEQ-derived channel demux (the platform
+        quality codec family, codec_longr/pacb/smux/tmpl/homp.c roles —
+        see codecs/qual.py). The class is chosen once, on the first VB
+        carrying data, and inherited by later VBs (codec.c:210 analog)."""
+        from ..codecs import qual as qualmod
+        cls = getattr(self, "_qdmx", "unset")
+        if cls == "unset":
+            cls = self._qdmx = qualmod.choose_class(seq, qual)
+        if cls:
+            return VBCtx("QUAL", MODE_TXT,
+                         local=qualmod.demux(cls, qual, seq),
+                         cat="qual", special=f"qdmx:{cls}")
+        return VBCtx("QUAL", MODE_TXT, local=qual.data, cat="qual")
+
+    @staticmethod
+    def qual_col(pctxs, seq, lens):
+        """PIZ QUAL column: undo the channel demux (channels recomputed
+        from the already-reconstructed SEQ — zero side data)."""
+        from ..codecs import qual as qualmod
+        pc = pctxs["QUAL"]
+        sp = pc.special or ""
+        if sp.startswith("qdmx:"):
+            data = qualmod.remux(sp.split(":")[1], pc.local, seq, lens)
+            offs = np.concatenate([[0], np.cumsum(lens.astype(np.int64))])
+            return ragged.Col(data, offs)
+        return pc.txt_col(lens)
 
     def _seg_deep(self, ctxs, desc, seq, qual):
         """Deep path (reference parity: fastq_deep.c:680 fastq_deep_seg_SEQ):
@@ -132,7 +160,7 @@ class FastqDT(DataType):
         ctxs["NONREF"] = VBCtx("NONREF", MODE_TXT, local=nonref.data, cat="seq")
         keep_qual = np.nonzero(flag < 2)[0]
         qv = rg.take(qual, keep_qual)
-        ctxs["QUAL"] = VBCtx("QUAL", MODE_TXT, local=qv.data, cat="qual")
+        ctxs["QUAL"] = self._seg_qual(rg.take(seq, keep_qual), qv)
 
     def _recon_deep(self, pctxs, desc, lens):
         from ..utils import ragged as rg
@@ -149,7 +177,7 @@ class FastqDT(DataType):
         nonref = pctxs["NONREF"].txt_col(lens[miss_idx])
         seq = rg.merge_rows(n, [(np.nonzero(hit)[0], hs), (miss_idx, nonref)])
         qkeep_idx = np.nonzero(flag < 2)[0]
-        qv = pctxs["QUAL"].txt_col(lens[qkeep_idx])
+        qv = self.qual_col(pctxs, rg.take(seq, qkeep_idx), lens[qkeep_idx])
         hit2 = np.nonzero(flag == 2)[0]
         hq2 = rg.take(hq, np.nonzero(flag[hit] == 2)[0]) if hit2.shape[0] else hq
         parts = [(qkeep_idx, qv)]
@@ -210,10 +238,10 @@ class FastqDT(DataType):
             seq, qual = self._recon_deep(pctxs, desc, lens)
         elif "SQBITMAP" in pctxs:
             seq = self._recon_seq_aligned(pctxs, lens)
-            qual = pctxs["QUAL"].txt_col(lens)
+            qual = self.qual_col(pctxs, seq, lens)
         else:
             seq = pctxs["NONREF"].txt_col(lens)
-            qual = pctxs["QUAL"].txt_col(lens)
+            qual = self.qual_col(pctxs, seq, lens)
         out = ragged.interleave([desc, seq, plus, qual],
                                 sep_after=[b"\n", b"\n", b"\n", b"\n"])
         raw = out.data.tobytes()

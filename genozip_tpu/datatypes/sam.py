@@ -186,15 +186,15 @@ class SamDT(DataType):
             nonref = ragged.take(seq, np.nonzero(~seq_eq)[0])
             ctxs["NONREF"] = VBCtx("NONREF", MODE_TXT, local=nonref.data,
                                    cat="seq")
-            qleft = ragged.take(qual, np.nonzero(~qual_eq)[0])
-            ctxs["QUAL"] = VBCtx("QUAL", MODE_TXT, local=qleft.data,
-                                 cat="qual")
+            keep = np.nonzero(~qual_eq)[0]
+            ctxs["QUAL"] = self._seg_qual_sam(
+                ragged.take(qual, keep), ragged.take(seq, keep), flag, keep)
         elif ref is not None and len(seq):
             self._seg_seq_vs_ref(ctxs, seq, rname, pos, cigar, ref)
-            ctxs["QUAL"] = VBCtx("QUAL", MODE_TXT, local=qual.data, cat="qual")
+            ctxs["QUAL"] = self._seg_qual_sam(qual, seq, flag)
         else:
             ctxs["NONREF"] = VBCtx("NONREF", MODE_TXT, local=seq.data, cat="seq")
-            ctxs["QUAL"] = VBCtx("QUAL", MODE_TXT, local=qual.data, cat="qual")
+            ctxs["QUAL"] = self._seg_qual_sam(qual, seq, flag)
         ctxs["SQLEN"] = VBCtx("SQLEN", MODE_NUM,
                               local=np.diff(seq.lens, prepend=np.int64(0)),
                               cat="int", param=1)
@@ -215,6 +215,69 @@ class SamDT(DataType):
         gd[bad_rows] = 1
         ctxs["VARIANT"] = VBCtx("VARIANT", MODE_NUM, local=gd, cat="int")
         return VBSegResult(ctxs, n, {"no_final_nl": no_final_nl})
+
+    def _seg_qual_core(self, qual, seq, flags_v):
+        """QUAL with optional machine-orientation normalization
+        (codec_normq.c role: reverse revcomped rows so strand-symmetric
+        cycle/context channels align) + SEQ-channel demux (the platform
+        quality codec family, codecs/qual.py). flags_v: per-qual-row int
+        FLAGs or None."""
+        from ..codecs import qual as qualmod
+        rev = None
+        if flags_v is not None:
+            r = (flags_v & 0x10) != 0
+            if r.any():
+                rev = r
+        qm = qualmod.orient(qual, rev) if rev is not None else qual
+        sm = qualmod.orient(seq, rev, comp=True) if rev is not None else seq
+        cls = getattr(self, "_qdmx", "unset")
+        if cls == "unset":
+            cls = self._qdmx = qualmod.choose_class(sm, qm)
+        if cls:
+            sp = f"qdmx:{cls}:rev" if rev is not None else f"qdmx:{cls}"
+            return VBCtx("QUAL", MODE_TXT, local=qualmod.demux(cls, qm, sm),
+                         cat="qual", special=sp)
+        if rev is not None:
+            return VBCtx("QUAL", MODE_TXT, local=qm.data, cat="qual",
+                         special="qdmx::rev")
+        return VBCtx("QUAL", MODE_TXT, local=qual.data, cat="qual")
+
+    @staticmethod
+    def qual_col_core(pctxs, seq, lens, flags_v):
+        """PIZ QUAL: undo demux (channels from reconstructed SEQ) and the
+        strand normalization (flags reconstruct before QUAL)."""
+        from ..codecs import qual as qualmod
+        pc = pctxs["QUAL"]
+        sp = pc.special or ""
+        if not sp.startswith("qdmx:"):
+            return pc.txt_col(lens)
+        parts = sp.split(":")
+        cls, revd = parts[1], len(parts) > 2 and parts[2] == "rev"
+        rev = ((flags_v & 0x10) != 0) if revd else None
+        sm = qualmod.orient(seq, rev, comp=True) if rev is not None else seq
+        offs = np.concatenate([[0], np.cumsum(lens.astype(np.int64))])
+        data = qualmod.remux(cls, pc.local, sm, lens) if cls else pc.local
+        qm = Col(data, offs)
+        return qualmod.orient(qm, rev) if rev is not None else qm
+
+    def _seg_qual_sam(self, qual, seq, flag, subset=None):
+        """Text-FLAG wrapper: `subset` = row indices into the VB's flag
+        column when qual covers only some rows (SAG path)."""
+        flags_v, fok = ragged.atoi(flag)
+        fv = None
+        if fok.all() and len(flag):
+            fv = flags_v if subset is None else flags_v[subset]
+        return self._seg_qual_core(qual, seq, fv)
+
+    @staticmethod
+    def qual_col_sam(pctxs, seq, lens, flag, subset=None):
+        pc = pctxs["QUAL"]
+        sp = pc.special or ""
+        fv = None
+        if sp.endswith(":rev"):
+            flags_v, _ = ragged.atoi(flag)
+            fv = flags_v if subset is None else flags_v[subset]
+        return SamDT.qual_col_core(pctxs, seq, lens, fv)
 
     # CIGAR op classification (SAMv1): which ops consume read / reference
     _READ_OPS = frozenset(b"MIS=X")
@@ -901,20 +964,19 @@ class SamDT(DataType):
                      ragged.take(pred_seq, np.nonzero(seq_eq)[0])),
                     (np.nonzero(~seq_eq)[0],
                      ragged.take(nonref, np.nonzero(~seq_eq)[0]))])
-                ql_lens = np.where(qual_eq, 0, qllens)
-                qleft = Col(pctxs["QUAL"].local,
-                            np.concatenate([[0], np.cumsum(ql_lens)]))
+                keep = np.nonzero(~qual_eq)[0]
+                qleft = self.qual_col_sam(pctxs, ragged.take(seq, keep),
+                                          qllens[keep], flag, keep)
                 qual = ragged.merge_rows(ng, [
                     (np.nonzero(qual_eq)[0],
                      ragged.take(pred_qual, np.nonzero(qual_eq)[0])),
-                    (np.nonzero(~qual_eq)[0],
-                     ragged.take(qleft, np.nonzero(~qual_eq)[0]))])
+                    (keep, qleft)])
             elif "SQBITMAP" in pctxs:
                 seq = self._recon_seq_vs_ref(pctxs, sqlens, pos, rname, cigar)
-                qual = pctxs["QUAL"].txt_col(qllens)
+                qual = self.qual_col_sam(pctxs, seq, qllens, flag)
             else:
                 seq = pctxs["NONREF"].txt_col(sqlens)
-                qual = pctxs["QUAL"].txt_col(qllens)
+                qual = self.qual_col_sam(pctxs, seq, qllens, flag)
             if "AUXL" in pctxs:
                 predict = None
                 if "SQBITMAP" in pctxs:

@@ -1,0 +1,120 @@
+"""Platform quality codec family (reference parity: codec_longr.c,
+codec_pacb.c, codec_smux.c, codec_tmpl.c, codec_homp.c, codec_normq.c —
+redesigned as SEQ-derived channel demux, codecs/qual.py)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from genozip_tpu.utils import ragged
+from genozip_tpu.utils.ragged import Col
+from genozip_tpu.codecs import qual as qualmod
+from genozip_tpu.codecs import compress, RANS1, ARITH1
+from genozip_tpu.zip_pipeline import zip_file
+from genozip_tpu.piz_pipeline import piz_file
+
+RNG = np.random.default_rng(17)
+ACGT = np.frombuffer(b"ACGT", np.uint8)
+
+
+def synth_longread(n=3000, L=300):
+    """Nanopore-like: QUAL correlated with position ramp + homopolymer
+    interiors + noise."""
+    seqs, quals = [], []
+    for _ in range(n):
+        seq = RNG.choice(ACGT, L)
+        for _ in range(6):
+            p = RNG.integers(0, L - 10)
+            seq[p:p + RNG.integers(3, 9)] = seq[p]
+        pos = np.arange(L)
+        q = 20 + 14 * np.sin(np.minimum(pos, L - 1 - pos) / L * np.pi)
+        hp = np.zeros(L)
+        hp[1:] = seq[1:] == seq[:-1]
+        q = np.clip(q - 8 * hp + RNG.normal(0, 2.5, L), 2, 40)
+        seqs.append(seq.tobytes())
+        quals.append((q.astype(np.uint8) + 33).tobytes())
+    return Col.from_list(seqs), Col.from_list(quals)
+
+
+def test_demux_remux_all_classes():
+    seq, qual = synth_longread(400, 150)
+    for cls in qualmod.CLASSES:
+        g = qualmod.demux(cls, qual, seq)
+        back = qualmod.remux(cls, g, seq, qual.lens)
+        assert (back == qual.data).all(), cls
+
+
+def test_demux_handles_seq_qual_len_mismatch():
+    """SAM '*' SEQ rows: channels fall back to 'N' sequence."""
+    seq = Col.from_list([b"ACGTACGT", b"*", b"GGGGCCCC"])
+    qual = Col.from_list([b"IIIIFFFF", b"JJJ", b"::::####"])
+    for cls in qualmod.CLASSES:
+        g = qualmod.demux(cls, qual, seq)
+        assert (qualmod.remux(cls, g, seq, qual.lens) == qual.data).all()
+
+
+def test_orient_involutive():
+    col = Col.from_list([b"ACGTT", b"GG", b"", b"TTTA"])
+    rev = np.array([True, False, True, True])
+    out = qualmod.orient(qualmod.orient(col, rev, comp=True), rev, comp=True)
+    assert (out.data == col.data).all()
+    one = qualmod.orient(col, rev, comp=True)
+    assert one.row(0) == b"AACGT"  # revcomp of ACGTT
+    assert one.row(1) == b"GG"
+
+
+def test_qual_ratio_win_on_realistic_corpus():
+    """VERDICT round-1 'done' bar: >=15% QUAL ratio win on a realistic
+    (position+context-correlated) corpus vs plain order-1 coding."""
+    seq, qual = synth_longread()
+    base = len(compress(qual.data.tobytes(), RANS1))
+    cls = qualmod.choose_class(seq, qual)
+    assert cls is not None
+    g = qualmod.demux(cls, qual, seq).tobytes()
+    best = min(len(compress(g, RANS1)), len(compress(g, ARITH1)))
+    assert best < base * 0.85, (cls, best, base)
+
+
+def test_choose_class_declines_uniform_qual():
+    seq = Col.from_list([RNG.choice(ACGT, 100).tobytes() for _ in range(200)])
+    qual = Col.from_list([RNG.integers(35, 74, 100).astype(np.uint8).tobytes()
+                          for _ in range(200)])
+    assert qualmod.choose_class(seq, qual) is None
+
+
+def test_fastq_roundtrip_with_demux(tmp_path):
+    seq, qual = synth_longread(2000, 200)
+    rows = []
+    for i in range(len(seq)):
+        rows.append(b"@r%d\n%s\n+\n%s\n" % (i, seq.row(i), qual.row(i)))
+    data = b"".join(rows)
+    src = os.path.join(str(tmp_path), "lr.fastq")
+    open(src, "wb").write(data)
+    z = src + ".gxz"
+    zip_file(src, z)
+    piz_file(z, src + ".out")
+    assert open(src + ".out", "rb").read() == data
+    # the demux must actually engage on this corpus
+    from genozip_tpu.piz_pipeline import PizReader
+    pr = PizReader(z)
+    vb_hdr = pr.load_vb(1)[0]
+    assert (vb_hdr["ctxs"]["QUAL"].get("special") or "").startswith("qdmx:")
+    pr.close()
+
+
+def test_sam_roundtrip_strand_normalized(tmp_path):
+    """Reverse-flag reads (codec_normq.c role): byte-exact with rev rows."""
+    rows = [b"@HD\tVN:1.6\n@SQ\tSN:c1\tLN:99999\n"]
+    seq, qual = synth_longread(800, 120)
+    for i in range(len(seq)):
+        fl = 16 if i % 3 == 0 else 0
+        rows.append(b"r%d\t%d\tc1\t%d\t60\t120M\t*\t0\t0\t%s\t%s\n"
+                    % (i, fl, 100 + i, seq.row(i), qual.row(i)))
+    data = b"".join(rows)
+    src = os.path.join(str(tmp_path), "rev.sam")
+    open(src, "wb").write(data)
+    z = src + ".gxz"
+    zip_file(src, z)
+    piz_file(z, src + ".out")
+    assert open(src + ".out", "rb").read() == data
