@@ -206,7 +206,7 @@ class SamDT(DataType):
             predict = self._predict_from_ctxs(
                 ctxs["SQBITMAP"].local.astype(bool), ctxs["SEQNM"].local,
                 ctxs["SEQMISP"].local, cigar, pos, rname, ref)
-        self._seg_aux(ctxs, aux, predict)
+        self._seg_aux(ctxs, aux, predict, qual=qual, seq=seq)
 
         if bad_rows.shape[0]:
             uw, inv = dedup_col(ragged.take(lines, bad_rows))
@@ -662,13 +662,36 @@ class SamDT(DataType):
     def _tag_name(b0, b1, b3):
         return "AX" + chr(b0) + chr(b1) + chr(b3)
 
-    def _seg_aux(self, ctxs, aux, predict=None):
+    @staticmethod
+    def _hp_run_structure(seq_rows):
+        """Per-row homopolymer run structure of a seq Col: returns
+        (run_lens flat int64, runs_per_row int64) — runs never cross rows.
+        Identical at ZIP and PIZ (recomputed from reconstructed SEQ)."""
+        data, lens = seq_rows.data, seq_rows.lens
+        total = data.shape[0]
+        if total == 0:
+            return np.zeros(0, np.int64), np.zeros(len(seq_rows), np.int64)
+        row = np.repeat(np.arange(len(seq_rows), dtype=np.int64), lens)
+        start = np.zeros(total, bool)
+        start[seq_rows.offsets[:-1][lens > 0]] = True
+        change = np.ones(total, bool)
+        change[1:] = data[1:] != data[:-1]
+        change |= start
+        starts = np.nonzero(change)[0]
+        run_lens = np.diff(np.concatenate([starts, [total]]))
+        runs_per_row = np.bincount(row[starts], minlength=len(seq_rows))
+        return run_lens.astype(np.int64), runs_per_row.astype(np.int64)
+
+    def _seg_aux(self, ctxs, aux, predict=None, qual=None, seq=None):
         """Per-tag AUX contexts (reference src/sam_fields.c: one context per
         aux tag keyed by DictId). Layout word per row = concatenated 4-byte
         'TG:t' prefixes (AUXL dict); per tag one value context AX<TG><t>.
         With `predict` (from the SEQ-vs-ref walk): NM:i stored as
         delta-vs-predicted (param=4, reference src/sam_nm.c) and MD:Z as an
-        OK bitmap + literal exceptions (reference src/sam_md.c)."""
+        OK bitmap + literal exceptions (reference src/sam_md.c). With
+        `qual`: OQ:Z stored as byte-delta vs QUAL (src/codec_oq.c role);
+        with `seq`: T0:Z condensed to one byte per SEQ homopolymer run
+        (src/codec_t0.c role — run structure recomputed at PIZ)."""
         n = len(aux)
         data = aux.data
         fs, fe, frow, row_ok = self._aux_fields(aux)
@@ -728,6 +751,73 @@ class SamDT(DataType):
                             ctxs[name] = VBCtx(name, MODE_NUM, local=iv,
                                                cat="int", param=0)
                     continue
+            if qual is not None and (b0, b1, b3) == (ord("O"), ord("Q"),
+                                                     ord("Z")):
+                # OQ:Z = original (pre-BQSR) quals: byte-delta vs QUAL
+                # (src/codec_oq.c role); per-row fit bitmap, literal misfits
+                pred = ragged.take(qual, rows_t)
+                fit = vals.lens == pred.lens
+                if fit.mean() > 0.5:
+                    ctxs[name + "Q"] = VBCtx(name + "Q", MODE_NUM,
+                                             local=fit.astype(np.int64),
+                                             cat="int")
+                    a = ragged.take(vals, np.nonzero(fit)[0])
+                    b = ragged.take(pred, np.nonzero(fit)[0])
+                    ctxs[name] = VBCtx(name, MODE_TXT,
+                                       local=(a.data - b.data), cat="qual")
+                    if (~fit).any():
+                        exc = ragged.take(vals, np.nonzero(~fit)[0])
+                        ctxs.update(tokenizer_seg_col(name + "X", exc,
+                                                      single_stream=True))
+                    continue
+            if seq is not None and (b0, b1, b3) == (ord("t"), ord("0"),
+                                                    ord("Z")):
+                # T0:Z constant within SEQ homopolymer runs: one byte per
+                # run (src/codec_t0.c role); per-row fit bitmap
+                seq_t = ragged.take(seq, rows_t)
+                run_lens, runs_per_row = self._hp_run_structure(seq_t)
+                fit = vals.lens == seq_t.lens
+                if fit.any():
+                    first = np.concatenate(
+                        [[0], np.cumsum(run_lens)])[:-1]
+                    # map run firsts into vals coordinates per fit row,
+                    # then verify repeat(first-bytes) reproduces vals
+                    vo = vals.offsets[:-1]
+                    so = seq_t.offsets[:-1]
+                    # byte i of row r: vals byte at vo[r]+ (pos in row)
+                    # run first byte position within row = first - so[row]
+                    run_row = np.repeat(np.arange(len(seq_t)),
+                                        runs_per_row)
+                    fpos = first - so[run_row]
+                    cond_bytes = np.zeros(run_lens.shape[0], np.uint8)
+                    okrun = fit[run_row]
+                    cond_bytes[okrun] = vals.data[
+                        (vo[run_row] + fpos)[okrun]]
+                    rebuilt = np.repeat(cond_bytes, run_lens)
+                    # compare only bytes of fit rows
+                    byte_row = np.repeat(np.arange(len(seq_t)), seq_t.lens)
+                    bm = fit[byte_row]
+                    vb_bytes = np.zeros(seq_t.data.shape[0], np.uint8)
+                    pos_in = np.arange(seq_t.data.shape[0]) - so[byte_row]
+                    vb_bytes[bm] = vals.data[(vo[byte_row] + pos_in)[bm]]
+                    mism = np.zeros(len(seq_t), bool)
+                    bad_b = bm & (rebuilt != vb_bytes)
+                    mism[byte_row[bad_b]] = True
+                    expanded_ok = fit & ~mism
+                    if expanded_ok.mean() > 0.5:
+                        ctxs[name + "H"] = VBCtx(name + "H", MODE_NUM,
+                                                 local=expanded_ok.astype(np.int64),
+                                                 cat="int")
+                        keep_runs = expanded_ok[run_row]
+                        ctxs[name] = VBCtx(name, MODE_TXT,
+                                           local=cond_bytes[keep_runs],
+                                           cat="qual")
+                        if (~expanded_ok).any():
+                            exc = ragged.take(vals,
+                                              np.nonzero(~expanded_ok)[0])
+                            ctxs.update(tokenizer_seg_col(
+                                name + "X", exc, single_stream=True))
+                        continue
             if md_col is not None and (b0, b1, b3) == (ord("M"), ord("D"),
                                                        ord("Z")):
                 pred_vals = ragged.take(md_col, rows_t)
@@ -750,7 +840,7 @@ class SamDT(DataType):
                 continue
             ctxs.update(tokenizer_seg_col(name, vals, single_stream=True))
 
-    def _recon_aux(self, pctxs, n, predict=None):
+    def _recon_aux(self, pctxs, n, predict=None, qual=None, seq=None):
         """Rebuild the AUX remainder (leading-\\t convention) from AUXL
         layout + per-tag contexts."""
         layout = pctxs["AUXL"].dict_take()
@@ -778,6 +868,46 @@ class SamDT(DataType):
                 name = self._tag_name(b0, b1, b3)
                 rows_t = field_row[idx]
                 pc = pctxs.get(name)
+                if name + "Q" in pctxs and qual is not None:
+                    # OQ:Z byte-delta vs QUAL (src/codec_oq.c role)
+                    fit = pctxs[name + "Q"].nums().astype(bool)
+                    pred = ragged.take(qual, rows_t)
+                    fl = np.where(fit, pred.lens, 0)
+                    diff = Col(pc.local,
+                               np.concatenate([[0], np.cumsum(fl)]))
+                    a = ragged.take(pred, np.nonzero(fit)[0])
+                    d = ragged.take(diff, np.nonzero(fit)[0])
+                    okcol = Col((a.data + d.data).astype(np.uint8), a.offsets)
+                    sub = [(np.nonzero(fit)[0], okcol)]
+                    if (~fit).any():
+                        exc = tokenizer_recon_col(name + "X", pctxs,
+                                                  int((~fit).sum()))
+                        sub.append((np.nonzero(~fit)[0], exc))
+                    parts.append((idx, ragged.merge_rows(idx.shape[0], sub)))
+                    continue
+                if name + "H" in pctxs and seq is not None:
+                    # T0:Z expanded from one byte per SEQ homopolymer run
+                    # (src/codec_t0.c role)
+                    ok = pctxs[name + "H"].nums().astype(bool)
+                    seq_t = ragged.take(seq, rows_t)
+                    run_lens, runs_per_row = self._hp_run_structure(seq_t)
+                    run_row = np.repeat(np.arange(len(seq_t)), runs_per_row)
+                    keep = ok[run_row]
+                    cond_bytes = np.zeros(run_lens.shape[0], np.uint8)
+                    cond_bytes[keep] = pc.local[: int(keep.sum())]
+                    rl = np.where(keep, run_lens, 0)
+                    expanded = np.repeat(cond_bytes, rl)
+                    row_lens = np.where(ok, seq_t.lens, 0)
+                    okcol = Col(expanded,
+                                np.concatenate([[0], np.cumsum(row_lens)]))
+                    sub = [(np.nonzero(ok)[0],
+                            ragged.take(okcol, np.nonzero(ok)[0]))]
+                    if (~ok).any():
+                        exc = tokenizer_recon_col(name + "X", pctxs,
+                                                  int((~ok).sum()))
+                        sub.append((np.nonzero(~ok)[0], exc))
+                    parts.append((idx, ragged.merge_rows(idx.shape[0], sub)))
+                    continue
                 if name + "K" in pctxs:
                     okf = pctxs[name + "K"].nums().astype(bool)
                     pred_vals = ragged.take(md_col, rows_t)
@@ -986,7 +1116,7 @@ class SamDT(DataType):
                         pctxs["SQBITMAP"].nums().astype(bool),
                         pctxs["SEQNM"].nums(), pctxs["SEQMISP"].nums(),
                         cigar, pos, rname, ref)
-                aux = self._recon_aux(pctxs, ng, predict)
+                aux = self._recon_aux(pctxs, ng, predict, qual=qual, seq=seq)
             else:
                 aux = tokenizer_recon_col("AUX", pctxs, ng)
             t = b"\t"

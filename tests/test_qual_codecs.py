@@ -103,6 +103,48 @@ def test_fastq_roundtrip_with_demux(tmp_path):
     pr.close()
 
 
+def test_sam_oq_t0_tags(tmp_path):
+    """OQ:Z as byte-delta vs QUAL (codec_oq.c role) and T0:Z condensed per
+    SEQ homopolymer run (codec_t0.c role), with misfitting exceptions."""
+    rows = [b"@HD\tVN:1.6\n@SQ\tSN:c1\tLN:99999\n"]
+    for i in range(400):
+        L = 80
+        seq = RNG.choice(ACGT, L)
+        for _ in range(4):
+            p = RNG.integers(0, L - 8)
+            seq[p:p + RNG.integers(3, 7)] = seq[p]
+        qual = RNG.integers(30, 40, L).astype(np.uint8) + 33
+        oq = (qual + RNG.integers(-2, 3, L)).astype(np.uint8)
+        runs = np.ones(L, bool)
+        runs[1:] = seq[1:] != seq[:-1]
+        rid = np.cumsum(runs) - 1
+        t0 = RNG.choice(np.frombuffer(b"ABCDE", np.uint8),
+                        int(rid[-1]) + 1)[rid]
+        if i % 7 == 0:   # misfit T0 (wrong length) must fall to exceptions
+            rows.append(b"q%d\t0\tc1\t%d\t60\t%dM\t*\t0\t0\t%s\t%s\t"
+                        b"OQ:Z:%s\tt0:Z:XYZ\n"
+                        % (i, 100 + i, L, seq.tobytes(), qual.tobytes(),
+                           oq.tobytes()))
+        else:
+            rows.append(b"q%d\t0\tc1\t%d\t60\t%dM\t*\t0\t0\t%s\t%s\t"
+                        b"OQ:Z:%s\tt0:Z:%s\n"
+                        % (i, 100 + i, L, seq.tobytes(), qual.tobytes(),
+                           oq.tobytes(), t0.tobytes()))
+    data = b"".join(rows)
+    src = os.path.join(str(tmp_path), "oqt0.sam")
+    open(src, "wb").write(data)
+    z = src + ".gxz"
+    zip_file(src, z)
+    piz_file(z, src + ".out")
+    assert open(src + ".out", "rb").read() == data
+    from genozip_tpu.piz_pipeline import PizReader
+    pr = PizReader(z)
+    hdr = pr.load_vb(1)[0]
+    assert "AXOQZQ" in hdr["ctxs"], "OQ diff-vs-QUAL must engage"
+    assert "AXt0ZH" in hdr["ctxs"], "T0 HP condensation must engage"
+    pr.close()
+
+
 def test_sam_roundtrip_strand_normalized(tmp_path):
     """Reverse-flag reads (codec_normq.c role): byte-exact with rev rows."""
     rows = [b"@HD\tVN:1.6\n@SQ\tSN:c1\tLN:99999\n"]
