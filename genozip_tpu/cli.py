@@ -39,6 +39,10 @@ def build_parser():
     z.add_argument("--mesh", type=int, default=None,
                    help="shard the aligner (genome+refhash over 'mp', reads "
                         "over 'dp') across N devices")
+    z.add_argument("--dp", type=int, default=None,
+                   help="VBs data-parallel over N devices: section payloads "
+                        "encoded by one dp-sharded kernel; archive bytes "
+                        "identical to the single-host path")
 
     z.add_argument("--make-reference", action="store_true",
                    help="compress a FASTA into a .ref.gxz reference")
@@ -166,7 +170,7 @@ def main(argv=None):
                              show_stats=args.stats, reference=args.reference,
                              password=args.password, use_md5=args.md5,
                              bamass=args.bamass, truncate=args.truncate,
-                             mesh=args.mesh)
+                             mesh=args.mesh, dp=args.dp)
         if args.test:
             from .piz_pipeline import piz_file
             piz_file(out, None, reference=args.reference,

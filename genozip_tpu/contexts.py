@@ -137,46 +137,113 @@ def dedup_col(col: Col):
     return Col.from_list(uw), inv
 
 
+def _col_hashes(col: Col) -> np.ndarray:
+    """64-bit row hashes (native one-pass when available)."""
+    from . import native
+    if native.available() and len(col):
+        return native.row_hash(col.data, col.offsets)
+    n = len(col)
+    h = np.zeros(n, np.uint64)
+    for i in range(n):   # tiny dicts only (no native lib)
+        h[i] = np.uint64(hash(col.row(i)) & 0xFFFFFFFFFFFFFFFF)
+    return h
+
+
 class ZCtxGlobal:
     """ZIP-side global (z_file) context: global dict + committed codecs.
     Merge is deterministic because VBs merge in VB order (cf. the reference's
-    vb1-first merge mutexes, src/context.c:938)."""
+    vb1-first merge mutexes, src/context.c:938). The merge itself is
+    vectorized: sorted-hash membership (searchsorted) + batched append —
+    the same ordered-reduction shape as the multi-chip collective merge
+    (parallel/zip_sharded.py)."""
 
     def __init__(self, name):
         self.name = name
-        self.word2idx = {}
-        self.words = []
-        self.counts = []
+        self.words_data = np.zeros(0, np.uint8)   # concatenated word bytes
+        self.words_off = np.zeros(1, np.int64)
+        self.counts = np.zeros(0, np.int64)
+        self._hash_sorted = np.zeros(0, np.uint64)  # sorted global hashes
+        self._hash_idx = np.zeros(0, np.int64)      # global idx per sorted hash
         self.b250_codec = None
         self.local_codec = None
         self.total_b250_comp = 0
         self.total_local_comp = 0
         self.total_txt = 0
 
+    def __len__(self):
+        return self.words_off.shape[0] - 1
+
+    @property
+    def words(self) -> Col:
+        return Col(self.words_data, self.words_off)
+
+    def word(self, i: int) -> bytes:
+        return bytes(self.words_data[self.words_off[i]:self.words_off[i + 1]])
+
     def merge_words(self, vb_words: Col, vb_counts=None):
-        """Map VB-local unique words to global indices, appending new ones.
-        Returns int64 lut: vb-local idx -> global idx."""
+        """Map VB-local unique words to global indices, appending new ones
+        in VB-local first-seen order. Returns int64 lut. Vectorized:
+        hash membership against the sorted global hash set, byte-verify
+        the hits, batch-append the misses. (64-bit hash collisions between
+        DIFFERENT words would mis-share an index; the byte verification
+        catches the global-vs-local case, and within a VB dedup_col already
+        guarantees distinct rows, whose hashes collide with probability
+        ~2^-64 — detected there and exact-fallback'd.)"""
         k = len(vb_words)
         lut = np.empty(k, dtype=np.int64)
-        w2i = self.word2idx
-        for j in range(k):
-            w = vb_words.row(j)
-            gi = w2i.get(w)
-            if gi is None:
-                gi = len(self.words)
-                w2i[w] = gi
-                self.words.append(w)
-                self.counts.append(0)
-            lut[j] = gi
-            if vb_counts is not None:
-                self.counts[gi] += int(vb_counts[j])
+        if k == 0:
+            return lut
+        h = _col_hashes(vb_words)
+        pos = np.searchsorted(self._hash_sorted, h)
+        inb = pos < self._hash_sorted.shape[0]
+        hit = np.zeros(k, bool)
+        hit[inb] = self._hash_sorted[pos[inb]] == h[inb]
+        if hit.any():
+            gidx = self._hash_idx[pos[hit]]
+            # byte-verify hits (hash collision -> treat as new word)
+            gl = self.words_off[gidx + 1] - self.words_off[gidx]
+            vl = vb_words.lens[hit]
+            ok = gl == vl
+            if ok.any():
+                hi = np.nonzero(hit)[0]
+                sub = ragged.take(vb_words, hi[ok])
+                starts = self.words_off[gidx[ok]]
+                gbytes = ragged.gather_ranges(self.words_data, starts,
+                                              gl[ok])
+                same = np.ones(int(ok.sum()), bool)
+                neq = np.nonzero(sub.data != gbytes.data)[0]
+                if neq.shape[0]:
+                    rows = np.unique(np.searchsorted(sub.offsets[1:], neq,
+                                                     side="right"))
+                    same[rows] = False
+                ok[np.nonzero(ok)[0]] = same
+            hi = np.nonzero(hit)[0]
+            hit[hi[~ok]] = False
+            lut[hit] = self._hash_idx[pos[hit]]
+        new = np.nonzero(~hit)[0]
+        if new.shape[0]:
+            base = len(self)
+            lut[new] = base + np.arange(new.shape[0])
+            nw = ragged.take(vb_words, new)
+            self.words_data = np.concatenate([self.words_data, nw.data])
+            self.words_off = np.concatenate(
+                [self.words_off, self.words_off[-1] + np.cumsum(nw.lens)])
+            self.counts = np.concatenate(
+                [self.counts, np.zeros(new.shape[0], np.int64)])
+            order = np.argsort(np.concatenate([self._hash_sorted, h[new]]),
+                               kind="stable")
+            allh = np.concatenate([self._hash_sorted, h[new]])
+            alli = np.concatenate([self._hash_idx, lut[new]])
+            self._hash_sorted = allh[order]
+            self._hash_idx = alli[order]
+        if vb_counts is not None:
+            np.add.at(self.counts, lut, np.asarray(vb_counts, np.int64))
         return lut
 
     def dict_payload(self) -> bytes:
-        lens = np.fromiter((len(w) for w in self.words), dtype=np.int64,
-                           count=len(self.words))
-        head = len(self.words).to_bytes(4, "little") + lens.astype("<u4").tobytes()
-        return head + b"".join(self.words)
+        lens = np.diff(self.words_off)
+        head = len(self).to_bytes(4, "little") + lens.astype("<u4").tobytes()
+        return head + self.words_data.tobytes()
 
 
 def parse_dict_payload(payload: bytes) -> Col:

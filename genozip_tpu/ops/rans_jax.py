@@ -182,6 +182,64 @@ def _decode_device(words_u16, tab, tab2, cum_row, K: int, N: int, n: int,
     return flat
 
 
+@partial(jax.jit, static_argnames=("order", "Kmax", "N"))
+def _encode_device_dyn(data_u8, n, tab, tab2, Kmax: int, N: int, order: int):
+    """Dynamic-length encode: like _encode_device but the symbol count n is
+    a TRACED scalar (shapes fixed by the Kmax bucket), so a batch of
+    different-sized payloads can share one compiled kernel (the dp-sharded
+    ZIP step, parallel/zip_sharded.py). Bit-exact with rans_np.encode for
+    the true n: the lane-chunk layout uses Kc=ceil(n/N) and steps
+    t >= lane_len are fully masked."""
+    Kc = (n + N - 1) // N                       # traced chunk length <= Kmax
+    t_i = jax.lax.broadcasted_iota(jnp.int32, (Kmax, N), 0)
+    l_i = jax.lax.broadcasted_iota(jnp.int32, (Kmax, N), 1)
+    gidx = l_i * Kc + t_i
+    m = jnp.where(gidx < n, data_u8[jnp.clip(gidx, 0, data_u8.shape[0] - 1)],
+                  0).astype(jnp.uint32)
+    lane_len = jnp.clip(n - l_i * Kc, 0, Kc)
+    active = t_i < lane_len
+    if order == 1:
+        pidx = gidx - 1
+        ctx_m = jnp.where((t_i >= 1) & (gidx - 1 >= 0),
+                          data_u8[jnp.clip(pidx, 0, data_u8.shape[0] - 1)],
+                          0).astype(jnp.uint32)
+    else:
+        ctx_m = jnp.zeros((Kmax, N), jnp.uint32)
+
+    x0 = jnp.full((N,), RANS_L, dtype=jnp.uint32)
+
+    def step(x, inp):
+        s, act, cc = inp
+        if order == 1:
+            oh_c = (cc[:, None] == _iota2(1, 256, 1).astype(jnp.uint32)).astype(jnp.float32)
+            rows = jnp.dot(oh_c, tab2, preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST)
+            f, c, _ = _onehot_fc2(s, rows[:, :256], rows[:, 256:])
+        else:
+            f, c, _ = _onehot_fc(s, tab)
+        f = jnp.where(act, f, 1)
+        emit = act & ((x >> 20) >= f)
+        word = (x & 0xFFFF).astype(jnp.uint16)
+        x = jnp.where(emit, x >> 16, x)
+        q = x // f
+        x = jnp.where(act, (q << SCALE_BITS) + (x - q * f) + c, x)
+        return x, (word, emit)
+
+    x_final, (words, emits) = jax.lax.scan(step, x0, (m, active, ctx_m),
+                                           reverse=True)
+    flat_w = words.reshape(-1)
+    flat_e = emits.reshape(-1)
+    pos = jnp.cumsum(flat_e) - 1
+    total = 2 * N + (pos[-1] + 1)
+    out = jnp.zeros((2 * N + Kmax * N,), dtype=jnp.uint16)
+    st = jnp.stack([(x_final >> 16).astype(jnp.uint16),
+                    (x_final & 0xFFFF).astype(jnp.uint16)], axis=1).reshape(-1)
+    out = out.at[:2 * N].set(st)
+    idx = jnp.where(flat_e, 2 * N + pos, out.shape[0])
+    out = out.at[idx].set(flat_w, mode="drop")
+    return out, total
+
+
 # ---------------------------------------------------------------------------
 # host wrappers producing/consuming the exact rans_np stream format
 # ---------------------------------------------------------------------------

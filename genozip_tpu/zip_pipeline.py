@@ -56,7 +56,16 @@ class ZipJob:
                  collect=False):
         """Write one VB's sections. pair_payloads: comp-0 payload map for
         pair-identical dropping. collect=True returns {name: payload} map."""
-        zw, stats = self.zw, self.stats
+        built = self.build_vb(res, data, vb_i, comp_i, pair_payloads, collect)
+        self.flush_vb(built)
+        return built["out_payloads"]
+
+    def build_vb(self, res, data, vb_i, comp_i, pair_payloads=None,
+                 collect=False):
+        """Phase 1: dict merge (VB order = determinism) + section planning.
+        No compression happens here, so a dp batch of built VBs can route
+        their payloads through ONE sharded device kernel before flushing
+        (parallel/zip_sharded.ShardedZipEncoder)."""
         out_payloads = {} if collect else None
         ctx_meta = {}
 
@@ -122,18 +131,32 @@ class ZipJob:
                                     FLAG_DELTA if c.param == 1 else 0,
                                     len(payload)))
 
-        # batched device encoding: one kernel launch for the VB's big order-0
-        # payloads (amortizes per-call dispatch/transfer overhead)
-        precomp = {}
-        bmin = codecs.device_batch_min()
-        if bmin:
-            for order, cid in ((0, codecs.RANS0), (1, codecs.RANS1)):
-                batch_idx = [i for i, e in enumerate(pending)
-                             if e[3] == cid and len(e[2]) >= bmin]
-                if batch_idx:
-                    blobs = codecs.compress_many_rans(
-                        [pending[i][2] for i in batch_idx], order)
-                    precomp.update(zip(batch_idx, blobs))
+        vb_hdr = {"n": res.num_lines, "len": int(data.shape[0]),
+                  "adler": zlib.adler32(data), "ctxs": ctx_meta,
+                  "meta": res.meta}
+        return {"pending": pending, "vb_hdr": vb_hdr, "vb_i": vb_i,
+                "comp_i": comp_i, "data_len": int(data.shape[0]),
+                "num_lines": res.num_lines, "out_payloads": out_payloads}
+
+    def flush_vb(self, built, precomp=None):
+        """Phase 2: compress (host, or take dp-batch precompressed blobs)
+        and write the VB's sections + header."""
+        zw, stats = self.zw, self.stats
+        pending = built["pending"]
+        vb_i, comp_i = built["vb_i"], built["comp_i"]
+        if precomp is None:
+            # batched device encoding: one kernel launch for the VB's big
+            # order-0 payloads (amortizes dispatch/transfer overhead)
+            precomp = {}
+            bmin = codecs.device_batch_min()
+            if bmin:
+                for order, cid in ((0, codecs.RANS0), (1, codecs.RANS1)):
+                    batch_idx = [i for i, e in enumerate(pending)
+                                 if e[3] == cid and len(e[2]) >= bmin]
+                    if batch_idx:
+                        blobs = codecs.compress_many_rans(
+                            [pending[i][2] for i in batch_idx], order)
+                        precomp.update(zip(batch_idx, blobs))
 
         for i, (sec, name, payload, codec, ltype, flags, units) in \
                 enumerate(pending):
@@ -144,15 +167,11 @@ class ZipJob:
                 precompressed=pc, uncomp_len=len(payload) if pc else None)
             stats.add_section(name, units, zw.offset - ent.offset)
 
-        vb_adler = zlib.adler32(data)
-        vb_hdr = {"n": res.num_lines, "len": int(data.shape[0]),
-                  "adler": vb_adler, "ctxs": ctx_meta, "meta": res.meta}
-        zw.write_section(fmt.SEC_VB_HEADER, fmt.json_payload(vb_hdr),
+        zw.write_section(fmt.SEC_VB_HEADER, fmt.json_payload(built["vb_hdr"]),
                          codec=codecs.ZLIB, vb_i=vb_i, comp_i=comp_i)
-        stats.txt_len += data.shape[0]
+        stats.txt_len += built["data_len"]
         stats.num_vbs += 1
-        stats.num_lines += res.num_lines
-        return out_payloads
+        stats.num_lines += built["num_lines"]
 
     def write_global_area(self, file_hdr):
         zw = self.zw
@@ -161,7 +180,7 @@ class ZipJob:
         zw.write_section(fmt.SEC_STATS, fmt.json_payload(self.stats.per_ctx),
                          codec=codecs.ZLIB)
         for name, g in self.gctxs.items():
-            if g.words:
+            if len(g):
                 payload = g.dict_payload()
                 codec = codec_assign.assign_best(payload, "text")
                 zw.write_section(fmt.SEC_DICT, payload, codec=codec, dict_id=name)
@@ -205,7 +224,8 @@ def zip_file(in_path: str, out_path: str, dt_name: str | None = None,
              vb_size: int = DEFAULT_VB_SIZE, show_stats: bool = False,
              reference: str | None = None, password: str | None = None,
              use_md5: bool = False, bamass: str | None = None,
-             truncate: bool = False, mesh: int | None = None):
+             truncate: bool = False, mesh: int | None = None,
+             dp: int | None = None):
     reader, dt, dt_name = _open_component(in_path, dt_name, reference,
                                           truncate=truncate)
     if mesh and getattr(dt, "ref", None) is not None:
@@ -260,6 +280,34 @@ def zip_file(in_path: str, out_path: str, dt_name: str | None = None,
                 depn_qnames = np.unique(np.concatenate(hs))
         except (OSError, ValueError):
             depn_qnames = None  # unseekable input: DEPN-only deportation
+    sharded = None
+    if dp:
+        # VBs data-parallel over the 'dp' mesh axis: a batch of dp VBs'
+        # payload sections ride one sharded device kernel; archive bytes
+        # equal the host path's (parallel/zip_sharded.py)
+        from .parallel.zip_sharded import ShardedZipEncoder
+        sharded = ShardedZipEncoder(n_devices=dp)
+    batch_built = []
+
+    def flush_batch():
+        if not batch_built:
+            return
+        items, keys = [], []
+        for bi, b in enumerate(batch_built):
+            for i, e in enumerate(b["pending"]):
+                if e[3] in (codecs.RANS0, codecs.RANS1) and \
+                        sharded.eligible(len(e[2])):
+                    items.append((e[2], 0 if e[3] == codecs.RANS0 else 1))
+                    keys.append((bi, i))
+        with profiler.timer("zip:dp-encode"):
+            blobs = sharded.encode_sections(items) if items else []
+        pre = {}
+        for (bi, i), blob in zip(keys, blobs):
+            pre.setdefault(bi, {})[i] = blob
+        for bi, b in enumerate(batch_built):
+            job.flush_vb(b, pre.get(bi, {}))
+        batch_built.clear()
+
     with ThreadPoolExecutor(max_workers=1) as pool:
         def seg_one(data):
             with profiler.timer("zip:seg"):
@@ -297,7 +345,12 @@ def zip_file(in_path: str, out_path: str, dt_name: str | None = None,
                             local=np.diff(pos, prepend=np.int64(0)),
                             cat="int", param=1)
             with profiler.timer("zip:merge+write"):
-                job.write_vb(pres, pdata, vb_i, 0)
+                if sharded is None:
+                    job.write_vb(pres, pdata, vb_i, 0)
+                else:
+                    batch_built.append(job.build_vb(pres, pdata, vb_i, 0))
+                    if len(batch_built) >= sharded.D:
+                        flush_batch()
             prog.update(int(pdata.shape[0]))
 
         for data in reader.vblocks(dt, vb_size):
@@ -307,6 +360,8 @@ def zip_file(in_path: str, out_path: str, dt_name: str | None = None,
             pending = nxt
         if pending is not None:
             drain(pending)
+        if sharded is not None:
+            flush_batch()
     prog.finish()
 
     def _write_chunks(txt: np.ndarray, comp_i: int) -> int:

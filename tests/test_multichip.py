@@ -93,3 +93,47 @@ def test_mesh_fastq_zip_roundtrip(tmp_path):
     bm = sec["SQBITMAP"]["local"][0]
     assert bm.astype(bool).mean() > 0.9, f"aligned {bm.mean():.2f}"
     pr.close()
+
+
+def test_dp_sharded_zip_byte_identical(tmp_path):
+    """zip_file(dp=8): VBs data-parallel over the dp mesh axis; the archive
+    must equal the single-host archive byte-for-byte, and unzip losslessly
+    (VERDICT round-1 item 1)."""
+    import os
+    from genozip_tpu.zip_pipeline import zip_file
+    from genozip_tpu.piz_pipeline import piz_file
+    rng = np.random.default_rng(77)
+    reads = []
+    for i in range(4000):
+        s = rng.choice(np.frombuffer(b"ACGT", np.uint8), 100)
+        q = (rng.integers(0, 40, 100) + 33).astype(np.uint8)
+        reads.append(b"@x%d\n%s\n+\n%s\n" % (i, s.tobytes(), q.tobytes()))
+    data = b"".join(reads)
+    src = os.path.join(str(tmp_path), "dp.fastq")
+    open(src, "wb").write(data)
+    zh, zd = src + ".h.gxz", src + ".d.gxz"
+    zip_file(src, zh, vb_size=64 * 1024)
+    zip_file(src, zd, vb_size=64 * 1024, dp=8)
+    assert open(zh, "rb").read() == open(zd, "rb").read()
+    piz_file(zd, src + ".out")
+    assert open(src + ".out", "rb").read() == data
+
+
+def test_collective_dict_merge_matches_host():
+    """The dict merge as a collective (context.c:938 analog): all-gathered
+    per-VB hash rows -> identical first-seen assignment on every device."""
+    from genozip_tpu.parallel import zip_sharded
+    rng = np.random.default_rng(31)
+    D, W = 8, 48
+    mesh = jax.sharding.Mesh(np.asarray(jax.devices()[:D]), ("dp",))
+    hashes = (rng.integers(0, 60, (D, W)).astype(np.uint64)
+              * np.uint64(0x9E3779B97F4A7C15))
+    valid = rng.random((D, W)) > 0.3
+    merge = zip_sharded.make_collective_merge(mesh, W)
+    out, nuniq = merge(
+        jnp.asarray((hashes >> np.uint64(32)).astype(np.uint32)),
+        jnp.asarray((hashes & np.uint64(0xFFFFFFFF)).astype(np.uint32)),
+        jnp.asarray(valid))
+    ref_lut, nref = zip_sharded.collective_merge_host_twin(hashes, valid)
+    assert (np.asarray(out) == ref_lut).all()
+    assert int(nuniq) == nref
