@@ -166,9 +166,40 @@ class ZCtxGlobal:
         self._hash_idx = np.zeros(0, np.int64)      # global idx per sorted hash
         self.b250_codec = None
         self.local_codec = None
+        self.codec_nvb = {}       # stream kind -> VBs seen
+        self.codec_hist = {}      # stream kind -> recent winners (--best)
         self.total_b250_comp = 0
         self.total_local_comp = 0
         self.total_txt = 0
+
+    def pick_codec(self, kind: str, payload, cat: str) -> int:
+        """Codec for this VB's `kind` ('b250'/'local') stream. Reference
+        parity (src/codec.c:196-277): commit the VB-1 winner, RE-TEST at
+        VB 10 (an unrepresentative first VB must not lock a bad codec in
+        for the whole file — each section carries its own codec id, so
+        switching mid-file is safe); under --best, lock in only after 5
+        consecutive VBs agree."""
+        attr = kind + "_codec"
+        n = self.codec_nvb.get(kind, 0) + 1
+        self.codec_nvb[kind] = n
+        committed = getattr(self, attr)
+        if codec_assign._mode == "best" and committed is None:
+            c = codec_assign.assign_best(payload, cat)
+            hist = self.codec_hist.setdefault(kind, [])
+            hist.append(c)
+            if len(hist) >= 5 and len(set(hist[-5:])) == 1:
+                setattr(self, attr, c)
+            return c
+        if committed is None:
+            c = codec_assign.assign_best(payload, cat)
+            setattr(self, attr, c)
+            return c
+        if n == 10 and codec_assign._mode != "fast":
+            c = codec_assign.assign_best(payload, cat)
+            if c != committed:
+                setattr(self, attr, c)
+            return c
+        return committed
 
     def __len__(self):
         return self.words_off.shape[0] - 1

@@ -108,9 +108,8 @@ class ZipJob:
                         pair_payloads.get(key) == payload:
                     ctx_meta[name]["pair"] = "copy_b250"
                 else:
-                    if g.b250_codec is None:
-                        g.b250_codec = codec_assign.assign_best(payload, "b250")
-                    pending.append((fmt.SEC_B250, name, payload, g.b250_codec,
+                    codec = g.pick_codec("b250", payload, "b250")
+                    pending.append((fmt.SEC_B250, name, payload, codec,
                                     fmt.lt_for_dtype(payload_arr.dtype), 0,
                                     int(c.b250.shape[0])))
             if c.local is not None:
@@ -124,10 +123,9 @@ class ZipJob:
                 if pair_payloads is not None and pair_payloads.get(key) == payload:
                     ctx_meta[name]["pair"] = "copy_local"
                 else:
-                    if g.local_codec is None:
-                        g.local_codec = codec_assign.assign_best(payload, c.cat)
+                    codec = g.pick_codec("local", payload, c.cat)
                     pending.append((fmt.SEC_LOCAL, name, payload,
-                                    g.local_codec, fmt.lt_for_dtype(local.dtype),
+                                    codec, fmt.lt_for_dtype(local.dtype),
                                     FLAG_DELTA if c.param == 1 else 0,
                                     len(payload)))
 

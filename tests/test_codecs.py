@@ -82,3 +82,46 @@ def test_encryption_roundtrip(tmp_path=None):
     # plaintext must not appear in the archive
     zbytes = open(z, "rb").read()
     assert b"ACGTACGTAC" not in zbytes
+
+
+def test_codec_retest_at_vb10(tmp_path):
+    """An unrepresentative VB 1 must not lock a bad codec in for the whole
+    file (reference codec.c:274-277 VB-10 retest)."""
+    import os
+    import numpy as np
+    from genozip_tpu.zip_pipeline import zip_file
+    from genozip_tpu.piz_pipeline import piz_file, PizReader
+    from genozip_tpu.format import sections as fmt
+    from genozip_tpu import codecs
+
+    rng = np.random.default_rng(13)
+    # VB1: near-random qual (RANS-ish wins); VBs 2..12: heavily dominated
+    # qual (DOMQ wins). vb_size such that each VB = ~500 reads.
+    rows = []
+    for i in range(6000):
+        if i < 500:
+            q = (rng.integers(0, 64, 100) + 33).astype(np.uint8)
+        else:
+            q = np.full(100, ord("F"), np.uint8)
+            q[rng.integers(0, 100, 3)] = ord("#")
+        s = rng.choice(np.frombuffer(b"ACGT", np.uint8), 100)
+        rows.append(b"@v%d\n%s\n+\n%s\n" % (i, s.tobytes(), q.tobytes()))
+    data = b"".join(rows)
+    src = os.path.join(str(tmp_path), "re.fastq")
+    open(src, "wb").write(data)
+    z = src + ".gxz"
+    zip_file(src, z, vb_size=110 * 1024)
+    piz_file(z, src + ".out")
+    assert open(src + ".out", "rb").read() == data
+    # late VBs must carry a different (better) QUAL codec than VB 1
+    pr = PizReader(z)
+    by_vb = {}
+    for ent in pr.zr.sections(fmt.SEC_LOCAL):
+        if ent.dict_id.rstrip(b"\0") == b"QUAL":
+            _, meta = pr.zr.read_section_raw(ent)
+            by_vb[ent.vb_i] = meta["codec"]
+    pr.close()
+    assert len(by_vb) >= 11, by_vb
+    last = by_vb[max(by_vb)]
+    assert last != by_vb[1], f"codec never corrected: {by_vb}"
+    assert last in (codecs.DOMQ, codecs.PACK1, codecs.PACK0)
