@@ -196,7 +196,11 @@ class FastqDT(DataType):
 
         seq_mat, lens = ragged.to_matrix(seq)
         codes = packops.BASE2BIT[seq_mat]
+        gpos2 = junction = None
         bamass = getattr(self, "bamass_index", None)
+        pair_hint = getattr(self, "pair_gpos_hint", None)
+        if pair_hint is not None and pair_hint.shape[0] != len(seq):
+            pair_hint = None
         if bamass is not None and desc is not None:
             gpos, is_fwd = bamass.lookup(desc)
             aligned = (gpos >= 0) & (gpos + lens <= ref.length)
@@ -209,12 +213,18 @@ class FastqDT(DataType):
         else:
             mesh_al = getattr(self, "mesh_aligner", None)
             res = (mesh_al.align_batch(ref, codes, lens) if mesh_al is not None
-                   else al.align_batch(ref, codes, lens))
+                   else al.align_batch(ref, codes, lens, pair_gpos=pair_hint,
+                                       splice=True))
             aligned = res["aligned"]
             gpos = res["gpos"]
             is_fwd = res["is_fwd"]
+            gpos2 = res.get("gpos2")
+            junction = res.get("junction")
+        if gpos2 is None:
+            gpos2 = gpos
+            junction = lens.astype(np.int64)
         ridx, mpos, mbase = al.mismatch_lists(
-            ref, seq_mat, codes, lens, gpos, is_fwd, aligned)
+            ref, seq_mat, codes, lens, gpos, is_fwd, aligned, gpos2, junction)
         nm = np.bincount(ridx, minlength=len(seq))[aligned]
 
         ctxs["SQBITMAP"] = VBCtx("SQBITMAP", MODE_NUM,
@@ -225,6 +235,18 @@ class FastqDT(DataType):
         ctxs["SEQNM"] = VBCtx("SEQNM", MODE_NUM, local=nm, cat="int")
         ctxs["SEQMISP"] = VBCtx("SEQMISP", MODE_NUM, local=mpos, cat="int")
         ctxs["SEQMISB"] = VBCtx("SEQMISB", MODE_TXT, local=mbase, cat="text")
+        spliced = aligned & (junction < lens)
+        if spliced.any():
+            # 2-segment (intron) alignments (aligner.c:514): per aligned
+            # read a spliced flag; per spliced read junction + signed gap
+            ctxs["SPLICED"] = VBCtx("SPLICED", MODE_NUM,
+                                    local=spliced[aligned].astype(np.int64),
+                                    cat="int")
+            sp = spliced
+            ctxs["SPLJ"] = VBCtx("SPLJ", MODE_NUM, local=junction[sp],
+                                 cat="int")
+            ctxs["SPLG"] = VBCtx("SPLG", MODE_NUM,
+                                 local=gpos2[sp] - gpos[sp], cat="int")
         un = ~aligned
         nonref = ragged.take(seq, np.nonzero(un)[0])
         ctxs["NONREF"] = VBCtx("NONREF", MODE_TXT, local=nonref.data, cat="seq")
@@ -266,8 +288,15 @@ class FastqDT(DataType):
         mbase = pctxs["SEQMISB"].local
         a_lens = lens[aligned]
         mm_ridx = np.repeat(np.arange(gpos.shape[0]), nm)
+        gpos2 = junction = None
+        if "SPLICED" in pctxs:
+            spl = pctxs["SPLICED"].nums().astype(bool)
+            junction = a_lens.astype(np.int64).copy()
+            junction[spl] = pctxs["SPLJ"].nums()
+            gpos2 = gpos.copy()
+            gpos2[spl] = gpos[spl] + pctxs["SPLG"].nums()
         mat = al.reconstruct_batch(ref, gpos, a_lens, is_fwd,
-                                   mm_ridx, mpos, mbase)
+                                   mm_ridx, mpos, mbase, gpos2, junction)
         a_col = ragged.from_matrix(mat, a_lens)
         un_idx = np.nonzero(~aligned)[0]
         nonref = pctxs["NONREF"].txt_col(lens[un_idx])

@@ -13,10 +13,13 @@ let collectives ride ICI):
 This replaces the reference's serial hook-scan + shared-memory genome
 (src/aligner.c, src/ref_cache.c) with pure-collective state sharding.
 
-NOTE: without jax_enable_x64, jnp int64 silently narrows to int32, capping
-absolute GPOS arithmetic at 2^31 (~2.1 Gbase). Affected reads simply fail
-cand_ok and fall back to verbatim storage (ratio, never correctness). The
-full-genome device path will move to uint32 gpos + explicit carries.
+GPOS arithmetic is pure uint32 (no jnp int64, which silently narrows to
+int32 without x64): candidates compare as `start <= gtotal - lens` with an
+explicit underflow guard on `g - off`, and the sentinel for "no placement"
+is 0xFFFFFFFF. This supports genomes up to ~4.29 Gbase (the reference's
+4-byte refhash entries have the same ceiling; its 5-byte layer is the
+>4 Gbase extension) — in particular the >2^31 human-scale genomes that the
+round-1 int64-narrowing version silently degraded on.
 """
 
 from functools import partial
@@ -78,9 +81,13 @@ def make_sharded_aligner(mesh: Mesh, L: int, hash_bits: int,
         ridx = jnp.clip(lens[:, None] - 1 - pos_idx, 0, L - 1)
         rc = jnp.take_along_axis(comp, ridx, axis=1)
 
+        NOPOS = jnp.uint32(0xFFFFFFFF)
         best_nmm = jnp.full((r,), 1 << 30, dtype=jnp.int32)
-        best_gpos = jnp.full((r,), -1, dtype=jnp.int64)
+        best_gpos = jnp.full((r,), NOPOS, dtype=jnp.uint32)
         best_fwd = jnp.ones((r,), dtype=jnp.bool_)
+        gtotal_u = gtotal[0].astype(jnp.uint32)
+        lens_u = lens.astype(jnp.uint32)
+        slab_start_u = slab_start.astype(jnp.uint32)
 
         for direction, mat in ((1, codes), (0, rc)):
             for si in range(num_seeds):
@@ -98,15 +105,19 @@ def make_sharded_aligner(mesh: Mesh, L: int, hash_bits: int,
                     owned, rh_local[jnp.where(owned, h - slot_base, 0)], 0)
                 g = jax.lax.psum(g_local.astype(jnp.uint32), "mp")
                 miss = g == NO_GPOS
-                start = g.astype(jnp.int64) - off.astype(jnp.int64)
-                cand_ok = ~miss & (start >= 0) & \
-                    (start + lens.astype(jnp.int64) <= gtotal[0])
+                # pure u32 GPOS: underflow guard instead of signed math
+                offu = off.astype(jnp.uint32)
+                neg = offu > g
+                start = g - offu            # u32, wraps iff neg (guarded)
+                cand_ok = ~miss & ~neg & (start <= gtotal_u - lens_u) & \
+                    (lens_u <= gtotal_u)
                 # sharded scoring: unique owner = slab whose BASE region
                 # (excluding halo) contains `start`; halo >= L+KMER ensures
                 # the whole window is resident there
-                base_len = slab_len - (L + KMER)
-                in_slab = (start >= slab_start) & (start < slab_start + base_len)
-                lstart = jnp.where(in_slab & cand_ok, start - slab_start, 0)
+                base_len = jnp.uint32(slab_len - (L + KMER))
+                rel = start - slab_start_u   # u32, wraps if start<slab_start
+                in_slab = (start >= slab_start_u) & (rel < base_len)
+                lstart = jnp.where(in_slab & cand_ok, rel, 0).astype(jnp.int32)
                 gi = jnp.clip(lstart[:, None] + pos_idx, 0, slab_len - 1)
                 gwin = slab_codes[gi]
                 mm_loc = jnp.sum((gwin != mat) & valid, axis=1).astype(jnp.int32)
@@ -120,7 +131,7 @@ def make_sharded_aligner(mesh: Mesh, L: int, hash_bits: int,
                 best_gpos = jnp.where(better, start, best_gpos)
                 best_fwd = jnp.where(better, direction == 1, best_fwd)
 
-        aligned = best_nmm <= (lens // 2)
+        aligned = (best_nmm <= (lens // 2)) & (best_gpos != NOPOS)
         return (best_gpos, best_fwd, jnp.where(aligned, best_nmm, 0),
                 aligned)
 

@@ -39,10 +39,10 @@ class MeshAligner:
         sh_mp = NamedSharding(self.mesh, P("mp", None))
         sh_mp1 = NamedSharding(self.mesh, P("mp"))
         self.slabs = jax.device_put(jnp.asarray(slabs), sh_mp)
-        self.starts = jax.device_put(jnp.asarray(starts.astype(np.int32)),
+        self.starts = jax.device_put(jnp.asarray(starts.astype(np.uint32)),
                                      sh_mp1)
         self.rh = jax.device_put(jnp.asarray(rh), sh_mp)
-        self.gtotal = jnp.asarray([ref.length], np.int32)
+        self.gtotal = jnp.asarray([ref.length], np.uint32)
         self.hash_bits = ref.hash_bits
         self._fns = {}
         self._P = P
@@ -80,10 +80,13 @@ class MeshAligner:
         xl = jax.device_put(jnp.asarray(lv), sh1)
         gpos, fwd, nmm, aligned = self._fn(Lb)(
             xc, xl, self.slabs, self.starts, self.rh, self.gtotal)
-        gpos = np.asarray(gpos)[:R].astype(np.int64)
+        # u32 GPOS (sentinel 0xFFFFFFFF) -> host int64
+        gpos_u = np.asarray(gpos)[:R].astype(np.uint32)
         fwd = np.asarray(fwd)[:R].astype(bool)
         nmm = np.asarray(nmm)[:R].astype(np.int32)
         aligned = np.asarray(aligned)[:R].astype(bool)
+        gpos = np.where(gpos_u == 0xFFFFFFFF, -1,
+                        gpos_u.astype(np.int64))
         # defensive bounds (ratio-only decisions; recon derives from channels)
         bad = aligned & ((gpos < 0) | (gpos + lens > ref.length))
         aligned &= ~bad

@@ -433,6 +433,13 @@ def zip_pair(in1: str, in2: str, out_path: str,
         res1 = dt1.seg_vb(data1)
         # R2 VB = same number of reads (reference fastq_txtfile_sync_to_R1)
         data2 = r2.read_fastq_records(res1.num_lines)
+        # R2 pair-GPOS hint: candidates near R1's placement win ties
+        # (reference aligner.c:210-216 NON_PAIR_PENALTY)
+        hint = np.full(res1.num_lines, -1, np.int64)
+        if "SQBITMAP" in res1.ctxs:
+            a1m = res1.ctxs["SQBITMAP"].local.astype(bool)
+            hint[a1m] = res1.ctxs["GPOS"].local
+        dt2.pair_gpos_hint = hint
         res2 = dt2.seg_vb(data2)
         assert res2.num_lines == res1.num_lines, \
             f"R2 out of sync: {res2.num_lines} reads vs R1 {res1.num_lines}"

@@ -229,3 +229,87 @@ def test_ref_cache_staleness(tmp_path):
     os.utime(ref_path)                      # ensure newer mtime
     r2 = refstore.load_ref_file(ref_path)   # must NOT serve the stale cache
     assert r2.length == 31000 and r1.length == 30000
+
+
+def test_spliced_alignment(tmp_path):
+    """RNA-style junction reads (prefix at gpos1, suffix at gpos1+gap) must
+    align via the 2-segment splice search (reference aligner.c:514-586) and
+    round-trip byte-exact through the FASTQ archive."""
+    from genozip_tpu.zip_pipeline import zip_file
+    from genozip_tpu.piz_pipeline import piz_file
+
+    fa = synth_genome(300000, 1)
+    fa_path = os.path.join(str(tmp_path), "rna.fa")
+    open(fa_path, "wb").write(fa)
+    ref_path = os.path.join(str(tmp_path), "rna.ref.gxz")
+    refstore.make_reference(fa_path, ref_path)
+    ref = refstore.load_ref_file(ref_path)
+
+    L, half = 120, 60
+    reads, codes_rows = [], []
+    n_spliced = 0
+    for i in range(400):
+        p = int(RNG.integers(0, ref.length - 80000))
+        if i % 2 == 0:           # spliced read: 60 + intron-gap + 60
+            gap = int(RNG.integers(200, 20000))
+            c = np.concatenate([ref.codes[p:p + half],
+                                ref.codes[p + gap + half:p + gap + L]])
+            n_spliced += 1
+        else:                    # plain read
+            c = ref.codes[p:p + L].copy()
+        codes_rows.append(c)
+        reads.append(b"@sp%d\n%s\n+\n%s\n"
+                     % (i, packops.ACGT[c].tobytes(), b"F" * L))
+
+    codes_mat = np.stack(codes_rows)
+    lens = np.full(400, L, np.int64)
+    res = aligner.align_batch(ref, codes_mat, lens, splice=True)
+    spl = res["aligned"] & (res["junction"] < lens)
+    assert res["aligned"].mean() > 0.95, res["aligned"].mean()
+    assert spl.sum() >= n_spliced * 0.8, (int(spl.sum()), n_spliced)
+    # spliced placements must be near-exact (the junction search found it)
+    assert res["nmm"][spl].mean() < 3
+
+    data = b"".join(reads)
+    src = os.path.join(str(tmp_path), "rna.fastq")
+    open(src, "wb").write(data)
+    z = src + ".gxz"
+    zip_file(src, z, reference=ref_path)
+    piz_file(z, src + ".out", reference=ref_path)
+    assert open(src + ".out", "rb").read() == data
+    # and the splice contexts must actually engage in the archive
+    from genozip_tpu.piz_pipeline import PizReader
+    pr = PizReader(z, reference=ref_path)
+    assert "SPLICED" in pr.load_vb(1)[0]["ctxs"]
+    pr.close()
+
+
+def test_pair_gpos_penalty_prefers_near_mate():
+    """A read whose best-scoring placement (2 mismatches) is far from its
+    R1 mate must lose to a near-mate placement (4 mismatches) once the
+    NON_PAIR_PENALTY (=13) applies (aligner.c:26-27, 210-216)."""
+    read = RNG.choice(BASES, 80)
+    x = read.copy()                     # site X: 2 edits in the tail
+    for p in (62, 71):
+        x[p] = BASES[(np.nonzero(BASES == x[p])[0][0] + 1) % 4]
+    y = read.copy()                     # site Y: 4 edits in the head
+    for p in (2, 7, 12, 17):
+        y[p] = BASES[(np.nonzero(BASES == y[p])[0][0] + 1) % 4]
+    g = RNG.choice(BASES, 150000)
+    siteX, siteY = 20000, 120000
+    g[siteX:siteX + 80] = x
+    g[siteY:siteY + 80] = y
+    lines = [b">c0\n"]
+    gb = g.tobytes()
+    for j in range(0, len(gb), 70):
+        lines.append(gb[j:j + 70] + b"\n")
+    ref = refstore.fasta_to_genome(b"".join(lines), hash_bits=18)
+
+    codes = packops.BASE2BIT[read][None, :]
+    lens = np.full(1, 80, np.int64)
+    res0 = aligner.align_batch(ref, codes, lens)
+    assert int(res0["gpos"][0]) == siteX and int(res0["nmm"][0]) == 2
+    pair = np.array([siteY - 100], np.int64)
+    res = aligner.align_batch(ref, codes, lens, pair_gpos=pair)
+    assert int(res["gpos"][0]) == siteY, int(res["gpos"][0])
+    assert int(res["nmm"][0]) == 4

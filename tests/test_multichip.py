@@ -47,8 +47,8 @@ def test_sharded_aligner_matches_host():
     step = aligner_sharded.make_sharded_aligner(mesh, L, ref.hash_bits)
     gpos, fwd, nmm, aligned = jax.block_until_ready(step(
         jnp.asarray(codes), jnp.asarray(lens.astype(np.int32)),
-        jnp.asarray(slabs), jnp.asarray(starts.astype(np.int32)),
-        jnp.asarray(rh), jnp.asarray([ref.length], np.int32)))
+        jnp.asarray(slabs), jnp.asarray(starts.astype(np.uint32)),
+        jnp.asarray(rh), jnp.asarray([ref.length], np.uint32)))
 
     aligned = np.asarray(aligned)
     # the sharded aligner must align essentially everything the host did
@@ -137,3 +137,59 @@ def test_collective_dict_merge_matches_host():
     ref_lut, nref = zip_sharded.collective_merge_host_twin(hashes, valid)
     assert (np.asarray(out) == ref_lut).all()
     assert int(nuniq) == nref
+
+
+def test_sharded_aligner_u32_gpos_beyond_2g():
+    """>2^31-base genome on the sharded aligner: GPOS arithmetic is pure
+    uint32 (round-1 int64-narrowing silently degraded human-scale genomes).
+    Synthetic slab starts near 4.2 Gbase; physical slabs stay tiny."""
+    from genozip_tpu.ref.refstore import KMER, hash_kmer, NO_GPOS
+
+    rng = np.random.default_rng(5)
+    mp, dp = 4, 2
+    mesh = jax.sharding.Mesh(
+        np.asarray(jax.devices()[: dp * mp]).reshape(dp, mp), ("dp", "mp"))
+    L = 64
+    slab_phys = 4096 + L + KMER          # physical slab buffer (base + halo)
+    G = 4_200_000_000                    # > 2^31, < 2^32
+    starts = np.array([0, 1_050_000_000, 2_500_000_000, 4_100_000_000],
+                      np.uint64)
+    slabs = rng.integers(0, 4, (mp, slab_phys)).astype(np.uint8)
+
+    hash_bits = 20
+    rh = np.full(1 << hash_bits, NO_GPOS, np.uint32)
+    R = 16 * dp
+    codes = np.zeros((R, L), np.uint8)
+    true_gpos = np.zeros(R, np.uint64)
+    lens = np.full(R, L, np.int32)
+    for i in range(R):
+        j = i % mp
+        d = int(rng.integers(0, 2048))
+        codes[i] = slabs[j, d:d + L]
+        true_gpos[i] = starts[j] + d
+        # register this read's seed kmers in the refhash (first-wins)
+        for si in range(4):
+            off = (L - KMER) * si // 3
+            km = np.uint32(0)
+            for b in codes[i, off:off + KMER]:
+                km = (km << np.uint32(2)) | np.uint32(b)
+            h = int(hash_kmer(np.array([km], np.uint32), hash_bits)[0])
+            if rh[h] == NO_GPOS:
+                rh[h] = np.uint32((int(true_gpos[i]) + off) & 0xFFFFFFFF)
+
+    per = -(-rh.shape[0] // mp)
+    rh_mat = np.full(mp * per, NO_GPOS, np.uint32)
+    rh_mat[: rh.shape[0]] = rh
+    step = aligner_sharded.make_sharded_aligner(mesh, L, hash_bits)
+    gpos, fwd, nmm, aligned = jax.block_until_ready(step(
+        jnp.asarray(codes), jnp.asarray(lens), jnp.asarray(slabs),
+        jnp.asarray(starts.astype(np.uint32)),
+        jnp.asarray(rh_mat.reshape(mp, per)),
+        jnp.asarray([G], np.uint32)))
+    gpos = np.asarray(gpos).astype(np.uint32).astype(np.uint64)
+    aligned = np.asarray(aligned)
+    assert aligned.mean() > 0.9, aligned.mean()
+    ok = aligned & (gpos == true_gpos)
+    assert ok.sum() >= 0.9 * R, (ok.sum(), R)
+    assert (gpos[aligned] > np.uint64(1 << 31)).any(), \
+        "no >2^31 placements exercised"
