@@ -91,6 +91,14 @@ def build_parser():
     c.add_argument("--password", default=None)
     c.add_argument("--sam", action="store_true",
                    help="translate a BAM archive to SAM text (reference: genocat --sam)")
+    c.add_argument("--bam", action="store_true",
+                   help="translate a SAM archive to BAM (reference: genocat "
+                        "--bam; data_types.h:253-259 SAM2BAM translators)")
+    c.add_argument("-o", "--output", default=None,
+                   help="write translated output to FILE instead of stdout")
+    c.add_argument("--index", action="store_true",
+                   help="with --bam -o FILE: also write FILE.bai "
+                        "(reference src/bai.c)")
     c.add_argument("--vcf", action="store_true",
                    help="translate a 23andMe archive to VCF (needs --reference)")
     c.add_argument("--interleave", action="store_true",
@@ -204,6 +212,9 @@ def main(argv=None):
             show_coverage(args, sys.stdout)
         elif args.sam:
             cat_translated_sam(args, sys.stdout.buffer)
+        elif args.bam:
+            from .filters import cat_translated_bam
+            cat_translated_bam(args, args.output)
         elif args.vcf:
             from .filters import cat_translated_vcf
             cat_translated_vcf(args, sys.stdout.buffer)

@@ -179,6 +179,45 @@ def cat_translated_sam(args, out):
     pr.close()
 
 
+def cat_translated_bam(args, out_path):
+    """SAM archive -> BAM (+ optional .bai). Reference parity: genocat
+    --bam SAM2BAM translators (src/data_types.h:253-259) and native BAI
+    generation (src/bai.c)."""
+    import sys
+    from .translate import (sam_header_to_bam, sam_vb_to_bam,
+                            IndexingBgzfWriter, build_bai)
+    pr = PizReader(args.input, reference=getattr(args, "reference", None),
+                   password=getattr(args, "password", None))
+    assert pr.file_hdr["dt"] == "sam", "--bam translation needs a SAM archive"
+    hdr = pr.txt_header()
+    bam_hdr, name2id = sam_header_to_bam(hdr)
+    sink = open(out_path, "wb") if out_path else sys.stdout.buffer
+    w = IndexingBgzfWriter(sink)
+    w.write_blob(bam_hdr)
+    all_ref, all_pos, all_end, all_vb, all_ve = [], [], [], [], []
+    for vb_i in range(1, pr.num_vbs() + 1):
+        buf = pr.read_vb(vb_i)
+        blob, lens, refids, poss, ends = sam_vb_to_bam(buf, name2id)
+        vbeg, vend = w.write_records(blob, lens)
+        all_ref.append(refids)
+        all_pos.append(poss)
+        all_end.append(ends)
+        all_vb.append(vbeg)
+        all_ve.append(vend)
+    w.close()
+    if getattr(args, "index", False) and out_path:
+        refids = np.concatenate(all_ref) if all_ref else np.zeros(0, np.int64)
+        mapped = refids >= 0
+        bai = build_bai(len(name2id), refids[mapped],
+                        np.concatenate(all_pos)[mapped],
+                        np.concatenate(all_end)[mapped],
+                        np.concatenate(all_vb)[mapped],
+                        np.concatenate(all_ve)[mapped])
+        with open(out_path + ".bai", "wb") as f:
+            f.write(bai)
+    pr.close()
+
+
 def cat_interleaved(args, out):
     """Paired archive -> interleaved R1/R2 records (reference parity:
     genocat --interleave)."""

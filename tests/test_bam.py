@@ -218,3 +218,62 @@ def test_bam_binary_aux_per_tag(tmp_path):
     assert "AUXL" in cm and "AXNMC" in cm and "AXASs" in cm \
         and "AXXFf" in cm and "AXXBB" in cm and "AUXEXC" in cm
     pr.close()
+
+
+def test_sam_to_bam_translation_and_bai(tmp_path):
+    """SAM archive -> BAM via cat --bam (data_types.h:253-259 SAM2BAM
+    translators): BAM->SAM back-translation must equal the original body;
+    .bai (src/bai.c analog) structurally valid; and the produced BAM must
+    round-trip byte-exact through the BAM datatype."""
+    import gzip
+    import struct
+    import types
+    from genozip_tpu.zip_pipeline import zip_file
+    from genozip_tpu.piz_pipeline import piz_file
+    from genozip_tpu.filters import cat_translated_bam
+    from genozip_tpu.translate import bam_header_to_sam, bam_vb_to_sam
+
+    rng = np.random.default_rng(21)
+    ACGT = np.frombuffer(b"ACGT", np.uint8)
+    rows = [b"@HD\tVN:1.6\n@SQ\tSN:chr1\tLN:100000\n@SQ\tSN:chr2\tLN:50000\n"]
+    for i in range(500):
+        L = 80
+        seq = rng.choice(ACGT, L).tobytes()
+        q = (rng.integers(30, 40, L).astype(np.uint8) + 33).tobytes()
+        chrom = b"chr1" if i % 3 else b"chr2"
+        pos = 100 + i * 37
+        cig = b"40M2I38M" if i % 5 == 0 else b"%dM" % L
+        rows.append(b"r%d\t%d\t%s\t%d\t60\t%s\t=\t%d\t160\t%s\t%s\t"
+                    b"NM:i:%d\tXS:A:+\tZZ:Z:h%d\tBC:B:c,1,-2,3\n"
+                    % (i, 99 if i % 2 else 163, chrom, pos, cig, pos + 80,
+                       seq, q, i % 4, i))
+    rows.append(b"u1\t4\t*\t0\t0\t*\t*\t0\t0\tACGT\tFFFF\n")
+    data = b"".join(rows)
+    src = os.path.join(str(tmp_path), "t.sam")
+    open(src, "wb").write(data)
+    z = src + ".gxz"
+    zip_file(src, z)
+    bam_path = src + ".bam"
+    cat_translated_bam(types.SimpleNamespace(
+        input=z, reference=None, password=None, index=True), bam_path)
+
+    raw = gzip.decompress(open(bam_path, "rb").read())
+    sam_hdr, ref_names = bam_header_to_sam(raw)
+    assert ref_names == ["chr1", "chr2"]
+    l_text = int.from_bytes(raw[4:8], "little")
+    off = 8 + l_text + 4
+    for _ in range(2):
+        ln = int.from_bytes(raw[off:off + 4], "little")
+        off += 8 + ln
+    back = bam_vb_to_sam(raw[off:], ref_names)
+    assert back == b"".join(r for r in rows if not r.startswith(b"@"))
+
+    bai = open(bam_path + ".bai", "rb").read()
+    assert bai[:4] == b"BAI\x01"
+    assert struct.unpack("<i", bai[4:8])[0] == 2
+
+    z2 = bam_path + ".gxz"
+    zip_file(bam_path, z2)
+    out2 = os.path.join(str(tmp_path), "back.bam")
+    piz_file(z2, out2)
+    assert open(out2, "rb").read() == open(bam_path, "rb").read()
