@@ -54,7 +54,79 @@ class SamDT(DataType):
     NAME = "sam"
 
     def read_txt_header(self, reader) -> bytes:
-        return reader.read_header_lines(b"@")
+        hdr = reader.read_header_lines(b"@")
+        if getattr(self, "ref", None) is None:
+            self._maybe_init_internal_ref(hdr)
+        return hdr
+
+    # REF_INTERNAL cap: denovo genomes above this are skipped (host RAM;
+    # the reference's on-demand ranges relax this later)
+    INTERNAL_REF_MAX = 1 << 31
+
+    def _maybe_init_internal_ref(self, hdr: bytes):
+        """REF_INTERNAL (reference src/reference.c, flags.h:16-21): SAM
+        with no external reference builds a denovo genome from the
+        alignments themselves — @SQ contigs allocate a 2-bit genome; each
+        VB's pure-match reads populate still-unset positions (first wins,
+        before that VB's SEQ diff, so every diffed position is immutable
+        afterwards); the populated genome is stored in the archive
+        (SEC_REFERENCE) for PIZ."""
+        from ..ref.refstore import RefGenome
+        contigs = []
+        g = 0
+        for line in hdr.split(b"\n"):
+            if not line.startswith(b"@SQ"):
+                continue
+            name = ln = None
+            for f in line.split(b"\t")[1:]:
+                if f.startswith(b"SN:"):
+                    name = f[3:]
+                elif f.startswith(b"LN:"):
+                    try:
+                        ln = int(f[3:])
+                    except ValueError:
+                        ln = None
+            if name is not None and ln:
+                contigs.append({"name": name.decode("utf-8", "replace"),
+                                "gpos": g, "length": ln})
+                g += ln
+        if not contigs or g == 0 or g > self.INTERNAL_REF_MAX:
+            return
+        ref = RefGenome(np.zeros(g, np.uint8), contigs)
+        ref.is_set = np.zeros(g, bool)
+        ref.internal = True
+        self.ref = ref
+
+    def _populate_internal_ref(self, seq, rname, pos, cigar, ref):
+        """Scatter this VB's pure-match reads into still-unset genome
+        positions (ref_lock.c's range locking becomes: populate the whole
+        batch, then diff — set positions never change afterwards)."""
+        from ..ops import pack as packops
+        gbase = self._gbase_of(rname, ref)
+        pv, pok = ragged.atoi(pos)
+        cm, cl = ragged.to_matrix(cigar)
+        w = cm.shape[1] if cm.ndim == 2 else 0
+        if w == 0 or len(seq) == 0:
+            return
+        col_idx = np.arange(w)[None, :]
+        in_row = col_idx < cl[:, None]
+        is_digit = (cm >= 48) & (cm <= 57)
+        is_mop = (cm == ord("M")) | (cm == ord("=")) | (cm == ord("X"))
+        pure = ((is_digit | is_mop) | ~in_row).all(axis=1) & (cl > 0)
+        elig = pure & pok & (gbase >= 0) & (pv >= 1) & \
+            (gbase + pv - 1 + seq.lens <= ref.length) & (seq.lens > 0)
+        rows = np.nonzero(elig)[0]
+        if rows.shape[0] == 0:
+            return
+        sub = ragged.take(seq, rows)
+        start = (gbase + pv - 1)[rows]
+        byte_row = np.repeat(np.arange(rows.shape[0]), sub.lens)
+        pos_in = np.arange(sub.data.shape[0]) - sub.offsets[:-1][byte_row]
+        gp = start[byte_row] + pos_in
+        codes = packops.BASE2BIT[sub.data]
+        sel = ~ref.is_set[gp]
+        ref.codes[gp[sel]] = codes[sel]
+        ref.is_set[gp[sel]] = True
 
     def depn_qname_hashes(self, data: np.ndarray) -> np.ndarray:
         """Prescan: qname hashes of secondary/supplementary lines
@@ -172,6 +244,8 @@ class SamDT(DataType):
         else:
             ctxs.update(_num_or_tok("TLEN", tlen))
         ref = getattr(self, "ref", None)
+        if ref is not None and getattr(ref, "internal", False) and len(seq):
+            self._populate_internal_ref(seq, rname, pos, cigar, ref)
         if sag_idx is not None:
             from .. import sag as sag_mod
             from ..deep import cols_equal_rows

@@ -38,6 +38,20 @@ class PizReader:
             assert crypt.key_tag(key) == enc["tag"], "wrong password"
             self.zr.set_encryption(key, salt)
         self.dt = get(self.file_hdr["dt"])(self.file_hdr.get("segconf") or {})
+        if self.file_hdr.get("ref_internal"):
+            # REF_INTERNAL: the denovo genome travels in the archive
+            payload, _ = self.zr.read_one(fmt.SEC_REFERENCE)
+            from .ref.refstore import RefGenome
+            from .ops import pack as packops
+            ml = int.from_bytes(payload[0:4], "little")
+            meta = fmt.json_parse(payload[4:4 + ml])
+            off = 4 + ml
+            pl = int.from_bytes(payload[off:off + 8], "little")
+            off += 8
+            codes = packops.unpack_np(
+                np.frombuffer(payload[off:off + pl], np.uint8), 2,
+                meta["length"])
+            self.dt.ref = RefGenome(codes, meta["contigs"])
         if reference:
             # lazy requirement: metadata-only operations (gxls) work without
             # the reference; recon paths assert when they actually need it

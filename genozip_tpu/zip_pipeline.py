@@ -398,12 +398,31 @@ def zip_file(in_path: str, out_path: str, dt_name: str | None = None,
             job.zw.write_section(fmt.SEC_GZ_ISIZES, isz, codec=codecs.RANS0
                                  if len(isz) >= 64 else codecs.NONE)
 
+    ref_internal = False
+    iref = getattr(dt, "ref", None)
+    if reference is None and iref is not None and \
+            getattr(iref, "internal", False) and iref.is_set.any():
+        # REF_INTERNAL (src/reference.c): store the denovo genome built
+        # from the alignments so PIZ reconstructs SEQ without any external
+        # reference. Payload: contigs json + 2-bit codes + is_set bitmap.
+        from .ops import pack as packops
+        meta = fmt.json_payload({"contigs": iref.contigs,
+                                 "length": int(iref.length)})
+        packed = packops.pack_np(iref.codes, 2).tobytes()
+        setb = np.packbits(iref.is_set).tobytes()
+        payload = len(meta).to_bytes(4, "little") + meta + \
+            len(packed).to_bytes(8, "little") + packed + setb
+        job.zw.write_section(fmt.SEC_REFERENCE, payload,
+                             codec=codec_assign.assign_best(payload, "text"))
+        ref_internal = True
+
     file_hdr = {
         "version": 1, "dt": dt_name, "num_vbs": vb_i,
         "num_lines": job.stats.num_lines, "txt_len": job.stats.txt_len,
         "adler": file_adler, "segconf": dt.segconf,
         "txt_name": in_path.rsplit("/", 1)[-1],
         "reference": reference.rsplit("/", 1)[-1] if reference else None,
+        "ref_internal": ref_internal,
         "enc": enc,
         "md5": md5.hexdigest() if md5 else None,
         "mgzip": mgzip,

@@ -153,3 +153,58 @@ def test_aux_per_tag_beats_single_stream(tmp_path):
     z2 = src + ".noref.gxz"
     zip_file(src, z2)
     assert os.path.getsize(z) < os.path.getsize(z2) * 0.80
+
+
+def test_ref_internal_denovo_genome(tmp_path):
+    """REF_INTERNAL (reference.c, flags.h:16-21): SAM with NO external
+    reference builds a denovo genome from its own alignments; SEQ streams
+    must compress >=4x vs verbatim (round-1 bar) and round-trip with no
+    reference supplied at unzip."""
+    import json
+    from genozip_tpu.piz_pipeline import PizReader
+
+    rng = np.random.default_rng(14)
+    ACGT = np.frombuffer(b"ACGT", np.uint8)
+    contig = rng.choice(ACGT, 50000)
+    rows = [b"@HD\tVN:1.6\n@SQ\tSN:c1\tLN:50000\n"]
+    for i in rng.permutation(6000):
+        p = int(rng.integers(0, 50000 - 150))
+        seq = contig[p:p + 150].copy()
+        ne = rng.binomial(150, 0.005)
+        if ne:
+            mp = rng.integers(0, 150, ne)
+            seq[mp] = ACGT[rng.integers(0, 4, ne)]
+        q = (rng.integers(30, 40, 150).astype(np.uint8) + 33).tobytes()
+        rows.append(b"n%d\t0\tc1\t%d\t60\t150M\t*\t0\t0\t%s\t%s\n"
+                    % (i, p + 1, seq.tobytes(), q))
+    data = b"".join(rows)
+    src = os.path.join(str(tmp_path), "ir.sam")
+    open(src, "wb").write(data)
+
+    def seq_stream_bytes(z):
+        pr = PizReader(z)
+        payload, _ = pr.zr.read_one(8)   # SEC_STATS
+        st = json.loads(payload)
+        pr.close()
+        return sum(c for k, (u, c) in st.items()
+                   if k in ("NONREF", "SQBITMAP", "GPOS", "STRAND", "SEQNM",
+                            "SEQMISP", "SEQMISB"))
+
+    z = src + ".gxz"
+    zip_file(src, z, vb_size=256 * 1024)
+    piz_file(z, src + ".out")          # NO reference supplied
+    assert open(src + ".out", "rb").read() == data
+    pr = PizReader(z)
+    assert pr.file_hdr["ref_internal"] and pr.file_hdr["reference"] is None
+    pr.close()
+
+    import genozip_tpu.datatypes.sam as sam_mod
+    orig = sam_mod.SamDT._maybe_init_internal_ref
+    sam_mod.SamDT._maybe_init_internal_ref = lambda self, hdr: None
+    try:
+        z2 = src + ".plain.gxz"
+        zip_file(src, z2, vb_size=256 * 1024)
+    finally:
+        sam_mod.SamDT._maybe_init_internal_ref = orig
+    s_int, s_verb = seq_stream_bytes(z), seq_stream_bytes(z2)
+    assert s_verb >= 4 * s_int, (s_int, s_verb)
