@@ -132,8 +132,9 @@ def channel_ids(cls: str, seq: Col, qual_lens: np.ndarray) -> np.ndarray:
 
 
 def demux(cls: str, qual: Col, seq: Col) -> np.ndarray:
-    """Stable-sort the flat QUAL bytes by channel id -> grouped stream."""
-    ch = channel_ids(cls, seq, qual.lens)
+    """Stable-sort the flat QUAL bytes by channel id -> grouped stream.
+    int16 keys make numpy's stable sort a 2-pass radix (O(n))."""
+    ch = channel_ids(cls, seq, qual.lens).astype(np.int16)
     perm = np.argsort(ch, kind="stable")
     return qual.data[perm]
 
@@ -141,7 +142,7 @@ def demux(cls: str, qual: Col, seq: Col) -> np.ndarray:
 def remux(cls: str, grouped: np.ndarray, seq: Col,
           qual_lens: np.ndarray) -> np.ndarray:
     """Invert demux at PIZ using the reconstructed SEQ."""
-    ch = channel_ids(cls, seq, qual_lens)
+    ch = channel_ids(cls, seq, qual_lens).astype(np.int16)
     perm = np.argsort(ch, kind="stable")
     out = np.empty_like(grouped)
     out[perm] = grouped
@@ -160,15 +161,23 @@ def orient(col: Col, rev: np.ndarray, comp: bool = False) -> Col:
     Involutive: orient(orient(x, m), m) == x."""
     if not rev.any():
         return Col(col.data.copy() if comp else col.data, col.offsets)
+    total = col.data.shape[0]
+    it = np.int32 if total < (1 << 31) else np.int64
     lens = col.lens
-    row = np.repeat(np.arange(len(col), dtype=np.int64), lens)
-    pos = np.arange(col.data.shape[0], dtype=np.int64) - col.offsets[row]
-    m = rev[row]
-    src = np.arange(col.data.shape[0], dtype=np.int64)
-    src[m] = col.offsets[row[m]] + (lens[row[m]] - 1 - pos[m])
-    data = col.data[src]
-    if comp:
-        data[m] = _COMP[data[m]]
+    # flat index math only over the REVERSED rows' bytes
+    ridx = np.nonzero(rev)[0]
+    rlens = lens[ridx].astype(it)
+    roffs = col.offsets[ridx].astype(it)
+    nb = int(rlens.sum())
+    byte_row = np.repeat(np.arange(ridx.shape[0], dtype=it), rlens)
+    pos = np.arange(nb, dtype=it) - np.repeat(
+        np.concatenate([np.zeros(1, it), np.cumsum(rlens, dtype=it)[:-1]]),
+        rlens)
+    dst = roffs[byte_row] + pos
+    src = roffs[byte_row] + rlens[byte_row] - 1 - pos
+    data = col.data.copy()
+    rb = col.data[src]
+    data[dst] = _COMP[rb] if comp else rb
     return Col(data, col.offsets)
 
 

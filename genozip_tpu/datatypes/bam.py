@@ -62,17 +62,39 @@ class BamDT(SamDT):
         # walk refs
         need = 12 + l_text
         names = []
+        lens_ = []
         for _ in range(n_ref):
             buf = reader.peek(need + 4)
             l_name = int.from_bytes(buf[need:need + 4], "little")
             buf = reader.peek(need + 8 + l_name)
             names.append(buf[need + 4: need + 4 + l_name - 1].decode(
                 "utf-8", "replace"))
+            lens_.append(int.from_bytes(
+                buf[need + 4 + l_name: need + 8 + l_name], "little"))
             need += 8 + l_name
         hdr = reader.peek(need)[:need]
         reader.buf = reader.buf[need:]
         self.segconf["bam_refs"] = names
+        if getattr(self, "ref", None) is None:
+            # REF_INTERNAL from the binary reference catalog (reference.c)
+            self._init_internal_ref_from_catalog(names, lens_)
         return hdr
+
+    def _init_internal_ref_from_catalog(self, names, lens_):
+        from ..ref.refstore import RefGenome
+        contigs = []
+        g = 0
+        for nm, ln in zip(names, lens_):
+            if ln <= 0:
+                continue
+            contigs.append({"name": nm, "gpos": g, "length": ln})
+            g += ln
+        if not contigs or g == 0 or g > self.INTERNAL_REF_MAX:
+            return
+        ref = RefGenome(np.zeros(g, np.uint8), contigs)
+        ref.is_set = np.zeros(g, bool)
+        ref.internal = True
+        self.ref = ref
 
     def _rname_text(self, refid: np.ndarray) -> Col:
         names = self.segconf.get("bam_refs") or []
@@ -441,6 +463,9 @@ class BamDT(SamDT):
             pos_t = ragged.itoa(pos + 1)
             cig_t = self._cigar_text(cigar, n_cig)
             ascii_col, nibok = self._seq_ascii(seq, l_seq)
+            if getattr(ref, "internal", False):
+                self._populate_internal_ref(ascii_col, rname_t, pos_t,
+                                            cig_t, ref)
             exact = np.nonzero(nibok)[0]
             a2 = ragged.merge_rows(n, [(exact, ragged.take(ascii_col, exact))])
             self._seg_seq_vs_ref(ctxs, a2, rname_t, pos_t, cig_t, ref)

@@ -97,36 +97,74 @@ class SamDT(DataType):
         ref.internal = True
         self.ref = ref
 
+    _POP_BLK = 4096    # block granularity for the saturation fast path
+
     def _populate_internal_ref(self, seq, rname, pos, cigar, ref):
         """Scatter this VB's pure-match reads into still-unset genome
         positions (ref_lock.c's range locking becomes: populate the whole
-        batch, then diff — set positions never change afterwards)."""
+        batch, then diff — set positions never change afterwards).
+        Saturated 4KB blocks are skipped (on 30x data the genome fills in
+        the first VBs; later VBs must not re-scatter everything)."""
         from ..ops import pack as packops
+        if not hasattr(ref, "blk_set"):
+            nblk = -(-ref.length // self._POP_BLK)
+            ref.blk_set = np.zeros(nblk, np.int64)
+            sizes = np.full(nblk, self._POP_BLK, np.int64)
+            sizes[-1] = ref.length - (nblk - 1) * self._POP_BLK
+            ref.blk_size = sizes
+            # pad is_set to a whole number of blocks for 2D recounting
+            pad = nblk * self._POP_BLK - ref.length
+            if pad:
+                ref.is_set = np.concatenate([ref.is_set,
+                                             np.zeros(pad, bool)])
         gbase = self._gbase_of(rname, ref)
         pv, pok = ragged.atoi(pos)
-        cm, cl = ragged.to_matrix(cigar)
-        w = cm.shape[1] if cm.ndim == 2 else 0
-        if w == 0 or len(seq) == 0:
-            return
-        col_idx = np.arange(w)[None, :]
-        in_row = col_idx < cl[:, None]
-        is_digit = (cm >= 48) & (cm <= 57)
-        is_mop = (cm == ord("M")) | (cm == ord("=")) | (cm == ord("X"))
-        pure = ((is_digit | is_mop) | ~in_row).all(axis=1) & (cl > 0)
+        # purity check on UNIQUE cigar templates (real files repeat "150M")
+        uw, inv = dedup_col(cigar)
+        upure = np.zeros(len(uw), bool)
+        for wi in range(len(uw)):
+            cw = uw.row(wi)
+            upure[wi] = bool(cw) and all(
+                48 <= c <= 57 or c in (77, 61, 88) for c in cw)
+        pure = upure[inv]
         elig = pure & pok & (gbase >= 0) & (pv >= 1) & \
             (gbase + pv - 1 + seq.lens <= ref.length) & (seq.lens > 0)
+        if not elig.any():
+            return
+        # skip reads whose whole span lies in saturated blocks
+        start_all = gbase + pv - 1
+        b0 = start_all // self._POP_BLK
+        b1 = (start_all + seq.lens - 1) // self._POP_BLK
+        full = ref.blk_set >= ref.blk_size
+        b0c = np.clip(b0, 0, full.shape[0] - 1)
+        b1c = np.clip(b1, 0, full.shape[0] - 1)
+        elig &= ~(full[b0c] & full[b1c]) | (b1 - b0 > 1)
         rows = np.nonzero(elig)[0]
         if rows.shape[0] == 0:
             return
+        it = np.int32 if ref.length < (1 << 31) else np.int64
         sub = ragged.take(seq, rows)
-        start = (gbase + pv - 1)[rows]
-        byte_row = np.repeat(np.arange(rows.shape[0]), sub.lens)
-        pos_in = np.arange(sub.data.shape[0]) - sub.offsets[:-1][byte_row]
+        start = start_all[rows].astype(it)
+        slens = sub.lens.astype(it)
+        byte_row = np.repeat(np.arange(rows.shape[0], dtype=it), slens)
+        pos_in = np.arange(sub.data.shape[0], dtype=it) - \
+            sub.offsets[:-1].astype(it)[byte_row]
         gp = start[byte_row] + pos_in
         codes = packops.BASE2BIT[sub.data]
         sel = ~ref.is_set[gp]
-        ref.codes[gp[sel]] = codes[sel]
-        ref.is_set[gp[sel]] = True
+        gsel = gp[sel]
+        # duplicate positions within the batch: any winner is fine — the
+        # diffs below read the SETTLED array, and the stored genome is
+        # written after all diffs, so ZIP/PIZ always agree byte-for-byte
+        ref.codes[gsel] = codes[sel]
+        ref.is_set[gsel] = True
+        # exact per-block recount of the touched blocks (saturation gate)
+        touched = np.zeros(ref.blk_set.shape[0], bool)
+        touched[gsel // self._POP_BLK] = True
+        tb = np.nonzero(touched)[0]
+        if tb.shape[0]:
+            is2d = ref.is_set.reshape(-1, self._POP_BLK)
+            ref.blk_set[tb] = is2d[tb].sum(axis=1)
 
     def depn_qname_hashes(self, data: np.ndarray) -> np.ndarray:
         """Prescan: qname hashes of secondary/supplementary lines

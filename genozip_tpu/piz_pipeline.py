@@ -65,7 +65,8 @@ class PizReader:
         segconf = self.file_hdr.get("segconf") or {}
         self.dts = []
         for comp in self.components():
-            cdt = get(comp.get("dt", self.file_hdr["dt"]))(segconf)
+            cdt = get(comp.get("dt", self.file_hdr["dt"]))(
+                comp.get("segconf") or segconf)
             if getattr(self.dt, "ref", None) is not None:
                 cdt.ref = self.dt.ref
             self.dts.append(cdt)

@@ -196,6 +196,26 @@ class ZipJob:
         self.stats.z_len = zw.offset
 
 
+def _maybe_write_internal_ref(job, dt, reference) -> bool:
+    """REF_INTERNAL (src/reference.c): store the denovo genome built from
+    the alignments so PIZ reconstructs SEQ without any external reference.
+    Payload: contigs json + 2-bit codes + is_set bitmap."""
+    iref = getattr(dt, "ref", None)
+    if reference is not None or iref is None or \
+            not getattr(iref, "internal", False) or not iref.is_set.any():
+        return False
+    from .ops import pack as packops
+    meta = fmt.json_payload({"contigs": iref.contigs,
+                             "length": int(iref.length)})
+    packed = packops.pack_np(iref.codes, 2).tobytes()
+    setb = np.packbits(iref.is_set[:iref.length]).tobytes()
+    payload = len(meta).to_bytes(4, "little") + meta + \
+        len(packed).to_bytes(8, "little") + packed + setb
+    job.zw.write_section(fmt.SEC_REFERENCE, payload,
+                         codec=codec_assign.assign_best(payload, "text"))
+    return True
+
+
 def _setup_encryption(job, password):
     if not password:
         return None
@@ -398,23 +418,7 @@ def zip_file(in_path: str, out_path: str, dt_name: str | None = None,
             job.zw.write_section(fmt.SEC_GZ_ISIZES, isz, codec=codecs.RANS0
                                  if len(isz) >= 64 else codecs.NONE)
 
-    ref_internal = False
-    iref = getattr(dt, "ref", None)
-    if reference is None and iref is not None and \
-            getattr(iref, "internal", False) and iref.is_set.any():
-        # REF_INTERNAL (src/reference.c): store the denovo genome built
-        # from the alignments so PIZ reconstructs SEQ without any external
-        # reference. Payload: contigs json + 2-bit codes + is_set bitmap.
-        from .ops import pack as packops
-        meta = fmt.json_payload({"contigs": iref.contigs,
-                                 "length": int(iref.length)})
-        packed = packops.pack_np(iref.codes, 2).tobytes()
-        setb = np.packbits(iref.is_set).tobytes()
-        payload = len(meta).to_bytes(4, "little") + meta + \
-            len(packed).to_bytes(8, "little") + packed + setb
-        job.zw.write_section(fmt.SEC_REFERENCE, payload,
-                             codec=codec_assign.assign_best(payload, "text"))
-        ref_internal = True
+    ref_internal = _maybe_write_internal_ref(job, dt, reference)
 
     file_hdr = {
         "version": 1, "dt": dt_name, "num_vbs": vb_i,
@@ -525,6 +529,7 @@ def zip_deep(bam_path: str, fastq_paths: list[str], out_path: str,
 
     # component 0: BAM (feeding the deep index with raw records)
     reader, dt, _ = _open_component(bam_path, "bam", None)
+    bam_dt = dt
     hdr = dt.read_txt_header(reader)
     adler = zlib.adler32(b"")
     if hdr:
@@ -546,7 +551,7 @@ def zip_deep(bam_path: str, fastq_paths: list[str], out_path: str,
     reader.close()
     comps.append({"name": bam_path.rsplit("/", 1)[-1], "dt": "bam",
                   "txt_len": tlen, "adler": adler, "num_lines": nlines,
-                  "num_vbs": vb_i})
+                  "num_vbs": vb_i, "segconf": dt.segconf})
     nvbs_max = max(nvbs_max, vb_i)
 
     for ci, fq in enumerate(fastq_paths, start=1):
@@ -569,11 +574,13 @@ def zip_deep(bam_path: str, fastq_paths: list[str], out_path: str,
                       "num_vbs": vb_i})
         nvbs_max = max(nvbs_max, vb_i)
 
+    ref_internal = _maybe_write_internal_ref(job, bam_dt, None)
     file_hdr = {
         "version": 1, "dt": "bam", "num_vbs": nvbs_max,
         "num_lines": sum(c["num_lines"] for c in comps),
         "txt_len": sum(c["txt_len"] for c in comps),
         "adler": None, "segconf": {}, "deep": True,
+        "ref_internal": ref_internal,
         "txt_name": bam_path.rsplit("/", 1)[-1],
         "reference": reference.rsplit("/", 1)[-1] if reference else None,
         "components": comps,

@@ -63,7 +63,9 @@ def test_deep_roundtrip(tmp_path):
     zb = os.path.join(d, "a.fastq.gxz")
     zip_file(bam, za)
     zip_file(fq, zb)
-    assert os.path.getsize(z) < (os.path.getsize(za) + os.path.getsize(zb)) * 0.85
+    # margin is modest: standalone BAM now gets REF_INTERNAL too, so the
+    # duplicated-SEQ saving deep eliminates is smaller in relative terms
+    assert os.path.getsize(z) < (os.path.getsize(za) + os.path.getsize(zb)) * 0.95
 
 
 @pytest.mark.skipif(not native.available(), reason="native runtime required")
