@@ -63,6 +63,9 @@ def get():
             lib.gxz_adler32.restype = ctypes.c_uint32
             lib.gxz_adler32.argtypes = [ctypes.c_uint32, ctypes.c_void_p,
                                         ctypes.c_int64]
+            lib.gxz_xxh64.restype = ctypes.c_uint64
+            lib.gxz_xxh64.argtypes = [ctypes.c_uint64, ctypes.c_void_p,
+                                      ctypes.c_int64]
             lib.gxz_aes256_ctr.restype = None
             lib.gxz_aes256_ctr.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
                                            ctypes.c_void_p, ctypes.c_int64]
@@ -129,6 +132,14 @@ def rans_decode(blob, n_hint: int | None = None) -> bytes:
     r = lib.gxz_rans_decode(a.ctypes.data, a.shape[0], out.ctypes.data, n)
     assert r == n, f"native rans decode failed ({r})"
     return out[:n].tobytes()
+
+
+def xxh64(data, seed: int = 0) -> int:
+    """XXH64 of a bytes-like/ndarray (reference digest.c XXH3 role)."""
+    lib = get()
+    a = np.frombuffer(data, np.uint8) if not isinstance(data, np.ndarray) \
+        else data.view(np.uint8).reshape(-1)
+    return int(lib.gxz_xxh64(seed, a.ctypes.data, a.shape[0]))
 
 
 def arith_encode(data: bytes, order: int = 0) -> bytes:

@@ -566,6 +566,68 @@ void gxz_acgt_unpack(const uint8_t* packed, int64_t n, const uint32_t* exc_pos,
 }
 
 // adler32 passthrough (zlib's is fast)
+// XXH64 (public spec; the reference's default per-VB/file digest since
+// 15.0.81 is XXH3 — we standardize on XXH64: same 64-bit collision
+// resistance class, far above the 32-bit adler it replaces here).
+namespace {
+constexpr uint64_t XP1 = 0x9E3779B185EBCA87ULL;
+constexpr uint64_t XP2 = 0xC2B2AE3D27D4EB4FULL;
+constexpr uint64_t XP3 = 0x165667B19E3779F9ULL;
+constexpr uint64_t XP4 = 0x85EBCA77C2B2AE63ULL;
+constexpr uint64_t XP5 = 0x27D4EB2F165667C5ULL;
+inline uint64_t xrotl(uint64_t x, int r) { return (x << r) | (x >> (64 - r)); }
+inline uint64_t xread64(const uint8_t* p) {
+    uint64_t v; memcpy(&v, p, 8); return v;   // little-endian host
+}
+inline uint32_t xread32(const uint8_t* p) {
+    uint32_t v; memcpy(&v, p, 4); return v;
+}
+inline uint64_t xround(uint64_t acc, uint64_t input) {
+    acc += input * XP2; acc = xrotl(acc, 31); return acc * XP1;
+}
+inline uint64_t xmerge(uint64_t acc, uint64_t val) {
+    acc ^= xround(0, val); return acc * XP1 + XP4;
+}
+}  // namespace
+
+uint64_t gxz_xxh64(uint64_t seed, const uint8_t* p, int64_t len) {
+    const uint8_t* end = p + len;
+    uint64_t h;
+    if (len >= 32) {
+        uint64_t v1 = seed + XP1 + XP2, v2 = seed + XP2, v3 = seed,
+                 v4 = seed - XP1;
+        const uint8_t* limit = end - 32;
+        do {
+            v1 = xround(v1, xread64(p)); p += 8;
+            v2 = xround(v2, xread64(p)); p += 8;
+            v3 = xround(v3, xread64(p)); p += 8;
+            v4 = xround(v4, xread64(p)); p += 8;
+        } while (p <= limit);
+        h = xrotl(v1, 1) + xrotl(v2, 7) + xrotl(v3, 12) + xrotl(v4, 18);
+        h = xmerge(h, v1); h = xmerge(h, v2);
+        h = xmerge(h, v3); h = xmerge(h, v4);
+    } else {
+        h = seed + XP5;
+    }
+    h += (uint64_t)len;
+    while (p + 8 <= end) {
+        h ^= xround(0, xread64(p));
+        h = xrotl(h, 27) * XP1 + XP4;
+        p += 8;
+    }
+    if (p + 4 <= end) {
+        h ^= (uint64_t)xread32(p) * XP1;
+        h = xrotl(h, 23) * XP2 + XP3;
+        p += 4;
+    }
+    while (p < end) {
+        h ^= (*p++) * XP5;
+        h = xrotl(h, 11) * XP1;
+    }
+    h ^= h >> 33; h *= XP2; h ^= h >> 29; h *= XP3; h ^= h >> 32;
+    return h;
+}
+
 uint32_t gxz_adler32(uint32_t seed, const uint8_t* data, int64_t len) {
     return (uint32_t)adler32(seed, data, (uInt)len);
 }

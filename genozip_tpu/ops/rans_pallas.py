@@ -416,6 +416,162 @@ def _decode_kernel_v3(words_ref, tab_ref, x0_ref, out_ref, x_ref,
     p_ref[0] = base8 * LANE_COLS + q[0, 0]
 
 
+def _decode_kernel_v4(words_ref, tab_ref, x0_ref, out_ref, x_ref,
+                      win_ref, p_ref, sem, *, K: int, N: int, n: int,
+                      S: int):
+    """v4 = v3 with a TWO-LEVEL bucketed table lookup. v3's (256, N)
+    staircase is ~5 elementwise passes over 256 rows per step (~60-70% of
+    its runtime); here symbols live in 16 buckets of 16: a (16, N) coarse
+    staircase picks the bucket, one tiny MXU dot gathers the bucket's
+    relative fine cum/freq rows, and a (16, N) fine staircase over
+    slot_rel = slot - coarse_cum finds the sub-symbol — ~16x less lookup
+    arithmetic, bit-exact same (sym, f, c). tab layout (34, 256) f32:
+      row 0: freq, row 1: cum (as v3, kept for parity/debug)
+      rows 2..17:  fine_rel[b][s] = cum[16b+s] - cum[16b]  (b = col/16)
+      rows 18..33: fine_f[b][s] = freq[16b+s]
+      row 1 cols 0..15 ALSO readable as coarse_cum via strided compare
+    Coarse tables are built in-kernel from row 1 (cum[16b])."""
+    g = pl.program_id(0)
+
+    @pl.when(g == 0)
+    def _init():
+        x_ref[...] = x0_ref[...].astype(jnp.uint32)
+        p_ref[0] = 0
+
+    LR = N // LANE_COLS
+    WG = S * LR + 16
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, N), 1)
+    lane_len = jnp.clip(n - lane * K, 0, K)
+    sub128 = jax.lax.broadcasted_iota(jnp.int32, (LANE_COLS, 1), 0)
+    subWG = jax.lax.broadcasted_iota(jnp.int32, (WG, 1), 0)
+
+    # coarse boundaries: cum[16b] for b in 0..15 -> (16, 1)
+    cum_row = tab_ref[1:2, :]                     # (1, 256)
+    # gather the 16 strided entries with one (256->16) matmul
+    iota256c = jax.lax.broadcasted_iota(jnp.int32, (256, 16), 0)
+    iota16b = jax.lax.broadcasted_iota(jnp.int32, (256, 16), 1)
+    pick = (iota256c == iota16b * 16).astype(jnp.float32)   # (256, 16)
+    coarseT = jnp.transpose(jax.lax.dot(cum_row, pick,
+                            precision=jax.lax.Precision.HIGHEST))  # (16,1)
+    fine_rel = tab_ref[2:18, :]                   # (16, 256): [s, b*16?]
+    fine_f = tab_ref[18:34, :]
+    # fine tables are laid out (16 subs, 16 buckets) padded to 256 cols:
+    # column b holds bucket b's values (cols 16..255 zero)
+    fine_relT = fine_rel[:, 0:16]                 # (16 subs, 16 buckets)
+    fine_fT = fine_f[:, 0:16]
+
+    iota16T = jax.lax.broadcasted_iota(jnp.int32, (16, 1), 0)
+
+    p = p_ref[0]
+    base8 = pl.multiple_of(8 * (p // (8 * LANE_COLS)), 8)
+    cp = pltpu.make_async_copy(words_ref.at[pl.ds(base8, WG), :],
+                               win_ref, sem)
+    cp.start()
+    cp.wait()
+    win_f = win_ref[...].astype(jnp.float32)
+
+    q = jnp.full((1, 1), p - base8 * LANE_COLS, dtype=jnp.int32)
+    for s in range(S):
+        t = g * S + s
+        act = t < lane_len
+        x = x_ref[...]
+        slot = (x & jnp.uint32(SCALE - 1)).astype(jnp.int32)
+        slot_f = slot.astype(jnp.float32)                 # (1, N)
+        # level 1: coarse staircase (16, N)
+        ge_c = (coarseT <= slot_f).astype(jnp.float32)    # (16, N)
+        b_row = jnp.sum(ge_c, axis=0, keepdims=True) - 1.0    # (1, N) f32
+        onehot_b = ge_c - jnp.concatenate(
+            [ge_c[1:, :], jnp.zeros((1, N), jnp.float32)], axis=0)  # (16,N)
+        cum_c = jnp.sum(ge_c * (coarseT - jnp.concatenate(
+            [jnp.zeros((1, 1), jnp.float32), coarseT[:-1, :]], axis=0)),
+            axis=0, keepdims=True)                        # (1, N) = cum[16b]
+        # bucket's fine rows: (16 subs, N) via MXU dot
+        relC = jax.lax.dot(fine_relT, onehot_b,
+                           precision=jax.lax.Precision.HIGHEST)  # (16, N)
+        fF = jax.lax.dot(fine_fT, onehot_b,
+                         precision=jax.lax.Precision.HIGHEST)    # (16, N)
+        # level 2: fine staircase on slot_rel
+        slot_rel = slot_f - cum_c                         # (1, N)
+        ge_f = (relC <= slot_rel).astype(jnp.float32)     # (16, N)
+        sub_row = jnp.sum(ge_f, axis=0, keepdims=True) - 1.0
+        onehot_s = ge_f - jnp.concatenate(
+            [ge_f[1:, :], jnp.zeros((1, N), jnp.float32)], axis=0)
+        f_v = jnp.sum(onehot_s * fF, axis=0, keepdims=True)
+        c_rel = jnp.sum(onehot_s * relC, axis=0, keepdims=True)
+        s_row = (b_row * 16.0 + sub_row).astype(jnp.int32)
+        f = f_v.astype(jnp.int32).astype(jnp.uint32)
+        c = (cum_c + c_rel).astype(jnp.int32).astype(jnp.uint32)
+        f = jnp.where(act, f, jnp.uint32(1))
+        c = jnp.where(act, c, jnp.uint32(0))
+
+        xa = f * (x >> SCALE_BITS) + slot.astype(jnp.uint32) - c
+        x = jnp.where(act, xa, x)
+        need = act & (x < RANS_L)
+        rk = need.astype(jnp.int32)
+        k = 1
+        while k < N:
+            sh = pltpu.roll(rk, k, axis=1)
+            rk = rk + jnp.where(lane >= k, sh, 0)
+            k *= 2
+        total2 = jnp.max(rk, axis=1, keepdims=True)
+
+        idx = q + rk - 1
+        r0 = idx // LANE_COLS
+        c0 = idx - r0 * LANE_COLS
+        M1 = (sub128 == c0).astype(jnp.float32)
+        temp = jax.lax.dot(win_f, M1,
+                           precision=jax.lax.Precision.HIGHEST)
+        onr = (subWG == r0).astype(jnp.float32)
+        got = jnp.sum(onr * temp, axis=0, keepdims=True) \
+            .astype(jnp.int32).astype(jnp.uint32)
+
+        x = jnp.where(need, (x << 16) | got, x)
+        x_ref[...] = x
+        out_ref[s:s + 1, :] = jnp.where(act, s_row, 0).astype(jnp.uint8)
+        q = q + total2
+
+    p_ref[0] = base8 * LANE_COLS + q[0, 0]
+
+
+def v4_tab(freq: np.ndarray, cum: np.ndarray) -> np.ndarray:
+    """(34, 256) f32 table for _decode_kernel_v4 (see kernel docstring)."""
+    tab = np.zeros((34, 256), np.float32)
+    tab[0] = freq
+    tab[1] = cum
+    fr = freq.reshape(16, 16)     # [bucket, sub]
+    cm = cum.reshape(16, 16)
+    rel = cm - cm[:, 0:1]
+    tab[2:18, 0:16] = rel.T       # (sub, bucket)
+    tab[18:34, 0:16] = fr.T
+    return tab
+
+
+@partial(jax.jit, static_argnames=("K", "N", "n", "S", "interpret"))
+def decode_order0_device_v4(words, tab34, x0, K: int, N: int, n: int,
+                            S: int, interpret: bool = False):
+    """v4 two-level lookup decode. tab34: (34, 256) f32 from v4_tab."""
+    LRW = words.shape[0] // LANE_COLS
+    wmat = words.reshape(LRW, LANE_COLS)
+    G = (K + S - 1) // S
+    LR = N // LANE_COLS
+    return pl.pallas_call(
+        partial(_decode_kernel_v4, K=K, N=N, n=n, S=S),
+        grid=(G,),
+        out_shape=jax.ShapeDtypeStruct((G * S, N), jnp.uint8),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((S, N), lambda g: (g, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((1, N), jnp.uint32),
+                        pltpu.VMEM((S * LR + 16, LANE_COLS), jnp.int32),
+                        pltpu.SMEM((1,), jnp.int32),
+                        pltpu.SemaphoreType.DMA(())],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(wmat, tab34, x0)
+
+
 @partial(jax.jit, static_argnames=("K", "N", "n", "S", "interpret"))
 def decode_order0_device_v3(words, tab, x0, K: int, N: int, n: int,
                             S: int, interpret: bool = False):
@@ -1389,11 +1545,12 @@ def encode(data, n_lanes: int = 1024, S: int = 0,
 
 
 def decode(buf, interpret: bool = False, S: int = 0, v1: bool = False,
-           v2: bool = False) -> bytes:
+           v2: bool = False, v4: bool = False) -> bytes:
     """Order-0 stream decode via the Pallas kernel (host wrapper).
     S = decode steps per grid program; 0 picks a default. Default kernel is
-    v3 (full-lane-grid log-shift gathers); v2=True forces the per-row
-    kernel, v1=True the one-step-per-program baseline."""
+    v3 (full-lane-grid log-shift gathers); v4=True uses the two-level
+    bucketed-lookup kernel; v2=True forces the per-row kernel, v1=True the
+    one-step-per-program baseline."""
     from . import rans_np
     buf = memoryview(buf)
     logN, order = buf[0], buf[1]
@@ -1428,6 +1585,13 @@ def decode(buf, interpret: bool = False, S: int = 0, v1: bool = False,
     wrows = (wrows + 7) // 8 * 8
     wpad = np.zeros(wrows * LANE_COLS, np.int32)
     wpad[: data_words.shape[0]] = data_words
+    if v4:
+        tab34 = v4_tab(freq.astype(np.float32), cum.astype(np.float32))
+        out = decode_order0_device_v4(
+            jnp.asarray(wpad), jnp.asarray(tab34),
+            jnp.asarray(x0.reshape(1, N)), K, N, n, S, interpret)
+        plane = np.asarray(out)[:K]
+        return plane.T.reshape(-1)[:n].tobytes()
     if not v2:
         out = decode_order0_device_v3(
             jnp.asarray(wpad), jnp.asarray(tab),

@@ -173,29 +173,22 @@ class PizReader:
         return vb_hdr, sec, pair_sec
 
     def ensure_gencomp(self):
-        """Load the PRIM/DEPN queues + SAG store if the archive has gencomp.
-        Idempotent. Every MAIN-component consumer needs this before (or via)
-        read_vb so deported lines re-interleave (src/sam_sag_load.c)."""
+        """Load the PRIM/DEPN line queues + SAG store if the archive has
+        gencomp. Idempotent. Every MAIN-component consumer needs this
+        before (or via) read_vb so deported lines re-interleave
+        (src/sam_sag_load.c)."""
         if self._gc_loaded:
             return self._gc_depn is not None
         self._gc_loaded = True
         gc = self.file_hdr.get("gencomp")
         if not gc:
             return False
-        from collections import deque
 
         def _read_comp(comp_i, nvbs):
-            q = deque()
-            chunks = []
-            for gvb in range(1, nvbs + 1):
-                buf = self.read_vb(gvb, comp_i)
-                chunks.append(buf)
-                pos = 0
-                while pos < len(buf):
-                    e = buf.index(b"\n", pos) + 1
-                    q.append(buf[pos:e])
-                    pos = e
-            return q, b"".join(chunks)
+            chunks = [self.read_vb(gvb, comp_i)
+                      for gvb in range(1, nvbs + 1)]
+            txt = b"".join(chunks)
+            return _GcQueue(np.frombuffer(txt, np.uint8)), txt
 
         self._gc_prim, prim_txt = _read_comp(1, gc.get("prim_vbs", 0))
         if prim_txt:
@@ -207,18 +200,35 @@ class PizReader:
         return True
 
     def merge_vb_gencomp(self, out: bytes) -> bytes:
-        """Re-interleave the just-reconstructed MAIN VB's deported lines.
-        Call immediately after recon_loaded_vb on comp 0 (queue order ==
-        MAIN VB order, so VBs must be consumed or drained sequentially)."""
+        """Re-interleave the just-reconstructed MAIN VB's deported lines
+        (vectorized ragged merge — no per-line Python objects). Call
+        immediately after recon_loaded_vb on comp 0 (queue order == MAIN
+        VB order, so VBs must be consumed or drained sequentially)."""
+        from .utils import ragged
         e = np.zeros(0, np.int64)
         pp = self._last_pctxs.get("GPPOS")
         dp = self._last_pctxs.get("GCPOS")
         if pp is None and dp is None:
             return out
-        return _merge_gencomp(out, pp.nums() if pp is not None else e,
-                              self._gc_prim,
-                              dp.nums() if dp is not None else e,
-                              self._gc_depn)
+        prim_pos = pp.nums() if pp is not None else e
+        depn_pos = dp.nums() if dp is not None else e
+        a = np.frombuffer(out, np.uint8)
+        nl = np.nonzero(a == ord("\n"))[0]
+        starts = np.concatenate([[0], nl[:-1] + 1])
+        main_col = ragged.gather_ranges(a, starts, nl - starts + 1)
+        n_main = nl.shape[0]
+        total = n_main + prim_pos.shape[0] + depn_pos.shape[0]
+        deported = np.zeros(total, bool)
+        deported[prim_pos] = True
+        deported[depn_pos] = True
+        main_idx = np.nonzero(~deported)[0]
+        assert main_idx.shape[0] == n_main, "gencomp plan mismatch"
+        parts = [(main_idx, main_col)]
+        if prim_pos.shape[0]:
+            parts.append((prim_pos, self._gc_prim.take(prim_pos.shape[0])))
+        if depn_pos.shape[0]:
+            parts.append((depn_pos, self._gc_depn.take(depn_pos.shape[0])))
+        return ragged.merge_rows(total, parts).data.tobytes()
 
     def drain_vb_gencomp(self, vb_i: int):
         """Consume a skipped MAIN VB's share of the PRIM/DEPN queues without
@@ -227,8 +237,8 @@ class PizReader:
             sec = self._load_ctx_sections(vb_i, 0, ["GPPOS", "GCPOS"])
         for name, q in (("GPPOS", self._gc_prim), ("GCPOS", self._gc_depn)):
             loc = sec.get(name, {}).get("local")
-            for _ in range(loc[0].shape[0] if loc is not None else 0):
-                q.popleft()
+            if loc is not None:
+                q.skip(loc[0].shape[0])
 
     def read_vb(self, vb_i: int, comp_i: int = 0) -> bytes:
         # gencomp must load BEFORE recon: it reads comps 1/2 (clobbering
@@ -274,7 +284,13 @@ class PizReader:
             self.deep_index.add_bam_records(out)
         assert len(out) == vb_hdr["len"], \
             f"VB {vb_i}: length {len(out)} != {vb_hdr['len']}"
-        assert zlib.adler32(out) == vb_hdr["adler"], f"VB {vb_i}: digest mismatch"
+        from . import native
+        if vb_hdr.get("x64") is not None and native.available():
+            assert native.xxh64(out) == vb_hdr["x64"], \
+                f"VB {vb_i}: xxh64 digest mismatch"
+        else:
+            assert zlib.adler32(out) == vb_hdr["adler"], \
+                f"VB {vb_i}: digest mismatch"
         return out
 
     def _apply_gpos_pair_delta(self, pctxs, vb_i):
@@ -295,29 +311,29 @@ class PizReader:
         self.f.close()
 
 
-def _merge_gencomp(out: bytes, prim_pos, prim_queue, depn_pos,
-                   depn_queue) -> bytes:
-    """Re-interleave deported PRIM/DEPN lines into a MAIN VB's text by the
-    recon plan (reference parity: src/gencomp_piz.c re-interleaving via
-    VbPlanItem payloads). Positions are original line indices within the
-    VB's pre-split text."""
-    a = np.frombuffer(out, np.uint8)
-    nl = np.nonzero(a == ord("\n"))[0]
-    starts = np.concatenate([[0], nl[:-1] + 1])
-    n_main = nl.shape[0]
-    total = n_main + prim_pos.shape[0] + depn_pos.shape[0]
-    pieces = [None] * total
-    for p in prim_pos:
-        pieces[int(p)] = prim_queue.popleft()
-    for p in depn_pos:
-        pieces[int(p)] = depn_queue.popleft()
-    mi = 0
-    for i in range(total):
-        if pieces[i] is None:
-            pieces[i] = out[starts[mi]:nl[mi] + 1]
-            mi += 1
-    assert mi == n_main
-    return b"".join(pieces)
+class _GcQueue:
+    """Sequential line queue over a gencomp component's concatenated text
+    (vectorized: one newline scan; take() returns a ragged Col slice)."""
+
+    def __init__(self, data: np.ndarray):
+        from .utils.ragged import Col
+        nl = np.nonzero(data == ord("\n"))[0]
+        if data.shape[0] and (nl.shape[0] == 0 or
+                              nl[-1] != data.shape[0] - 1):
+            nl = np.concatenate([nl, [data.shape[0] - 1]])
+        offsets = np.concatenate([[0], nl + 1])
+        self.col = Col(data, offsets)
+        self.cursor = 0
+
+    def take(self, k: int):
+        from .utils import ragged
+        sub = ragged.take(self.col,
+                          np.arange(self.cursor, self.cursor + k))
+        self.cursor += k
+        return sub
+
+    def skip(self, k: int):
+        self.cursor += k
 
 
 def piz_file(z_path: str, out_path: str | None = None,

@@ -132,6 +132,11 @@ class ZipJob:
         vb_hdr = {"n": res.num_lines, "len": int(data.shape[0]),
                   "adler": zlib.adler32(data), "ctxs": ctx_meta,
                   "meta": res.meta}
+        from . import native
+        if native.available():
+            # 64-bit per-VB digest (reference digest.c XXH3-since-15.0.81
+            # role; adler32 stays as the no-native fallback check)
+            vb_hdr["x64"] = native.xxh64(data)
         return {"pending": pending, "vb_hdr": vb_hdr, "vb_i": vb_i,
                 "comp_i": comp_i, "data_len": int(data.shape[0]),
                 "num_lines": res.num_lines, "out_payloads": out_payloads}

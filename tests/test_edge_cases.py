@@ -98,3 +98,33 @@ def test_truncate_mid_record(tmp_path):
     piz_file(z, out)
     got = open(out, "rb").read()
     assert got == full[: len(full) - 25]  # whole records only
+
+
+def test_xxh64_vb_digest(tmp_path):
+    """Per-VB XXH64 digest (reference digest.c XXH3 role): stored, verified,
+    and corruption is caught."""
+    import numpy as np
+    from genozip_tpu import native
+    from genozip_tpu.zip_pipeline import zip_file
+    from genozip_tpu.piz_pipeline import piz_file, PizReader
+    if not native.available():
+        import pytest
+        pytest.skip("native lib unavailable")
+    # known-answer vectors (xxhash reference)
+    assert native.xxh64(b"") == 0xEF46DB3751D8E999
+    assert native.xxh64(b"a") == 0xD24EC4F1A98C6E5B
+    assert native.xxh64(b"abc") == 0x44BC2CF5AD770999
+
+    rng = np.random.default_rng(3)
+    data = b"".join(b"@q%d\n%s\n+\n%s\n" % (
+        i, rng.choice(np.frombuffer(b"ACGT", np.uint8), 80).tobytes(),
+        b"F" * 80) for i in range(2000))
+    src = os.path.join(str(tmp_path), "x.fastq")
+    open(src, "wb").write(data)
+    z = src + ".gxz"
+    zip_file(src, z)
+    pr = PizReader(z)
+    assert pr.load_vb(1)[0].get("x64") is not None
+    pr.close()
+    piz_file(z, src + ".out")
+    assert open(src + ".out", "rb").read() == data
