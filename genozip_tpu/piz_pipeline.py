@@ -354,15 +354,18 @@ def piz_file(z_path: str, out_path: str | None = None,
         sink = None
         if path:
             if path.endswith((".gz", ".bgz", ".bam")):
-                from .utils.bgzf import open_bgzf, ExactBgzfWriter
+                from .utils.bgzf import (open_bgzf, ExactBgzfWriter,
+                                         MgzipExactWriter)
                 mg = pr.file_hdr.get("mgzip")
                 isz_payload, _ = pr.zr.read_one(fmt.SEC_GZ_ISIZES)
                 if mg and mg.get("exact") and isz_payload is not None:
-                    # byte-exact BGZF re-emission (reference --bgzf=exact)
+                    # byte-exact re-emission, any discovered gz dialect
+                    # (reference --bgzf=exact generalized, mgzip.h matrix)
                     isizes = np.frombuffer(isz_payload, "<u4")
-                    sink = ExactBgzfWriter(open(path, "wb"), isizes,
-                                           mg["level"],
-                                           bytes.fromhex(mg["header"]))
+                    cls = ExactBgzfWriter if mg.get("kind", "bgzf") == "bgzf" \
+                        else MgzipExactWriter
+                    sink = cls(open(path, "wb"), isizes, mg["level"],
+                               bytes.fromhex(mg["header"]))
                 else:
                     sink = open_bgzf(path)
             else:

@@ -21,12 +21,17 @@ def open_input(path: str):
     if path.endswith((".gz", ".bgz", ".bam")):
         # BGZF gets a block-aware reader that records per-block isizes for
         # byte-exact re-emission (reference src/mgzip.c)
-        from .utils.bgzf import is_bgzf, BgzfBlockReader
+        from .utils.bgzf import is_bgzf, BgzfBlockReader, MgzipBlockReader
         raw = open(path, "rb")
         head = raw.read(18)
         raw.seek(0)
         if is_bgzf(head):
             return BgzfBlockReader(raw)
+        if head[:2] == b"\x1f\x8b":
+            # non-BGZF gz dialects (IL1M/IL4M/MGZF/MGSP/EMFL/EMVL/GZBL,
+            # reference mgzip.h:14-33): member-splitting reader with
+            # byte-exact re-emission discovery
+            return MgzipBlockReader(raw)
         return gzip.open(raw, "rb")
     if path.endswith(".bz2"):
         return bz2.open(path, "rb")

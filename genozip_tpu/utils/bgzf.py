@@ -164,3 +164,198 @@ class ExactBgzfWriter:
             self.block_i += 1
         assert not self.buf, "BGZF-exact: plaintext longer than recorded"
         self.f.close()
+
+
+# ---------------------------------------------------------------------------
+# Generic multi-member gz dialects (reference src/mgzip.h:14-33 matrix:
+# IL1M/IL4M/MGZF/MGSP/EMFL/EMVL/GZBL — BGZF has its own reader above).
+# One member-splitting reader handles them all: gzip members are found with
+# zlib's member-end detection, per-member headers + isizes recorded, the
+# dialect classified from header + isize pattern, and — when the deflate
+# level is discovered and headers are uniform — PIZ re-emits the original
+# bytes exactly (the reference's --bgzf=exact generalized to the family).
+# ---------------------------------------------------------------------------
+
+def _gz_header_len(buf: bytes) -> int:
+    """Length of one gzip member header (enough of buf must be present)."""
+    assert buf[:2] == b"\x1f\x8b" and buf[2] == 8, "not a gzip member"
+    flg = buf[3]
+    off = 10
+    if flg & 4:                            # FEXTRA
+        xlen = int.from_bytes(buf[off:off + 2], "little")
+        off += 2 + xlen
+    if flg & 8:                            # FNAME
+        off = buf.index(b"\x00", off) + 1
+    if flg & 16:                           # FCOMMENT
+        off = buf.index(b"\x00", off) + 1
+    if flg & 2:                            # FHCRC
+        off += 2
+    return off
+
+
+def classify_mgzip(header: bytes, isizes) -> str:
+    """Dialect name from the first member header + isize pattern
+    (mgzip.h:14-33)."""
+    body = [i for i in isizes[:-1] if i > 0] if len(isizes) > 1 else isizes
+    if len(header) >= 16 and header[3] & 4 and header[12:14] == b"IG":
+        return "mgzf"                       # MGI 32-bit BGZF variant
+    if body and all(i == (1 << 20) for i in body):
+        return "il1m"                       # Illumina 1MB members
+    if body and all(i == (4 << 20) for i in body):
+        return "il4m"
+    if header[8:10] == b"\x00\x03" and len(set(body)) <= 1:
+        return "mgsp"                       # MGI same-isize groups
+    if isizes and isizes[0] == 0:
+        return "emvl"                       # Element: leading empty block
+    if body and len(set(body)) == 1:
+        return "emfl"                       # Element fixed-length
+    return "gzbl"                           # generic gz blocks
+
+
+class MgzipBlockReader:
+    """Member-splitting reader for the non-BGZF multi-member gz dialects.
+    Records per-member isizes + headers for dialect classification and
+    byte-exact re-emission."""
+
+    def __init__(self, fileobj):
+        self.f = fileobj
+        self.isizes = []
+        self.headers_uniform = True
+        self.header0 = None
+        self._probe = None                  # (payload, deflate bytes)
+        self._raw = b""                     # unparsed input bytes
+        self._eof_in = False
+        self._out = bytearray()
+
+    def _fill(self, n=1 << 20):
+        if not self._eof_in:
+            chunk = self.f.read(n)
+            if not chunk:
+                self._eof_in = True
+            self._raw += chunk
+
+    def _read_member(self) -> bool:
+        while len(self._raw) < 10 and not self._eof_in:
+            self._fill()
+        if not self._raw:
+            return False
+        while True:
+            try:
+                hl = _gz_header_len(self._raw)
+                break
+            except (IndexError, ValueError):
+                if self._eof_in:
+                    raise AssertionError("truncated gz member header")
+                self._fill()
+        hdr = self._raw[:hl]
+        if self.header0 is None:
+            self.header0 = hdr
+        elif hdr != self.header0:
+            self.headers_uniform = False
+        d = zlib.decompressobj(-15)
+        pos = hl
+        payload = bytearray()
+        comp_parts = []
+        while True:
+            if pos >= len(self._raw):
+                if self._eof_in:
+                    raise AssertionError("truncated gz member")
+                self._fill()
+            chunk = self._raw[pos:]
+            out = d.decompress(chunk)
+            payload += out
+            if d.eof:
+                used = len(chunk) - len(d.unused_data)
+                comp_parts.append(chunk[:used])
+                pos += used
+                break
+            comp_parts.append(chunk)
+            pos += len(chunk)
+        # trailer: crc32 + isize
+        while len(self._raw) < pos + 8 and not self._eof_in:
+            self._fill()
+        isize = int.from_bytes(self._raw[pos + 4:pos + 8], "little")
+        assert (len(payload) & 0xFFFFFFFF) == isize, "gz isize mismatch"
+        self._raw = self._raw[pos + 8:]
+        self.isizes.append(len(payload))
+        if self._probe is None and payload:
+            self._probe = (bytes(payload), b"".join(comp_parts))
+        self._out += payload
+        return True
+
+    def read(self, want: int) -> bytes:
+        while len(self._out) < want:
+            if not self._read_member():
+                break
+        out = bytes(self._out[:want])
+        del self._out[:want]
+        return out
+
+    def discover_level(self):
+        if self._probe is None:
+            return None
+        payload, comp = self._probe
+        for lvl in range(1, 10):
+            co = zlib.compressobj(lvl, zlib.DEFLATED, -15)
+            if co.compress(payload) + co.flush() == comp:
+                return lvl
+        return None
+
+    def mgzip_info(self):
+        # drain remaining members so the isize list is complete
+        while self._read_member():
+            pass
+        kind = classify_mgzip(self.header0 or b"", self.isizes)
+        lvl = self.discover_level()
+        if lvl is None or not self.headers_uniform or self.header0 is None:
+            return {"kind": kind, "exact": False}
+        return {"kind": kind, "exact": True, "level": lvl,
+                "header": self.header0.hex()}
+
+    def close(self):
+        self.f.close()
+
+
+class MgzipExactWriter:
+    """Byte-exact re-emission of a multi-member gz file from recorded
+    isizes + uniform header + discovered level (any non-BGZF dialect)."""
+
+    def __init__(self, fileobj, isizes, level: int, header: bytes):
+        self.f = fileobj
+        self.isizes = list(isizes)
+        self.level = level
+        self.header = header
+        self.buf = bytearray()
+        self.block_i = 0
+
+    def _emit(self, payload: bytes):
+        co = zlib.compressobj(self.level, zlib.DEFLATED, -15)
+        comp = co.compress(payload) + co.flush()
+        self.f.write(self.header)
+        self.f.write(comp)
+        self.f.write(struct.pack("<II", zlib.crc32(payload) & 0xFFFFFFFF,
+                                 len(payload) & 0xFFFFFFFF))
+
+    def write(self, data: bytes):
+        self.buf += data
+        while self.block_i < len(self.isizes):
+            need = self.isizes[self.block_i]
+            if need == 0 or len(self.buf) < need:
+                break
+            self._emit(bytes(self.buf[:need]))
+            del self.buf[:need]
+            self.block_i += 1
+
+    def close(self):
+        while self.block_i < len(self.isizes):
+            need = self.isizes[self.block_i]
+            if need == 0:
+                self._emit(b"")
+                self.block_i += 1
+                continue
+            assert len(self.buf) >= need, "mgzip-exact: short plaintext"
+            self._emit(bytes(self.buf[:need]))
+            del self.buf[:need]
+            self.block_i += 1
+        assert not self.buf, "mgzip-exact: plaintext longer than recorded"
+        self.f.close()

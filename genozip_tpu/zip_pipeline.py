@@ -415,8 +415,8 @@ def zip_file(in_path: str, out_path: str, dt_name: str | None = None,
         gencomp_hdr = {"prim_vbs": gp, "depn_vbs": gd}
 
     mgzip = None
-    from .utils.bgzf import BgzfBlockReader
-    if isinstance(reader.f, BgzfBlockReader):
+    from .utils.bgzf import BgzfBlockReader, MgzipBlockReader
+    if isinstance(reader.f, (BgzfBlockReader, MgzipBlockReader)):
         mgzip = reader.f.mgzip_info()
         if mgzip.get("exact"):
             isz = np.asarray(reader.f.isizes, dtype="<u4").tobytes()
