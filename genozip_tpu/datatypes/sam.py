@@ -318,7 +318,9 @@ class SamDT(DataType):
             predict = self._predict_from_ctxs(
                 ctxs["SQBITMAP"].local.astype(bool), ctxs["SEQNM"].local,
                 ctxs["SEQMISP"].local, cigar, pos, rname, ref)
-        self._seg_aux(ctxs, aux, predict, qual=qual, seq=seq)
+        mate = self.mate_rows(qname, pos, pnext) if len(qname) else None
+        self._seg_aux(ctxs, aux, predict, qual=qual, seq=seq,
+                      cigar=cigar, mate=mate)
 
         if bad_rows.shape[0]:
             uw, inv = dedup_col(ragged.take(lines, bad_rows))
@@ -775,6 +777,39 @@ class SamDT(DataType):
         return "AX" + chr(b0) + chr(b1) + chr(b3)
 
     @staticmethod
+    def mate_rows(qname, pos_txt, pnext_txt):
+        """Per-row index of the MATE row within the VB (-1 if absent):
+        mate of i = first row j with the same QNAME and POS_j == PNEXT_i
+        (reference mate-copy snips, sam_seg.c:27-60). Vectorized: lexsort
+        by (qname hash, pos) + searchsorted for (hash, pnext). Recomputed
+        identically at PIZ from reconstructed columns; predictions are
+        verified with per-row fit bitmaps, so hash collisions can only
+        cost ratio."""
+        from .. import sag as sag_mod
+        h = sag_mod.qname_hash(qname)
+        pv, pok = ragged.atoi(pos_txt)
+        nv, nok = ragged.atoi(pnext_txt)
+        n = h.shape[0]
+        if n == 0 or not (pok.all() and nok.all()):
+            return np.full(n, -1, np.int64)
+        order = np.lexsort((pv, h))
+        hs, ps = h[order], pv[order]
+        want_h, want_p = h, nv
+        lo = np.searchsorted(hs, want_h, side="left")
+        # within the hash run, find pos == pnext
+        idx = np.full(n, -1, np.int64)
+        # bounded linear probe (hash runs are tiny); 4 steps cover pairs +
+        # a few same-qname supplementaries
+        self_i = np.arange(n)
+        for k in range(4):
+            cand = np.clip(lo + k, 0, n - 1)
+            crow = order[cand]
+            hit = (idx < 0) & (hs[cand] == want_h) & (ps[cand] == want_p) \
+                & (crow != self_i)
+            idx = np.where(hit, crow, idx)
+        return idx
+
+    @staticmethod
     def _hp_run_structure(seq_rows):
         """Per-row homopolymer run structure of a seq Col: returns
         (run_lens flat int64, runs_per_row int64) — runs never cross rows.
@@ -794,7 +829,8 @@ class SamDT(DataType):
         runs_per_row = np.bincount(row[starts], minlength=len(seq_rows))
         return run_lens.astype(np.int64), runs_per_row.astype(np.int64)
 
-    def _seg_aux(self, ctxs, aux, predict=None, qual=None, seq=None):
+    def _seg_aux(self, ctxs, aux, predict=None, qual=None, seq=None,
+                 cigar=None, mate=None):
         """Per-tag AUX contexts (reference src/sam_fields.c: one context per
         aux tag keyed by DictId). Layout word per row = concatenated 4-byte
         'TG:t' prefixes (AUXL dict); per tag one value context AX<TG><t>.
@@ -862,6 +898,31 @@ class SamDT(DataType):
                         else:
                             ctxs[name] = VBCtx(name, MODE_NUM, local=iv,
                                                cat="int", param=0)
+                    continue
+            if cigar is not None and mate is not None and \
+                    (b0, b1, b3) == (ord("M"), ord("C"), ord("Z")):
+                # MC:Z = mate's CIGAR (reference mate-copy snips,
+                # sam_seg.c:27-60): per-row fit bitmap + exceptions
+                midx = mate[rows_t]
+                pred = ragged.take(cigar, np.maximum(midx, 0))
+                eq = (midx >= 0) & (vals.lens == pred.lens)
+                if eq.any():
+                    a = ragged.take(vals, np.nonzero(eq)[0])
+                    b = ragged.take(pred, np.nonzero(eq)[0])
+                    neq = np.nonzero(a.data != b.data)[0]
+                    if neq.shape[0]:
+                        bad = np.unique(np.searchsorted(
+                            a.offsets[1:], neq, side="right"))
+                        ei = np.nonzero(eq)[0]
+                        eq[ei[bad]] = False
+                if eq.mean() > 0.5:
+                    ctxs[name + "M"] = VBCtx(name + "M", MODE_NUM,
+                                             local=eq.astype(np.int64),
+                                             cat="int")
+                    if (~eq).any():
+                        exc = ragged.take(vals, np.nonzero(~eq)[0])
+                        ctxs.update(tokenizer_seg_col(name + "X", exc,
+                                                      single_stream=True))
                     continue
             if qual is not None and (b0, b1, b3) == (ord("O"), ord("Q"),
                                                      ord("Z")):
@@ -952,7 +1013,8 @@ class SamDT(DataType):
                 continue
             ctxs.update(tokenizer_seg_col(name, vals, single_stream=True))
 
-    def _recon_aux(self, pctxs, n, predict=None, qual=None, seq=None):
+    def _recon_aux(self, pctxs, n, predict=None, qual=None, seq=None,
+                   cigar=None, mate=None):
         """Rebuild the AUX remainder (leading-\\t convention) from AUXL
         layout + per-tag contexts."""
         layout = pctxs["AUXL"].dict_take()
@@ -980,6 +1042,20 @@ class SamDT(DataType):
                 name = self._tag_name(b0, b1, b3)
                 rows_t = field_row[idx]
                 pc = pctxs.get(name)
+                if name + "M" in pctxs and cigar is not None and \
+                        mate is not None:
+                    # MC:Z from the mate's reconstructed CIGAR
+                    eq = pctxs[name + "M"].nums().astype(bool)
+                    midx = mate[rows_t]
+                    pred = ragged.take(cigar, np.maximum(midx, 0))
+                    sub = [(np.nonzero(eq)[0],
+                            ragged.take(pred, np.nonzero(eq)[0]))]
+                    if (~eq).any():
+                        exc = tokenizer_recon_col(name + "X", pctxs,
+                                                  int((~eq).sum()))
+                        sub.append((np.nonzero(~eq)[0], exc))
+                    parts.append((idx, ragged.merge_rows(idx.shape[0], sub)))
+                    continue
                 if name + "Q" in pctxs and qual is not None:
                     # OQ:Z byte-delta vs QUAL (src/codec_oq.c role)
                     fit = pctxs[name + "Q"].nums().astype(bool)
@@ -1228,7 +1304,9 @@ class SamDT(DataType):
                         pctxs["SQBITMAP"].nums().astype(bool),
                         pctxs["SEQNM"].nums(), pctxs["SEQMISP"].nums(),
                         cigar, pos, rname, ref)
-                aux = self._recon_aux(pctxs, ng, predict, qual=qual, seq=seq)
+                mate = self.mate_rows(qname, pos, pnext) if ng else None
+                aux = self._recon_aux(pctxs, ng, predict, qual=qual,
+                                      seq=seq, cigar=cigar, mate=mate)
             else:
                 aux = tokenizer_recon_col("AUX", pctxs, ng)
             t = b"\t"

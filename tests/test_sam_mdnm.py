@@ -208,3 +208,35 @@ def test_ref_internal_denovo_genome(tmp_path):
         sam_mod.SamDT._maybe_init_internal_ref = orig
     s_int, s_verb = seq_stream_bytes(z), seq_stream_bytes(z2)
     assert s_verb >= 4 * s_int, (s_int, s_verb)
+
+
+def test_mc_mate_copy(tmp_path):
+    """MC:Z predicted from the mate's CIGAR (reference mate-copy snips,
+    sam_seg.c:27-60); wrong MC values fall into exceptions."""
+    from genozip_tpu.piz_pipeline import PizReader
+    rng = np.random.default_rng(6)
+    ACGT = np.frombuffer(b"ACGT", np.uint8)
+    rows = [b"@HD\tVN:1.6\n@SQ\tSN:c1\tLN:900000\n"]
+    for i in range(1500):
+        p1 = 100 + i * 40
+        p2 = p1 + 200
+        c1 = b"100M" if i % 4 else b"60M40S"
+        c2 = b"100M" if i % 3 else b"30S70M"
+        s = rng.choice(ACGT, 100).tobytes()
+        q = b"F" * 100
+        rows.append(b"P%d\t99\tc1\t%d\t60\t%s\t=\t%d\t300\t%s\t%s\t"
+                    b"MC:Z:%s\n" % (i, p1, c1, p2, s, q, c2))
+        rows.append(b"P%d\t147\tc1\t%d\t60\t%s\t=\t%d\t-300\t%s\t%s\t"
+                    b"MC:Z:%s\n" % (i, p2, c2, p1, s, q, c1))
+    rows.append(b"X1\t99\tc1\t500000\t60\t100M\t=\t500200\t300\t%s\t%s\t"
+                b"MC:Z:55M\n" % (rng.choice(ACGT, 100).tobytes(), b"F" * 100))
+    data = b"".join(rows)
+    src = os.path.join(str(tmp_path), "mc.sam")
+    open(src, "wb").write(data)
+    z = src + ".gxz"
+    zip_file(src, z)
+    piz_file(z, src + ".out")
+    assert open(src + ".out", "rb").read() == data
+    pr = PizReader(z)
+    assert "AXMCZM" in pr.load_vb(1)[0]["ctxs"]
+    pr.close()
