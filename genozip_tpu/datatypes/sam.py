@@ -53,6 +53,57 @@ def _recon_num_or_tok(name, pctxs, n):
 class SamDT(DataType):
     NAME = "sam"
 
+    def segconf_scan(self, sample):
+        """SAM calibration (reference src/segconf.c:459 segconf_calculate:
+        ~200 fields; the load-bearing subset here): sortedness (gates the
+        gencomp prescan), DEPN presence (secondary/supplementary flags),
+        paired fraction, aux tags seen, long-read detection, qual
+        alphabet."""
+        super().segconf_scan(sample)
+        nl = np.nonzero(sample == ord("\n"))[0]
+        if nl.shape[0] == 0:
+            return
+        starts = np.concatenate([[0], nl[:-1] + 1])
+        lines = ragged.gather_ranges(sample, starts, nl - starts)
+        rows = [i for i in range(len(lines)) if lines.row(i)[:1] != b"@"]
+        if not rows:
+            return
+        cols, _aux, good, _bad = ragged.split_first_fields(
+            ragged.take(lines, np.asarray(rows)), ord("\t"), NUM_FIXED)
+        if good.shape[0] == 0:
+            return
+        flags, fok = ragged.atoi(cols[1])
+        pv, pok = ragged.atoi(cols[3])
+        if fok.any():
+            f = flags[fok]
+            self.segconf["has_depn"] = bool(((f & 0x900) != 0).any())
+            self.segconf["paired_frac"] = round(
+                float(((f & 1) != 0).mean()), 2)
+        if pok.sum() > 4:
+            # sorted = POS non-decreasing within runs of the same RNAME
+            from ..contexts import dedup_col
+            _, inv = dedup_col(cols[2])
+            p = pv[pok]
+            r = inv[pok]
+            same = r[1:] == r[:-1]
+            self.segconf["sorted"] = bool(
+                (p[1:][same] >= p[:-1][same]).all()) if same.any() else True
+        sl = cols[9].lens
+        if sl.shape[0]:
+            self.segconf["read_len_avg"] = round(float(sl.mean()), 1)
+            self.segconf["is_long_reads"] = bool(sl.mean() > 1000)
+        ql = cols[10]
+        if len(ql):
+            self.segconf["qual_alphabet"] = int(
+                np.unique(ql.data[:65536]).shape[0])
+        # aux tags present in the sample (codec/prediction preselection)
+        tags = set()
+        for i in range(min(len(rows), 100)):
+            for fld in lines.row(rows[i]).split(b"\t")[NUM_FIXED:]:
+                if len(fld) >= 5 and fld[2:3] == b":":
+                    tags.add(fld[:2].decode("latin1"))
+        self.segconf["aux_tags"] = sorted(tags)
+
     def read_txt_header(self, reader) -> bytes:
         hdr = reader.read_header_lines(b"@")
         if getattr(self, "ref", None) is None:

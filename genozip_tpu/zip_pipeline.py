@@ -289,6 +289,11 @@ def zip_file(in_path: str, out_path: str, dt_name: str | None = None,
     depn_parts = []      # deported DEPN text
     use_gencomp = dt_name in ("sam",) and hasattr(dt, "gencomp_split")
     depn_qnames = None
+    # segconf gates the prescan pass: a sample with no secondary/
+    # supplementary flags skips the extra streaming read (segconf.c role);
+    # DEPN appearing later still deports per-VB (DEPN-only mode)
+    if use_gencomp and not dt.segconf.get("has_depn", True):
+        use_gencomp = False
     if use_gencomp:
         # prescan: which qnames have dependents (reference sam_sag_scan.c) —
         # a second streaming pass; primaries of those qnames deport to the
