@@ -35,11 +35,12 @@ DOMQ = 11     # dominant-symbol quality: RLE'd dom-mask + rANS'd exceptions
 STRIPE4 = 12  # 4-byte-plane transpose then order-1 rANS (u32/f32 arrays)
 ARITH0 = 13   # wide-interleaved adaptive range coder, order-0
 ARITH1 = 14   # order-1 (context = previous byte)
+BWT = 15      # block-sorting (BSC role): vectorized BWT + adaptive coder
 
 NAMES = {NONE: "NONE", RANS0: "RANS0", RANS1: "RANS1", PACK0: "PACK0",
          PACK1: "PACK1", ZLIB: "ZLIB", BZ2: "BZ2", LZMA: "LZMA", ACGT: "ACGT",
          DELTA_RANS: "DELTA", RLE0: "RLE0", DOMQ: "DOMQ", STRIPE4: "STRIPE4",
-         ARITH0: "ARITH0", ARITH1: "ARITH1"}
+         ARITH0: "ARITH0", ARITH1: "ARITH1", BWT: "BWT"}
 
 # toggled by the pipeline: use the JAX (device) rANS for large payloads
 _JAX_MIN_SIZE = 1 << 62   # effectively disabled until enabled
@@ -307,6 +308,9 @@ def compress(data: bytes, codec: int) -> bytes:
         return _arith_encode(data, 0)
     if codec == ARITH1:
         return _arith_encode(data, 1)
+    if codec == BWT:
+        from . import bwt as bwt_mod
+        return bwt_mod.compress(bytes(data), ARITH1)
     raise ValueError(f"unknown codec {codec}")
 
 
@@ -335,6 +339,9 @@ def decompress(blob, codec: int, uncomp_len: int) -> bytes:
         out = _stripe4_decode(blob)
     elif codec in (ARITH0, ARITH1):
         out = _arith_decode(blob)
+    elif codec == BWT:
+        from . import bwt as bwt_mod
+        out = bwt_mod.decompress(blob)
     else:
         raise ValueError(f"unknown codec {codec}")
     if len(out) > uncomp_len and codec in (RANS0, RANS1, DELTA_RANS):

@@ -59,7 +59,8 @@ def candidates_for(data: np.ndarray, category: str):
     if _mode == "fast":
         cands = [c for c in cands if c not in (BZ2, LZMA)][:2] or cands[:1]
     elif _mode == "best":
-        for extra in (BZ2, LZMA, ZLIB):
+        from . import BWT
+        for extra in (BZ2, LZMA, ZLIB, BWT):
             if extra not in cands:
                 cands.append(extra)
     return cands

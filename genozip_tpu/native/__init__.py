@@ -63,6 +63,10 @@ def get():
             lib.gxz_adler32.restype = ctypes.c_uint32
             lib.gxz_adler32.argtypes = [ctypes.c_uint32, ctypes.c_void_p,
                                         ctypes.c_int64]
+            lib.gxz_bwt_walk.restype = None
+            lib.gxz_bwt_walk.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                         ctypes.c_int64, ctypes.c_int64,
+                                         ctypes.c_void_p]
             lib.gxz_xxh64.restype = ctypes.c_uint64
             lib.gxz_xxh64.argtypes = [ctypes.c_uint64, ctypes.c_void_p,
                                       ctypes.c_int64]
@@ -132,6 +136,17 @@ def rans_decode(blob, n_hint: int | None = None) -> bytes:
     r = lib.gxz_rans_decode(a.ctypes.data, a.shape[0], out.ctypes.data, n)
     assert r == n, f"native rans decode failed ({r})"
     return out[:n].tobytes()
+
+
+def perm_walk(lf: np.ndarray, li: np.ndarray, prim: int, n: int) -> np.ndarray:
+    """Inverse-BWT LF chase (codecs/bwt.py)."""
+    lib = get()
+    lf = np.ascontiguousarray(lf, np.int64)
+    li = np.ascontiguousarray(li, np.int64)
+    out = np.empty(n, np.uint8)
+    lib.gxz_bwt_walk(lf.ctypes.data, li.ctypes.data, prim, n,
+                     out.ctypes.data)
+    return out
 
 
 def xxh64(data, seed: int = 0) -> int:

@@ -566,6 +566,17 @@ void gxz_acgt_unpack(const uint8_t* packed, int64_t n, const uint32_t* exc_pos,
 }
 
 // adler32 passthrough (zlib's is fast)
+// inverse-BWT LF-mapping walk (codecs/bwt.py): the only serial step of
+// the BWT codec — a plain n-step permutation chase
+void gxz_bwt_walk(const int64_t* lf, const int64_t* li, int64_t prim,
+                  int64_t n, uint8_t* out) {
+    int64_t i = prim;
+    for (int64_t k = n - 1; k >= 0; k--) {
+        i = lf[i];
+        out[k] = (uint8_t)(li[i] - 1);
+    }
+}
+
 // XXH64 (public spec; the reference's default per-VB/file digest since
 // 15.0.81 is XXH3 — we standardize on XXH64: same 64-bit collision
 // resistance class, far above the 32-bit adler it replaces here).

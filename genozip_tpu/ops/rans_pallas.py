@@ -1,5 +1,20 @@
 """Pallas TPU kernels for wide-interleaved rANS (order-0): decode + encode.
 
+STATUS round 2 (kernel-only, measured on TPU v5e):
+  v3 (round-1 default):        198 MB/s (N=1024 S=8); 164 @ N=4096.
+  v4 (two-level 16x16 lookup): 201 MB/s — bit-exact, but no speedup:
+      the (256, N) staircase was NOT the bottleneck at these widths.
+  v5 (v4 + per-step renorm windows, default now): 223 MB/s (N=2048 S=8).
+  Roofline finding for the next iteration: per-step time ~ 4-5 cycles/
+  byte at every N — dominated by the renorm distribute's ELEMENTWISE
+  parts: M1 one-hot construction (128, N) costs N vreg-compares/step and
+  the row-select (WG, N) another ~WG*N/1024·3; the matmul itself is
+  cheap. Reaching ~1 GB/s needs sub-128-col windowed routing per lane
+  group (monotonic ranks => each 128-lane group spans <= 2 window rows)
+  or a genuinely different distribute (e.g. transposed scatter), plus
+  (8, N/8) state layout so the (1, N) u32 ops stop wasting 7/8 of each
+  vreg. The decode_many batched path (below) inherits v3's distribute.
+
 STATUS (round 1, measured on TPU v5e through the axon relay):
   order-0 decode v3 (lane-vector, default): 164-192 MB/s kernel-only.
   order-0 encode: 104 MB/s kernel-only; byte-identical streams.
@@ -544,6 +559,134 @@ def v4_tab(freq: np.ndarray, cum: np.ndarray) -> np.ndarray:
     tab[2:18, 0:16] = rel.T       # (sub, bucket)
     tab[18:34, 0:16] = fr.T
     return tab
+
+
+def _decode_kernel_v5(words_ref, tab_ref, x0_ref, out_ref, x_ref,
+                      win_ref, p_ref, sem, *, K: int, N: int, n: int,
+                      S: int):
+    """v5 = v4 lookup + PER-STEP renorm windows. v3/v4 DMA one window of
+    S*LR+16 rows per program and run the word-distribute one-hots over ALL
+    of it every step — the (WG, N) elementwise work is what actually
+    dominates (measured: v4's cheaper lookup changed nothing, and N=4096
+    is slower per byte than N=1024). A step consumes <= N words = LR rows,
+    so here each step DMAs its own 8-aligned (LR+16, 128) window and the
+    distribute runs over that — work per byte drops from (S*LR+16)/LR to
+    ~(LR+16)/LR and S can grow freely (fewer grid programs)."""
+    g = pl.program_id(0)
+
+    @pl.when(g == 0)
+    def _init():
+        x_ref[...] = x0_ref[...].astype(jnp.uint32)
+        p_ref[0] = 0
+
+    LR = N // LANE_COLS
+    WG = LR + 16                     # per-step window rows
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, N), 1)
+    lane_len = jnp.clip(n - lane * K, 0, K)
+    sub128 = jax.lax.broadcasted_iota(jnp.int32, (LANE_COLS, 1), 0)
+    subWG = jax.lax.broadcasted_iota(jnp.int32, (WG, 1), 0)
+
+    cum_row = tab_ref[1:2, :]
+    iota256c = jax.lax.broadcasted_iota(jnp.int32, (256, 16), 0)
+    iota16b = jax.lax.broadcasted_iota(jnp.int32, (256, 16), 1)
+    pick = (iota256c == iota16b * 16).astype(jnp.float32)
+    coarseT = jnp.transpose(jax.lax.dot(cum_row, pick,
+                            precision=jax.lax.Precision.HIGHEST))
+    fine_relT = tab_ref[2:18, 0:16]
+    fine_fT = tab_ref[18:34, 0:16]
+
+    for s in range(S):
+        t = g * S + s
+        act = t < lane_len
+        # window base from the SMEM word cursor (scalar); start the DMA
+        # immediately so it overlaps the table lookup below
+        ps = p_ref[0]
+        base8 = pl.multiple_of(8 * (ps // (8 * LANE_COLS)), 8)
+        cp = pltpu.make_async_copy(words_ref.at[pl.ds(base8, WG), :],
+                                   win_ref, sem)
+        cp.start()
+        q = jnp.full((1, 1), ps, dtype=jnp.int32)
+        x = x_ref[...]
+        slot = (x & jnp.uint32(SCALE - 1)).astype(jnp.int32)
+        slot_f = slot.astype(jnp.float32)
+        ge_c = (coarseT <= slot_f).astype(jnp.float32)
+        b_row = jnp.sum(ge_c, axis=0, keepdims=True) - 1.0
+        onehot_b = ge_c - jnp.concatenate(
+            [ge_c[1:, :], jnp.zeros((1, N), jnp.float32)], axis=0)
+        cum_c = jnp.sum(ge_c * (coarseT - jnp.concatenate(
+            [jnp.zeros((1, 1), jnp.float32), coarseT[:-1, :]], axis=0)),
+            axis=0, keepdims=True)
+        relC = jax.lax.dot(fine_relT, onehot_b,
+                           precision=jax.lax.Precision.HIGHEST)
+        fF = jax.lax.dot(fine_fT, onehot_b,
+                         precision=jax.lax.Precision.HIGHEST)
+        slot_rel = slot_f - cum_c
+        ge_f = (relC <= slot_rel).astype(jnp.float32)
+        sub_row = jnp.sum(ge_f, axis=0, keepdims=True) - 1.0
+        onehot_s = ge_f - jnp.concatenate(
+            [ge_f[1:, :], jnp.zeros((1, N), jnp.float32)], axis=0)
+        f_v = jnp.sum(onehot_s * fF, axis=0, keepdims=True)
+        c_rel = jnp.sum(onehot_s * relC, axis=0, keepdims=True)
+        s_row = (b_row * 16.0 + sub_row).astype(jnp.int32)
+        f = f_v.astype(jnp.int32).astype(jnp.uint32)
+        c = (cum_c + c_rel).astype(jnp.int32).astype(jnp.uint32)
+        f = jnp.where(act, f, jnp.uint32(1))
+        c = jnp.where(act, c, jnp.uint32(0))
+
+        xa = f * (x >> SCALE_BITS) + slot.astype(jnp.uint32) - c
+        x = jnp.where(act, xa, x)
+        need = act & (x < RANS_L)
+        rk = need.astype(jnp.int32)
+        k = 1
+        while k < N:
+            sh = pltpu.roll(rk, k, axis=1)
+            rk = rk + jnp.where(lane >= k, sh, 0)
+            k *= 2
+        total2 = jnp.max(rk, axis=1, keepdims=True)
+
+        cp.wait()
+        win_f = win_ref[...].astype(jnp.float32)
+
+        idx = q - base8 * LANE_COLS + rk - 1
+        r0 = idx // LANE_COLS
+        c0 = idx - r0 * LANE_COLS
+        M1 = (sub128 == c0).astype(jnp.float32)
+        temp = jax.lax.dot(win_f, M1,
+                           precision=jax.lax.Precision.HIGHEST)
+        onr = (subWG == r0).astype(jnp.float32)
+        got = jnp.sum(onr * temp, axis=0, keepdims=True) \
+            .astype(jnp.int32).astype(jnp.uint32)
+
+        x = jnp.where(need, (x << 16) | got, x)
+        x_ref[...] = x
+        out_ref[s:s + 1, :] = jnp.where(act, s_row, 0).astype(jnp.uint8)
+        p_ref[0] = ps + total2[0, 0]
+
+
+@partial(jax.jit, static_argnames=("K", "N", "n", "S", "interpret"))
+def decode_order0_device_v5(words, tab34, x0, K: int, N: int, n: int,
+                            S: int, interpret: bool = False):
+    """v5: per-step renorm windows + two-level lookup."""
+    LRW = words.shape[0] // LANE_COLS
+    wmat = words.reshape(LRW, LANE_COLS)
+    G = (K + S - 1) // S
+    LR = N // LANE_COLS
+    return pl.pallas_call(
+        partial(_decode_kernel_v5, K=K, N=N, n=n, S=S),
+        grid=(G,),
+        out_shape=jax.ShapeDtypeStruct((G * S, N), jnp.uint8),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((S, N), lambda g: (g, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((1, N), jnp.uint32),
+                        pltpu.VMEM((LR + 16, LANE_COLS), jnp.int32),
+                        pltpu.SMEM((1,), jnp.int32),
+                        pltpu.SemaphoreType.DMA(())],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(wmat, tab34, x0)
 
 
 @partial(jax.jit, static_argnames=("K", "N", "n", "S", "interpret"))
@@ -1545,11 +1688,12 @@ def encode(data, n_lanes: int = 1024, S: int = 0,
 
 
 def decode(buf, interpret: bool = False, S: int = 0, v1: bool = False,
-           v2: bool = False, v4: bool = False) -> bytes:
+           v2: bool = False, v3: bool = False, v4: bool = False,
+           v5: bool = False) -> bytes:
     """Order-0 stream decode via the Pallas kernel (host wrapper).
-    S = decode steps per grid program; 0 picks a default. Default kernel is
-    v3 (full-lane-grid log-shift gathers); v4=True uses the two-level
-    bucketed-lookup kernel; v2=True forces the per-row kernel, v1=True the
+    S = decode steps per grid program; 0 picks a default. Default kernel
+    is v5 (two-level lookup + per-step renorm windows — fastest measured);
+    v3/v4 select earlier kernels, v2 the per-row kernel, v1 the
     one-step-per-program baseline."""
     from . import rans_np
     buf = memoryview(buf)
@@ -1585,11 +1729,11 @@ def decode(buf, interpret: bool = False, S: int = 0, v1: bool = False,
     wrows = (wrows + 7) // 8 * 8
     wpad = np.zeros(wrows * LANE_COLS, np.int32)
     wpad[: data_words.shape[0]] = data_words
-    if v4:
+    if v4 or v5 or not (v2 or v3):
         tab34 = v4_tab(freq.astype(np.float32), cum.astype(np.float32))
-        out = decode_order0_device_v4(
-            jnp.asarray(wpad), jnp.asarray(tab34),
-            jnp.asarray(x0.reshape(1, N)), K, N, n, S, interpret)
+        fn = decode_order0_device_v4 if v4 else decode_order0_device_v5
+        out = fn(jnp.asarray(wpad), jnp.asarray(tab34),
+                 jnp.asarray(x0.reshape(1, N)), K, N, n, S, interpret)
         plane = np.asarray(out)[:K]
         return plane.T.reshape(-1)[:n].tobytes()
     if not v2:

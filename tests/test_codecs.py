@@ -125,3 +125,24 @@ def test_codec_retest_at_vb10(tmp_path):
     last = by_vb[max(by_vb)]
     assert last != by_vb[1], f"codec never corrected: {by_vb}"
     assert last in (codecs.DOMQ, codecs.PACK1, codecs.PACK0)
+
+
+def test_bwt_codec_roundtrip():
+    """Own BWT block codec (BSC role, src/bsc/): vectorized doubling
+    suffix array + adaptive coder; must beat bz2 on DNA-like payloads."""
+    import bz2
+    import numpy as np
+    from genozip_tpu import codecs
+    rng = np.random.default_rng(1)
+    cases = {
+        "dna": rng.choice(np.frombuffer(b"ACGT", np.uint8), 150000).tobytes(),
+        "text": b"the quick brown fox jumps over the lazy dog " * 2000,
+        "empty": b"",
+        "tiny": b"x",
+        "runs": b"A" * 50000 + b"B" * 50000,
+    }
+    for name, data in cases.items():
+        blob = codecs.compress(data, codecs.BWT)
+        assert codecs.decompress(blob, codecs.BWT, len(data)) == data, name
+    dna = cases["dna"]
+    assert len(codecs.compress(dna, codecs.BWT)) < len(bz2.compress(dna, 9))

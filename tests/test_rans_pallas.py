@@ -122,3 +122,18 @@ def test_pallas_order1_many_interpret():
     refs = [rans_np.encode(d, order=1, n_lanes=N) for d in datas]
     assert outs == refs
     assert rans_pallas.decode_many_o1(refs, S=8, interpret=True) == datas
+
+
+def test_decode_v4_v5_interpret():
+    """Two-level-lookup (v4) and per-step-window (v5) kernels, bit-exact
+    vs the spec in interpret mode (hardware numbers in the module
+    docstring)."""
+    from genozip_tpu.ops import rans_np, rans_pallas
+    rng = np.random.default_rng(7)
+    data = rng.choice(np.frombuffer(b"FFFFF:F,#AB!x", np.uint8),
+                      100000).tobytes()
+    for N in (256, 1024):
+        e = rans_np.encode(data, order=0, n_lanes=N)
+        assert rans_pallas.decode(e, interpret=True, S=8, v4=True) == data
+        assert rans_pallas.decode(e, interpret=True, S=8, v5=True) == data
+        assert rans_pallas.decode(e, interpret=True, S=8) == data  # default
