@@ -18,6 +18,13 @@ DEFAULT_VB_SIZE = 16 * 1024 * 1024
 def open_input(path: str):
     if path == "-":
         return io.BufferedReader(io.FileIO(0, "r", closefd=False))
+    if path.startswith(("http://", "https://", "ftp://")):
+        from .stream import url_reader
+        return url_reader(path)
+    if path.endswith((".cram", ".bcf", ".ora")):
+        from .stream import external_reader
+        f, _dt = external_reader(path)
+        return f
     if path.endswith((".gz", ".bgz", ".bam")):
         # BGZF gets a block-aware reader that records per-block isizes for
         # byte-exact re-emission (reference src/mgzip.c)
