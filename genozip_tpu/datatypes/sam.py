@@ -371,7 +371,8 @@ class SamDT(DataType):
                 ctxs["SEQMISP"].local, cigar, pos, rname, ref)
         mate = self.mate_rows(qname, pos, pnext) if len(qname) else None
         self._seg_aux(ctxs, aux, predict, qual=qual, seq=seq,
-                      cigar=cigar, mate=mate)
+                      cigar=cigar, mate=mate,
+                      pos_v=pv_ if (len(pos) and pok_.all()) else None)
 
         if bad_rows.shape[0]:
             uw, inv = dedup_col(ragged.take(lines, bad_rows))
@@ -881,7 +882,7 @@ class SamDT(DataType):
         return run_lens.astype(np.int64), runs_per_row.astype(np.int64)
 
     def _seg_aux(self, ctxs, aux, predict=None, qual=None, seq=None,
-                 cigar=None, mate=None):
+                 cigar=None, mate=None, pos_v=None):
         """Per-tag AUX contexts (reference src/sam_fields.c: one context per
         aux tag keyed by DictId). Layout word per row = concatenated 4-byte
         'TG:t' prefixes (AUXL dict); per tag one value context AX<TG><t>.
@@ -927,6 +928,9 @@ class SamDT(DataType):
         nm_pred = md_col = has_md = None
         if predict is not None:
             nm_pred, md_col, has_md = predict
+        from . import sam_tags
+        as_by_row = None        # AS:i values scattered by VB row (param=6)
+        cb_col = ub_col = None  # CB:Z / UB:Z values by VB row
         for t in np.unique(key):
             idx = np.nonzero(key == t)[0]
             b0, b1, b3 = (int(t) >> 16) & 0xFF, (int(t) >> 8) & 0xFF, int(t) & 0xFF
@@ -934,6 +938,7 @@ class SamDT(DataType):
             vals = ragged.gather_ranges(data, fs_s[idx] + 5,
                                         fe_s[idx] - fs_s[idx] - 5)
             rows_t = frow_s[idx]
+            tag2 = bytes([b0, b1])
             if b3 == ord("i"):
                 iv, iok = ragged.atoi(vals)
                 if iok.all():
@@ -941,6 +946,19 @@ class SamDT(DataType):
                         ctxs[name] = VBCtx(name, MODE_NUM,
                                            local=iv - nm_pred[rows_t],
                                            cat="int", param=4)
+                    elif tag2 == b"AS" and seq is not None:
+                        # BWA-class score ~ read length (src/sam_bwa.c)
+                        ctxs[name] = VBCtx(
+                            name, MODE_NUM, local=iv - seq.lens[rows_t],
+                            cat="int", param=sam_tags.PARAM_AS_VS_SEQLEN)
+                        as_by_row = np.zeros(n, np.int64)
+                        as_by_row[rows_t] = iv
+                    elif tag2 in sam_tags.AS_DELTA_TAGS and \
+                            as_by_row is not None:
+                        # sub-optimal scores track AS (sam_bwa/minimap2)
+                        ctxs[name] = VBCtx(
+                            name, MODE_NUM, local=iv - as_by_row[rows_t],
+                            cat="int", param=sam_tags.PARAM_VS_AS)
                     else:
                         d = np.diff(iv, prepend=np.int64(0))
                         if iv.shape[0] > 4 and (d[1:] >= 0).mean() > 0.9:
@@ -949,6 +967,31 @@ class SamDT(DataType):
                         else:
                             ctxs[name] = VBCtx(name, MODE_NUM, local=iv,
                                                cat="int", param=0)
+                    continue
+            if b3 == ord("Z"):
+                # mapper/platform-specific Z-tag predictors (sam_tags.py)
+                handled = None
+                if tag2 == b"XA" and pos_v is not None:
+                    handled = sam_tags.xa_seg(name, vals, pos_v, rows_t)
+                elif tag2 == b"CR" and cb_col is not None:
+                    handled = sam_tags.barcode_pred_seg(name, vals, cb_col,
+                                                        rows_t)
+                elif tag2 == b"UR" and ub_col is not None:
+                    handled = sam_tags.barcode_pred_seg(name, vals, ub_col,
+                                                        rows_t)
+                elif tag2 == b"XM" and seq is not None:
+                    handled = sam_tags.seqlen_str_seg(name, vals, seq,
+                                                      rows_t)
+                elif tag2 in sam_tags.QUAL_Z_TAGS:
+                    handled = sam_tags.qualstr_seg(name, vals)
+                elif tag2 in sam_tags.DICT_Z_TAGS:
+                    handled = sam_tags.dict_seg(name, vals)
+                    if tag2 == b"CB":
+                        cb_col = ragged.merge_rows(n, [(rows_t, vals)])
+                    elif tag2 == b"UB":
+                        ub_col = ragged.merge_rows(n, [(rows_t, vals)])
+                if handled is not None:
+                    ctxs.update(handled)
                     continue
             if cigar is not None and mate is not None and \
                     (b0, b1, b3) == (ord("M"), ord("C"), ord("Z")):
@@ -1065,7 +1108,7 @@ class SamDT(DataType):
             ctxs.update(tokenizer_seg_col(name, vals, single_stream=True))
 
     def _recon_aux(self, pctxs, n, predict=None, qual=None, seq=None,
-                   cigar=None, mate=None):
+                   cigar=None, mate=None, pos_v=None):
         """Rebuild the AUX remainder (leading-\\t convention) from AUXL
         layout + per-tag contexts."""
         layout = pctxs["AUXL"].dict_take()
@@ -1086,6 +1129,9 @@ class SamDT(DataType):
                 | (ld[pstart + 1].astype(np.uint32) << 8) \
                 | ld[pstart + 3].astype(np.uint32)
             parts = []
+            from . import sam_tags
+            as_by_row = None
+            cb_col = ub_col = None
             for t in np.unique(key):
                 idx = np.nonzero(key == t)[0]
                 b0, b1, b3 = (int(t) >> 16) & 0xFF, (int(t) >> 8) & 0xFF, \
@@ -1093,6 +1139,31 @@ class SamDT(DataType):
                 name = self._tag_name(b0, b1, b3)
                 rows_t = field_row[idx]
                 pc = pctxs.get(name)
+                tag2 = bytes([b0, b1])
+                if b3 == ord("Z"):
+                    # mapper/platform-specific Z-tag predictors (sam_tags.py)
+                    col_z = None
+                    if tag2 == b"XA" and name + "F" in pctxs and \
+                            pos_v is not None:
+                        col_z = sam_tags.xa_recon(name, pctxs, pos_v, rows_t)
+                    elif tag2 == b"CR" and name + "P" in pctxs and \
+                            cb_col is not None:
+                        col_z = sam_tags.barcode_pred_recon(name, pctxs,
+                                                            cb_col, rows_t)
+                    elif tag2 == b"UR" and name + "P" in pctxs and \
+                            ub_col is not None:
+                        col_z = sam_tags.barcode_pred_recon(name, pctxs,
+                                                            ub_col, rows_t)
+                    elif tag2 == b"XM" and name + "B" in pctxs and \
+                            seq is not None:
+                        col_z = sam_tags.seqlen_str_recon(name, pctxs, seq,
+                                                          rows_t)
+                    elif tag2 in sam_tags.QUAL_Z_TAGS and \
+                            name + "L" in pctxs:
+                        col_z = sam_tags.qualstr_recon(name, pctxs)
+                    if col_z is not None:
+                        parts.append((idx, col_z))
+                        continue
                 if name + "M" in pctxs and cigar is not None and \
                         mate is not None:
                     # MC:Z from the mate's reconstructed CIGAR
@@ -1161,9 +1232,21 @@ class SamDT(DataType):
                     v = pc.nums()
                     if pc.param == 4:
                         v = pc.local.astype(np.int64) + nm_pred[rows_t]
+                    elif pc.param == sam_tags.PARAM_AS_VS_SEQLEN:
+                        v = pc.local.astype(np.int64) + seq.lens[rows_t]
+                    elif pc.param == sam_tags.PARAM_VS_AS:
+                        v = pc.local.astype(np.int64) + as_by_row[rows_t]
+                    if tag2 == b"AS" and \
+                            pc.param == sam_tags.PARAM_AS_VS_SEQLEN:
+                        as_by_row = np.zeros(n, np.int64)
+                        as_by_row[rows_t] = v
                     col = ragged.itoa(v)
                 else:
                     col = tokenizer_recon_col(name, pctxs, idx.shape[0])
+                    if tag2 == b"CB":
+                        cb_col = ragged.merge_rows(n, [(rows_t, col)])
+                    elif tag2 == b"UB":
+                        ub_col = ragged.merge_rows(n, [(rows_t, col)])
                 parts.append((idx, col))
             val_col = ragged.merge_rows(F, parts)
             pref_col = ragged.gather_ranges(ld, pstart,
@@ -1356,8 +1439,11 @@ class SamDT(DataType):
                         pctxs["SEQNM"].nums(), pctxs["SEQMISP"].nums(),
                         cigar, pos, rname, ref)
                 mate = self.mate_rows(qname, pos, pnext) if ng else None
+                pvr, pokr = ragged.atoi(pos)
                 aux = self._recon_aux(pctxs, ng, predict, qual=qual,
-                                      seq=seq, cigar=cigar, mate=mate)
+                                      seq=seq, cigar=cigar, mate=mate,
+                                      pos_v=pvr if (ng and pokr.all())
+                                      else None)
             else:
                 aux = tokenizer_recon_col("AUX", pctxs, ng)
             t = b"\t"
