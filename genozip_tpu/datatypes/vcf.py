@@ -290,6 +290,65 @@ class VcfDT(DataType):
         new_lens = layout.lens + extra
         return Col(out, np.concatenate([[0], np.cumsum(new_lens)]))
 
+    @staticmethod
+    def _comma_ints(col):
+        """Parse each row as a comma-separated int list. Returns
+        (flat_vals, seg_row, nseg, ok_row); ok_row marks rows where every
+        segment is a clean non-empty integer."""
+        n = len(col)
+        data = col.data
+        cp = np.nonzero(data == ord(","))[0]
+        crow = np.searchsorted(col.offsets[1:], cp, side="right")
+        nseg = np.bincount(crow, minlength=n) + 1
+        F = int(nseg.sum())
+        f_of = np.repeat(ragged.arange(n), nseg)
+        first = np.concatenate([[0], np.cumsum(nseg)])[:-1]
+        fidx = ragged.arange(F) - first[f_of]
+        cp_base = np.concatenate([[0], np.cumsum(nseg - 1)])[:-1]
+        fs = np.where(fidx == 0, col.offsets[:-1][f_of], 0)
+        nz = np.nonzero(fidx > 0)[0]
+        if nz.shape[0]:
+            fs[nz] = cp[cp_base[f_of[nz]] + fidx[nz] - 1] + 1
+        fe = np.empty(F, np.int64)
+        last = fidx == nseg[f_of] - 1
+        fe[last] = col.offsets[1:][f_of[last]]
+        nz = np.nonzero(~last)[0]
+        if nz.shape[0]:
+            fe[nz] = cp[cp_base[f_of[nz]] + fidx[nz]]
+        segs = ragged.gather_ranges(data, fs, fe - fs)
+        vals, ok = ragged.atoi(segs)
+        ok &= segs.lens > 0
+        ok_row = np.ones(n, bool)
+        np.logical_and.at(ok_row, f_of, ok)
+        ok_row &= col.lens > 0
+        return vals, f_of, nseg, ok_row
+
+    @classmethod
+    def _ad_sums(cls, col):
+        """Per-row sum of a comma-int list (AD); pred for DP
+        (reference src/vcf_gatk.c: DP == sum of AD in GATK output)."""
+        vals, f_of, _nseg, ok = cls._comma_ints(col)
+        sums = np.bincount(f_of, weights=np.where(ok[f_of], vals, 0),
+                           minlength=len(col)).astype(np.int64)
+        return np.where(ok, sums, 0), ok
+
+    @classmethod
+    def _pl_gq(cls, col):
+        """GATK GQ prediction: second-lowest PL minus lowest, capped at 99
+        (reference src/vcf_gatk.c GQ-from-PL)."""
+        n = len(col)
+        vals, f_of, nseg, ok = cls._comma_ints(col)
+        ok &= nseg >= 2
+        pred = np.zeros(n, np.int64)
+        if vals.shape[0]:
+            order = np.lexsort((vals, f_of))
+            first = np.concatenate([[0], np.cumsum(nseg)])[:-1]
+            i2 = np.minimum(first + 1, max(vals.shape[0] - 1, 0))
+            v1 = vals[order[np.minimum(first, max(vals.shape[0] - 1, 0))]]
+            v2 = vals[order[i2]]
+            pred = np.where(ok, np.minimum(v2 - v1, 99), 0)
+        return pred, ok
+
     def _sample_cells(self, fields, nf):
         """Concatenate the sample columns sample-major (transposed: all rows
         of sample 0, then sample 1, ...) — the reference's LT_UINT8_TR
@@ -332,6 +391,7 @@ class VcfDT(DataType):
                                   cat="int")
         fc = np.concatenate([[0], np.cumsum(ncol)])  # first colon of cell
         cpx = np.concatenate([cp, [0]])  # safe index
+        vals_by_t, sel_by_t = {}, {}
         for t in range(T):
             sel = np.nonzero(ncnt > t)[0]
             if sel.shape[0] == 0:
@@ -340,14 +400,40 @@ class VcfDT(DataType):
                           cpx[fc[sel] + t - 1] + 1)
             en = np.where(ncnt[sel] - 1 == t, cells.offsets[1:][sel],
                           cpx[np.minimum(fc[sel] + t, cp.shape[0] - 1 if cp.shape[0] else 0)])
-            vals = ragged.gather_ranges(data, st, en - st)
+            vals_by_t[t] = ragged.gather_ranges(data, st, en - st)
+            sel_by_t[t] = sel
+        # GATK cross-tag predictions (src/vcf_gatk.c:915 analog): per-cell
+        # DP pred = sum(AD), GQ pred = 2nd-lowest PL - lowest, capped 99.
+        # Both are recomputed at PIZ from the reconstructed AD/PL streams.
+        dp_pred = gq_pred = None
+        if b"AD" in tags and tags.index(b"AD") in vals_by_t:
+            ta = tags.index(b"AD")
+            s_, ok_ = self._ad_sums(vals_by_t[ta])
+            dp_pred = np.zeros(C, np.int64)
+            dp_pred[sel_by_t[ta]] = np.where(ok_, s_, 0)
+        if b"PL" in tags and tags.index(b"PL") in vals_by_t:
+            tp = tags.index(b"PL")
+            p_, ok_ = self._pl_gq(vals_by_t[tp])
+            gq_pred = np.zeros(C, np.int64)
+            gq_pred[sel_by_t[tp]] = np.where(ok_, p_, 0)
+        for t, vals in vals_by_t.items():
+            sel = sel_by_t[t]
             name = f"FS{t}"
             if tags[t] == b"GT" and sel.shape[0] == C and \
                     self._seg_gt_pbwt(ctxs, vals, C // S, S, name):
                 continue
             iv, iok = ragged.atoi(vals)
             if vals.data.shape[0] and iok.all():
-                ctxs[name] = VBCtx(name, MODE_NUM, local=iv, cat="int")
+                if tags[t] == b"DP" and dp_pred is not None:
+                    ctxs[name] = VBCtx(name, MODE_NUM,
+                                       local=iv - dp_pred[sel],
+                                       cat="int", param=8)
+                elif tags[t] == b"GQ" and gq_pred is not None:
+                    ctxs[name] = VBCtx(name, MODE_NUM,
+                                       local=iv - gq_pred[sel],
+                                       cat="int", param=9)
+                else:
+                    ctxs[name] = VBCtx(name, MODE_NUM, local=iv, cat="int")
             else:
                 ctxs.update(tokenizer_seg_col(name, vals, single_stream=True))
         return True
@@ -407,18 +493,43 @@ class VcfDT(DataType):
         sub_off = np.concatenate([[0], np.cumsum(nsub)])
         total_subs = int(sub_off[-1])
         parts = []
+        cols_by_t, cells_by_t, deferred = {}, {}, []
         for t in range(T):
             cells_t = np.nonzero(ncnt > t)[0]
             if cells_t.shape[0] == 0:
                 continue
+            cells_by_t[t] = cells_t
             name = f"FS{t}"
+            pc = pctxs.get(name)
             if tags[t] == b"GT" and "PBWT" in pctxs:
                 col = self._recon_gt_cells(pctxs, ng, S, name)
-            elif name in pctxs and pctxs[name].mode == MODE_NUM:
-                col = ragged.itoa(pctxs[name].nums())
+            elif pc is not None and pc.mode == MODE_NUM:
+                if pc.param in (8, 9):   # GATK DP/GQ: needs AD/PL first
+                    deferred.append(t)
+                    continue
+                col = ragged.itoa(pc.nums())
             else:
                 col = tokenizer_recon_col(name, pctxs, cells_t.shape[0])
-            parts.append((sub_off[:-1][cells_t] + t, col))
+            cols_by_t[t] = col
+        if deferred:
+            dp_pred = gq_pred = None
+            if b"AD" in tags and tags.index(b"AD") in cols_by_t:
+                ta = tags.index(b"AD")
+                s_, ok_ = self._ad_sums(cols_by_t[ta])
+                dp_pred = np.zeros(C, np.int64)
+                dp_pred[cells_by_t[ta]] = np.where(ok_, s_, 0)
+            if b"PL" in tags and tags.index(b"PL") in cols_by_t:
+                tp = tags.index(b"PL")
+                p_, ok_ = self._pl_gq(cols_by_t[tp])
+                gq_pred = np.zeros(C, np.int64)
+                gq_pred[cells_by_t[tp]] = np.where(ok_, p_, 0)
+            for t in deferred:
+                pc = pctxs[f"FS{t}"]
+                pred = dp_pred if pc.param == 8 else gq_pred
+                v = pc.local.astype(np.int64) + pred[cells_by_t[t]]
+                cols_by_t[t] = ragged.itoa(v)
+        for t, col in cols_by_t.items():
+            parts.append((sub_off[:-1][cells_by_t[t]] + t, col))
         subs = ragged.merge_rows(total_subs, parts)
         # join each cell's subfields with ':'
         last_of_cell = np.zeros(total_subs, bool)
