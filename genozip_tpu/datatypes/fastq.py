@@ -87,7 +87,7 @@ class FastqDT(DataType):
         assert (seq_lens == qual_lens).all(), "FASTQ SEQ/QUAL length mismatch"
 
         ctxs = {}
-        ctxs.update(tokenizer_seg_col("DESC", desc))
+        self._seg_desc(ctxs, desc, seq_lens, n)
         uw, inv = dedup_col(plus)
         ctxs["PLUS"] = VBCtx("PLUS", MODE_DICT, b250=inv, vb_words=uw, cat="b250")
         d = np.diff(seq_lens, prepend=np.int64(0))
@@ -106,6 +106,98 @@ class FastqDT(DataType):
             ctxs["QUAL"] = self._seg_qual(seq, qual)
         meta = {"no_final_nl": bool(no_final_nl)}
         return VBSegResult(ctxs, n, meta)
+
+    _BARCODE_OK = np.zeros(256, bool)
+    for _b in b"ACGTN+-":
+        _BARCODE_OK[_b] = True
+
+    def _seg_desc(self, ctxs, desc, seq_lens, n):
+        """DESC = QNAME [space SAUX] (reference src/fastq_desc.c /
+        src/fastq_saux.c). The Illumina comment's index-barcode tail (the
+        last ':'-field when it is an ACGTN+ run, e.g. '1:N:0:ATCCGA+GATC')
+        is split into its own sequence-categorized stream so per-read
+        barcodes never inflate the template dict; numeric DESC tokens equal
+        to the read length ('length=150', qname_flavors.h seq_len items)
+        are elided entirely and recomputed from LENS at PIZ."""
+        data = desc.data
+        sp_first = np.full(n, -1, np.int64)
+        if data.shape[0]:
+            isp = np.nonzero(data == ord(" "))[0]
+            row_sp = np.searchsorted(desc.offsets[1:], isp, side="right")
+            first_of = np.ones(isp.shape[0], bool)
+            first_of[1:] = row_sp[1:] != row_sp[:-1]
+            sp_first[row_sp[first_of]] = isp[first_of]
+        has_sp = sp_first >= 0
+        if n and has_sp.mean() > 0.9 and has_sp.all():
+            qcol = ragged.gather_ranges(
+                data, desc.offsets[:-1], sp_first - desc.offsets[:-1])
+            scol = ragged.gather_ranges(
+                data, sp_first + 1, desc.offsets[1:] - sp_first - 1)
+            # barcode tail: bytes after the last ':' when ACGTN+ only
+            last_colon = np.full(n, -1, np.int64)
+            if scol.data.shape[0]:
+                ic = np.nonzero(scol.data == ord(":"))[0]
+                rc = np.searchsorted(scol.offsets[1:], ic, side="right")
+                np.maximum.at(last_colon, rc, ic)
+            tail_s = last_colon + 1
+            tail_l = np.where(last_colon >= 0, scol.offsets[1:] - tail_s, 0)
+            tail = ragged.gather_ranges(scol.data, np.maximum(tail_s, 0),
+                                        tail_l)
+            bar_ok = (tail.lens >= 4) & (last_colon >= 0)
+            if tail.data.shape[0]:
+                badb = ~self._BARCODE_OK[tail.data]
+                if badb.any():
+                    rows_bad = np.searchsorted(tail.offsets[1:],
+                                               np.nonzero(badb)[0],
+                                               side="right")
+                    bar_ok[np.unique(rows_bad)] = False
+            if n and bar_ok.mean() > 0.9:
+                head_l = np.where(bar_ok, tail_s - scol.offsets[:-1],
+                                  scol.lens)
+                head = ragged.gather_ranges(scol.data, scol.offsets[:-1],
+                                            head_l)
+                dctx = tokenizer_seg_col("SAUX", head)
+                bl = np.where(bar_ok, tail.lens, 0)
+                bcol = ragged.gather_ranges(scol.data, np.maximum(tail_s, 0),
+                                            bl)
+                ctxs["SAUXB"] = VBCtx("SAUXB", MODE_TXT, local=bcol.data,
+                                      cat="seq")
+                ctxs["SAUXBL"] = VBCtx(
+                    "SAUXBL", MODE_NUM,
+                    local=np.diff(bl, prepend=np.int64(0)),
+                    cat="int", param=1)
+            else:
+                dctx = tokenizer_seg_col("SAUX", scol)
+            dctx.update(tokenizer_seg_col("DESC", qcol))
+        else:
+            dctx = tokenizer_seg_col("DESC", desc)
+        # embedded seq_len: a numeric token stream equal to the read length
+        for name, c in dctx.items():
+            if c.mode != MODE_NUM or c.local.shape[0] != n:
+                continue
+            v = np.cumsum(c.local) if c.param == 1 else c.local
+            if (v == seq_lens).all():
+                dctx[name] = VBCtx(name, MODE_NUM,
+                                   local=np.zeros(0, np.int64),
+                                   cat="int", special="seqlen")
+        ctxs.update(dctx)
+
+    def _recon_desc(self, pctxs, lens, n):
+        for name, pc in pctxs.items():
+            if (pc.special or "") == "seqlen":
+                pc.local = lens.astype(np.int64)
+                pc.param = 0
+        desc = tokenizer_recon_col("DESC", pctxs, n)
+        if "SAUX" not in pctxs:
+            return desc
+        head = tokenizer_recon_col("SAUX", pctxs, n)
+        if "SAUXB" in pctxs:
+            bl = pctxs["SAUXBL"].nums()
+            bcol = pctxs["SAUXB"].txt_col(bl)
+            saux = ragged.interleave([head, bcol], sep_after=[None, None])
+        else:
+            saux = head
+        return ragged.interleave([desc, saux], sep_after=[b" ", None])
 
     def _seg_qual(self, seq, qual):
         """QUAL with optional SEQ-derived channel demux (the platform
@@ -253,9 +345,9 @@ class FastqDT(DataType):
 
     def recon_vb(self, pctxs: dict, meta: dict) -> bytes:
         n = meta["num_lines"]
-        desc = tokenizer_recon_col("DESC", pctxs, n)
-        plus = pctxs["PLUS"].dict_take()
         lens = pctxs["LENS"].nums()
+        desc = self._recon_desc(pctxs, lens, n)
+        plus = pctxs["PLUS"].dict_take()
         if "DEEP" in pctxs:
             seq, qual = self._recon_deep(pctxs, desc, lens)
         elif "SQBITMAP" in pctxs:
