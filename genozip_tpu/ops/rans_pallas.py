@@ -1,19 +1,30 @@
 """Pallas TPU kernels for wide-interleaved rANS (order-0): decode + encode.
 
 STATUS round 2 (kernel-only, measured on TPU v5e):
+  v6 (decode_many_v6, R-STREAM STACKED state + 2-limb bf16 matmuls):
+      R=16 N=1024 S=8: 1157 MB/s aggregate — the ">=1 GB/s order-0
+      decode" bar, bit-exact on hardware.
+      R=8: 838 (N=1024) / 882 (N=2048) MB/s aggregate.
+      This is the round-1 roofline's "(8, N/8) state layout" realized a
+      different way: instead of reshaping ONE stream's state (which
+      breaks the lane-order renorm scan), R independent streams stack as
+      an (R, N) state matrix — every u32 state op and the log2(N)
+      roll-scan (axis-1 rolls act per-row = per-stream) runs at full
+      vreg utilization, and ZIP/PIZ batch sections anyway so R-way
+      grouping is the natural call shape. One-hot matmuls run as two
+      bf16 limb passes (_dot16; Mosaic has no Precision.HIGH) instead
+      of HIGHEST's six — exact because the one-hot side is single-limb
+      and values fit 16 bits.
+  v5 + _dot16: 262 MB/s single-stream (was 223 with HIGHEST).
   v3 (round-1 default):        198 MB/s (N=1024 S=8); 164 @ N=4096.
   v4 (two-level 16x16 lookup): 201 MB/s — bit-exact, but no speedup:
       the (256, N) staircase was NOT the bottleneck at these widths.
-  v5 (v4 + per-step renorm windows, default now): 223 MB/s (N=2048 S=8).
-  Roofline finding for the next iteration: per-step time ~ 4-5 cycles/
-  byte at every N — dominated by the renorm distribute's ELEMENTWISE
-  parts: M1 one-hot construction (128, N) costs N vreg-compares/step and
-  the row-select (WG, N) another ~WG*N/1024·3; the matmul itself is
-  cheap. Reaching ~1 GB/s needs sub-128-col windowed routing per lane
-  group (monotonic ranks => each 128-lane group spans <= 2 window rows)
-  or a genuinely different distribute (e.g. transposed scatter), plus
-  (8, N/8) state layout so the (1, N) u32 ops stop wasting 7/8 of each
-  vreg. The decode_many batched path (below) inherits v3's distribute.
+  v5 (v4 + per-step renorm windows): 223 MB/s (N=2048 S=8).
+  Roofline (round-1 analysis, what v6 fixed): per-step time was ~4-5
+  cycles/byte at every N — (1, N) u32 ops waste 7/8 of each vreg and
+  the HIGHEST distribute matmul costs 6 bf16 passes. Remaining levers
+  toward MFU: stack the order-1 kernels the same way (decode_many_o1
+  still inherits v3's shapes), and windowed sub-128-col routing for M1.
 
 STATUS (round 1, measured on TPU v5e through the axon relay):
   order-0 decode v3 (lane-vector, default): 164-192 MB/s kernel-only.
@@ -72,6 +83,23 @@ from jax.experimental.pallas import tpu as pltpu
 from .rans_np import SCALE_BITS, SCALE, RANS_L, lane_layout
 
 LANE_COLS = 128
+
+
+def _dot16(a_f32, b_onehot_f32):
+    """Exact a @ b for integer-valued f32 a in [0, 65536) against a one-hot
+    (0/1) b, via hi/lo byte limbs in bf16 — 2 MXU passes instead of
+    Precision.HIGHEST's 6. Each limb is < 256 (exact in bf16's 8
+    significand bits), the one-hot is exact, products accumulate in f32,
+    and one-hot columns have a single nonzero term — so the result is
+    bit-exact."""
+    hi = jnp.floor(a_f32 * (1.0 / 256.0))
+    lo = a_f32 - hi * 256.0
+    bb = b_onehot_f32.astype(jnp.bfloat16)
+    th = jax.lax.dot(hi.astype(jnp.bfloat16), bb,
+                     preferred_element_type=jnp.float32)
+    tl = jax.lax.dot(lo.astype(jnp.bfloat16), bb,
+                     preferred_element_type=jnp.float32)
+    return th * 256.0 + tl
 
 
 def _flat_roll(arr, k: int, LR: int):
@@ -616,10 +644,8 @@ def _decode_kernel_v5(words_ref, tab_ref, x0_ref, out_ref, x_ref,
         cum_c = jnp.sum(ge_c * (coarseT - jnp.concatenate(
             [jnp.zeros((1, 1), jnp.float32), coarseT[:-1, :]], axis=0)),
             axis=0, keepdims=True)
-        relC = jax.lax.dot(fine_relT, onehot_b,
-                           precision=jax.lax.Precision.HIGHEST)
-        fF = jax.lax.dot(fine_fT, onehot_b,
-                         precision=jax.lax.Precision.HIGHEST)
+        relC = _dot16(fine_relT, onehot_b)
+        fF = _dot16(fine_fT, onehot_b)
         slot_rel = slot_f - cum_c
         ge_f = (relC <= slot_rel).astype(jnp.float32)
         sub_row = jnp.sum(ge_f, axis=0, keepdims=True) - 1.0
@@ -651,8 +677,7 @@ def _decode_kernel_v5(words_ref, tab_ref, x0_ref, out_ref, x_ref,
         r0 = idx // LANE_COLS
         c0 = idx - r0 * LANE_COLS
         M1 = (sub128 == c0).astype(jnp.float32)
-        temp = jax.lax.dot(win_f, M1,
-                           precision=jax.lax.Precision.HIGHEST)
+        temp = _dot16(win_f, M1)
         onr = (subWG == r0).astype(jnp.float32)
         got = jnp.sum(onr * temp, axis=0, keepdims=True) \
             .astype(jnp.int32).astype(jnp.uint32)
@@ -1206,6 +1231,225 @@ def decode_many_device(meta, words, tabs, x0s, N: int, S: int, G: int,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(meta, wmat, tabs, x0s)
+
+
+def _decode_many_kernel_v6(meta_ref, words_ref, tabs_ref, x0s_ref, out_ref,
+                           x_ref, win_ref, p_ref, sems, *, N: int, S: int,
+                           R: int):
+    """v6 = R-STREAM STACKED state + v5 per-step windows + v4 two-level
+    lookup + 2-limb bf16 one-hot matmuls (_dot16).
+
+    Why: the v5 roofline (module docstring) showed the per-step cost is
+    dominated by (1, N)-shaped u32 state ops (slot/x/need/wheres and the
+    log2(N) roll-scan) which waste 7/8 of every vreg, plus HIGHEST
+    (bf16x6) one-hot matmuls. Here R independent streams decode in ONE
+    program with state (R, N): every elementwise op and the rank roll-scan
+    (axis=1 rolls act per-row, i.e. per-stream) runs at full vreg
+    utilization, and the one-hot matmuls run as two bf16 limb passes
+    (_dot16, bit-exact for <=16-bit values) instead of HIGHEST's six. Per-stream pieces that are already full-width (the
+    (16,N)/(128,N) lookup and distribute) stay in a python loop over R.
+
+    Layouts: tabs (R*40, 256) f32 — 40-row 8-aligned blocks, rows 0..33 =
+    v4_tab; x0s (R8, N) i32; meta (3, R) i32 [n, K, word_base]; per-stream
+    word regions packed in one flat array with a global tail pad. Output
+    (G*S, R*N) u8: stream r's symbol plane is cols [r*N, (r+1)*N)."""
+    g = pl.program_id(0)
+
+    @pl.when(g == 0)
+    def _init():
+        x_ref[...] = x0s_ref[0:R, :].astype(jnp.uint32)
+        for r in range(R):
+            p_ref[r] = meta_ref[2, r]
+
+    LR = N // LANE_COLS
+    WG = LR + 16
+    lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, N), 1)
+    laneR = jax.lax.broadcasted_iota(jnp.int32, (R, N), 1)
+    lane_len = jnp.concatenate(
+        [jnp.clip(meta_ref[0, r] - lane1 * meta_ref[1, r], 0,
+                  meta_ref[1, r]) for r in range(R)], axis=0)     # (R, N)
+    sub128 = jax.lax.broadcasted_iota(jnp.int32, (LANE_COLS, 1), 0)
+    subWG = jax.lax.broadcasted_iota(jnp.int32, (WG, 1), 0)
+    iota256c = jax.lax.broadcasted_iota(jnp.int32, (256, 16), 0)
+    iota16b = jax.lax.broadcasted_iota(jnp.int32, (256, 16), 1)
+    pick = (iota256c == iota16b * 16).astype(jnp.float32)
+
+    coarseTs, fine_relTs, fine_fTs = [], [], []
+    for r in range(R):
+        cum_row = tabs_ref[40 * r + 1:40 * r + 2, :]
+        coarseTs.append(jnp.transpose(jax.lax.dot(
+            cum_row, pick, precision=jax.lax.Precision.HIGHEST)))
+        fine_relTs.append(tabs_ref[40 * r + 2:40 * r + 18, 0:16])
+        fine_fTs.append(tabs_ref[40 * r + 18:40 * r + 34, 0:16])
+
+    for s in range(S):
+        t = g * S + s
+        act = t < lane_len                                        # (R, N)
+        # start all R window DMAs up front; they overlap the lookup
+        bases, cps = [], []
+        for r in range(R):
+            ps = p_ref[r]
+            base8 = pl.multiple_of(8 * (ps // (8 * LANE_COLS)), 8)
+            bases.append((ps, base8))
+            cp = pltpu.make_async_copy(
+                words_ref.at[pl.ds(base8, WG), :],
+                win_ref.at[pl.ds(r * WG, WG), :], sems.at[r])
+            cp.start()
+            cps.append(cp)
+        x = x_ref[...]                                            # (R, N)
+        slot = (x & jnp.uint32(SCALE - 1)).astype(jnp.int32)
+        slot_f32 = slot.astype(jnp.float32)
+        # per-stream two-level lookup (shapes already full-width)
+        f_rows, c_rows, s_rows = [], [], []
+        for r in range(R):
+            slot_f = slot_f32[r:r + 1, :]
+            ge_c = (coarseTs[r] <= slot_f).astype(jnp.float32)    # (16, N)
+            b_row = jnp.sum(ge_c, axis=0, keepdims=True) - 1.0
+            onehot_b = ge_c - jnp.concatenate(
+                [ge_c[1:, :], jnp.zeros((1, N), jnp.float32)], axis=0)
+            cum_c = jnp.sum(ge_c * (coarseTs[r] - jnp.concatenate(
+                [jnp.zeros((1, 1), jnp.float32), coarseTs[r][:-1, :]],
+                axis=0)), axis=0, keepdims=True)
+            relC = _dot16(fine_relTs[r], onehot_b)
+            fF = _dot16(fine_fTs[r], onehot_b)
+            slot_rel = slot_f - cum_c
+            ge_f = (relC <= slot_rel).astype(jnp.float32)
+            sub_row = jnp.sum(ge_f, axis=0, keepdims=True) - 1.0
+            onehot_s = ge_f - jnp.concatenate(
+                [ge_f[1:, :], jnp.zeros((1, N), jnp.float32)], axis=0)
+            f_rows.append(jnp.sum(onehot_s * fF, axis=0, keepdims=True))
+            c_rows.append(cum_c + jnp.sum(onehot_s * relC, axis=0,
+                                          keepdims=True))
+            s_rows.append(b_row * 16.0 + sub_row)
+        f = jnp.concatenate(f_rows, axis=0).astype(jnp.int32) \
+            .astype(jnp.uint32)
+        c = jnp.concatenate(c_rows, axis=0).astype(jnp.int32) \
+            .astype(jnp.uint32)
+        srow = jnp.concatenate(s_rows, axis=0).astype(jnp.int32)
+        f = jnp.where(act, f, jnp.uint32(1))
+        c = jnp.where(act, c, jnp.uint32(0))
+
+        xa = f * (x >> SCALE_BITS) + slot.astype(jnp.uint32) - c
+        x = jnp.where(act, xa, x)
+        need = act & (x < RANS_L)
+        rk = need.astype(jnp.int32)        # per-row (= per-stream) scan
+        k = 1
+        while k < N:
+            sh = pltpu.roll(rk, k, axis=1)
+            rk = rk + jnp.where(laneR >= k, sh, 0)
+            k *= 2
+
+        got_rows = []
+        for r in range(R):
+            ps, base8 = bases[r]
+            cps[r].wait()
+            win_f = win_ref[r * WG:(r + 1) * WG, :].astype(jnp.float32)
+            idx = (ps - base8 * LANE_COLS) + rk[r:r + 1, :] - 1
+            r0 = idx // LANE_COLS
+            c0 = idx - r0 * LANE_COLS
+            M1 = (sub128 == c0).astype(jnp.float32)
+            temp = _dot16(win_f, M1)
+            onr = (subWG == r0).astype(jnp.float32)
+            got_rows.append(jnp.sum(onr * temp, axis=0, keepdims=True))
+            p_ref[r] = ps + jnp.max(rk[r:r + 1, :], axis=1)[0]
+        got = jnp.concatenate(got_rows, axis=0).astype(jnp.int32) \
+            .astype(jnp.uint32)
+
+        x = jnp.where(need, (x << 16) | got, x)
+        x_ref[...] = x
+        outv = jnp.where(act, srow, 0).astype(jnp.uint8)
+        for r in range(R):
+            out_ref[s:s + 1, r * N:(r + 1) * N] = outv[r:r + 1, :]
+
+
+@partial(jax.jit, static_argnames=("N", "S", "R", "G", "interpret"))
+def decode_many_device_v6(meta, words, tabs, x0s, N: int, S: int, R: int,
+                          G: int, interpret: bool = False):
+    """meta (3, R) i32 [n, K, word_base]; words flat i32; tabs (R*40, 256)
+    f32; x0s (R8, N) i32. Output (G*S, R*N) u8."""
+    LR = N // LANE_COLS
+    wmat = words.reshape(-1, LANE_COLS)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(G,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((S, R * N), lambda g, m: (g, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((max(R, 8), N), jnp.uint32),
+                        pltpu.VMEM((R * (LR + 16), LANE_COLS), jnp.int32),
+                        pltpu.SMEM((R,), jnp.int32),
+                        pltpu.SemaphoreType.DMA((R,))],
+    )
+    return pl.pallas_call(
+        partial(_decode_many_kernel_v6, N=N, S=S, R=R),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((G * S, R * N), jnp.uint8),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(meta, wmat, tabs, x0s)
+
+
+def decode_many_v6(bufs, S: int = 8, R: int = 8, interpret: bool = False):
+    """Decode up to R order-0 streams (same lane count) concurrently in one
+    stacked-state kernel. Returns list[bytes]."""
+    interpret = _auto_interpret(interpret)
+    from . import rans_np
+    B = len(bufs)
+    assert 0 < B <= R
+    word_parts, tabs, x0_rows, metas, shapes = [], [], [], [], []
+    wbase = 0
+    N = None
+    for buf in bufs:
+        buf = memoryview(buf)
+        logN, order = buf[0], buf[1]
+        assert order == 0
+        Ns = 1 << logN
+        if N is None:
+            N = Ns
+        assert Ns == N, "decode_many_v6: all streams must share lane count"
+        n = int.from_bytes(buf[2:6], "little")
+        off = 6
+        freq, off = rans_np._freqs_deserialize(buf, off)
+        cum = np.concatenate([[0], np.cumsum(freq)[:-1]]).astype(np.uint32)
+        t40 = np.zeros((40, 256), np.float32)
+        t40[:34] = v4_tab(freq.astype(np.float32), cum.astype(np.float32))
+        tabs.append(t40)
+        words = np.frombuffer(buf[off:], dtype="<u2")
+        st = words[: 2 * N].astype(np.uint32)
+        x0_rows.append(((st[0::2] << 16) | st[1::2]).astype(np.int32))
+        dw = words[2 * N:].astype(np.int32)
+        K, _ = rans_np.lane_layout(n, N)
+        metas.append((n, K, wbase))
+        shapes.append((K, n))
+        wlen = (dw.shape[0] + 1023) // 1024 * 1024
+        wp = np.zeros(wlen, np.int32)
+        wp[: dw.shape[0]] = dw
+        word_parts.append(wp)
+        wbase += wlen
+    LR = N // LANE_COLS
+    while len(tabs) < R:
+        tabs.append(np.zeros((40, 256), np.float32))
+        x0_rows.append(np.zeros(N, np.int32))
+        metas.append((0, 0, 0))
+    R8 = max(R, 8)
+    x0s = np.zeros((R8, N), np.int32)
+    x0s[:R] = np.stack(x0_rows)
+    # bucket the grid size so recompiles amortize across VB batches
+    G = _bucket_up(max((K + S - 1) // S for K, _ in shapes))
+    word_parts.append(np.zeros((LR + 24) * LANE_COLS, np.int32))
+    words = np.concatenate(word_parts)
+    out = decode_many_device_v6(
+        jnp.asarray(np.asarray(metas, np.int32).T.copy()),
+        jnp.asarray(words), jnp.asarray(np.concatenate(tabs, axis=0)),
+        jnp.asarray(x0s), N, S, R, G, interpret)
+    plane = np.asarray(out)
+    res = []
+    for r, (K, n) in enumerate(shapes):
+        sub = plane[:K, r * N:(r + 1) * N]
+        res.append(sub.T.reshape(-1)[:n].tobytes() if K else b"")
+    return res
 
 
 def _auto_interpret(interpret: bool) -> bool:

@@ -59,15 +59,43 @@ def _sam_lines(data: np.ndarray):
 
 class SagStore:
     """Primary alignments parsed from the PRIM component text. Built with
-    the same code at ZIP and PIZ, so store row indices are symmetric."""
+    the same code at ZIP and PIZ, so store row indices are symmetric.
+
+    In-memory compaction (the reference's huffman.c role for the SAG
+    store, src/sam_sag_ingest.c:105-310: SEQ 2-bit + huffman'd QUAL):
+    SEQ is held 2-bit-packed with a non-ACGT exception channel and QUAL
+    palette-bit-packed (typical binned QUAL has <=16 symbols -> 2-4 bits),
+    both materialized per requested row only — a fixed-width bit-pack is
+    random-access, which is exactly why the TPU build uses it where the
+    byte-serial reference uses canonical huffman. The qname->row index is
+    a sorted-hash join (vectorized), with byte verification so a hash
+    collision degrades to a miss (ratio), never a wrong match."""
 
     def __init__(self, qname: Col, flag: np.ndarray, seq: Col, qual: Col):
-        self.qname, self.flag, self.seq, self.qual = qname, flag, seq, qual
-        self.key2row = {}
-        for i in range(len(qname)):
-            k = (qname.row(i), int(flag[i]) & MATE_BITS)
-            if k not in self.key2row:
-                self.key2row[k] = i
+        from .ops import pack as packops
+        self.qname, self.flag = qname, flag
+        self.seq_offsets = seq.offsets
+        self.seq_packed, self.seq_exc_pos, self.seq_exc_bytes = \
+            packops.seq_pack_2bit(seq.data)
+        self.qual_offsets = qual.offsets
+        pal = np.unique(qual.data) if qual.data.shape[0] else \
+            np.zeros(0, np.uint8)
+        width = next((w for w in (1, 2, 4) if pal.shape[0] <= (1 << w)),
+                     None)
+        if width is not None and pal.shape[0]:
+            lut = np.zeros(256, np.uint8)
+            lut[pal] = np.arange(pal.shape[0], dtype=np.uint8)
+            self.qual_packed = packops.pack_np(lut[qual.data], width)
+            self.qual_pal, self.qual_width = pal, width
+        else:
+            self.qual_packed, self.qual_pal, self.qual_width = \
+                qual.data, None, 8
+        # sorted (hash ^ mate-bits) join index; ties keep the lowest row
+        n = len(qname)
+        key = qname_hash(qname) + (flag.astype(np.uint64) & MATE_BITS)
+        order = np.lexsort((np.arange(n), key))
+        self._skeys = key[order]
+        self._sorder = order
 
     @classmethod
     def from_text(cls, data: np.ndarray):
@@ -77,14 +105,53 @@ class SagStore:
         flags, _ = ragged.atoi(cols[1])
         return cls(cols[0], flags, cols[9], cols[10])
 
+    def _flat_positions(self, offsets: np.ndarray, idx: np.ndarray):
+        lens = (offsets[1:] - offsets[:-1])[idx]
+        total = int(lens.sum())
+        pos = ragged.arange(total) - np.repeat(
+            np.concatenate([[0], np.cumsum(lens)])[:-1], lens)
+        return np.repeat(offsets[:-1][idx], lens) + pos, lens
+
+    def seq_rows(self, idx: np.ndarray) -> Col:
+        """Materialize SEQ for the requested rows from the 2-bit store."""
+        flat, lens = self._flat_positions(self.seq_offsets, idx)
+        from .ops import pack as packops
+        codes = (self.seq_packed[flat >> 2] >> ((flat & 3) * 2)) & 3
+        out = packops.ACGT[codes]
+        if self.seq_exc_pos.shape[0] and flat.shape[0]:
+            at = np.searchsorted(self.seq_exc_pos, flat)
+            hit = (at < self.seq_exc_pos.shape[0]) & \
+                (self.seq_exc_pos[np.minimum(
+                    at, self.seq_exc_pos.shape[0] - 1)] == flat)
+            out[hit] = self.seq_exc_bytes[at[hit]]
+        return Col(out, np.concatenate([[0], np.cumsum(lens)]))
+
+    def qual_rows(self, idx: np.ndarray) -> Col:
+        flat, lens = self._flat_positions(self.qual_offsets, idx)
+        if self.qual_pal is None:
+            out = self.qual_packed[flat]
+        else:
+            w = self.qual_width
+            per = 8 // w
+            codes = (self.qual_packed[flat // per]
+                     >> ((flat % per).astype(np.uint8) * w)) & ((1 << w) - 1)
+            out = self.qual_pal[codes]
+        return Col(out, np.concatenate([[0], np.cumsum(lens)]))
+
     def lookup(self, qname: Col, flag: np.ndarray) -> np.ndarray:
-        out = np.full(len(qname), -1, np.int64)
-        k2r = self.key2row
-        for i in range(len(qname)):
-            r = k2r.get((qname.row(i), int(flag[i]) & MATE_BITS))
-            if r is not None:
-                out[i] = r
-        return out
+        from .deep import cols_equal_rows
+        n = len(qname)
+        if n == 0 or self._skeys.shape[0] == 0:
+            return np.full(n, -1, np.int64)
+        key = qname_hash(qname) + (flag.astype(np.uint64) & MATE_BITS)
+        at = np.searchsorted(self._skeys, key, side="left")
+        ok = at < self._skeys.shape[0]
+        cand = self._sorder[np.minimum(at, self._skeys.shape[0] - 1)]
+        ok &= self._skeys[np.minimum(at, self._skeys.shape[0] - 1)] == key
+        # verify bytes + mate bits (collision -> miss, never a wrong match)
+        ok &= cols_equal_rows(qname, ragged.take(self.qname, cand))
+        ok &= (self.flag[cand] & MATE_BITS) == (flag & MATE_BITS)
+        return np.where(ok, cand, -1).astype(np.int64)
 
 
 def leading_hardclip(cigar: Col) -> np.ndarray:
@@ -126,8 +193,8 @@ def predict_depn(store: SagStore, sag_idx: np.ndarray, depn_flag: np.ndarray,
         empty = Col(np.zeros(0, np.uint8), np.zeros(n + 1, np.int64))
         return empty, empty, valid
     idx = sag_idx[rows]
-    p_seq = ragged.take(store.seq, idx)
-    p_qual = ragged.take(store.qual, idx)
+    p_seq = store.seq_rows(idx)
+    p_qual = store.qual_rows(idx)
     differ = ((store.flag[idx] & FLAG_REV) !=
               (depn_flag[rows] & FLAG_REV))
     h1 = leading_hardclip(cigar)[rows]

@@ -137,3 +137,18 @@ def test_decode_v4_v5_interpret():
         assert rans_pallas.decode(e, interpret=True, S=8, v4=True) == data
         assert rans_pallas.decode(e, interpret=True, S=8, v5=True) == data
         assert rans_pallas.decode(e, interpret=True, S=8) == data  # default
+
+
+def test_decode_many_v6_interpret():
+    """v6 stacked-state multi-stream decode: bit-exact vs rans_np, full and
+    partial groups, mixed sizes (incl. empty-block edge rows)."""
+    from genozip_tpu.ops import rans_np, rans_pallas
+    rng = np.random.default_rng(17)
+    sizes = (5000, 100000, 37, 60000, 1, 24000, 9999, 3456)
+    datas = [rng.choice(np.frombuffer(b"FFFF:F,#ABx", np.uint8), sz)
+             .astype(np.uint8).tobytes() for sz in sizes]
+    bufs = [rans_np.encode(d, order=0, n_lanes=256) for d in datas]
+    outs = rans_pallas.decode_many_v6(bufs, S=4, R=8, interpret=True)
+    assert all(o == d for o, d in zip(outs, datas))
+    outs = rans_pallas.decode_many_v6(bufs[:3], S=4, R=8, interpret=True)
+    assert all(o == d for o, d in zip(outs, datas[:3]))
