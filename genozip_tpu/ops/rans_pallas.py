@@ -1452,6 +1452,240 @@ def decode_many_v6(bufs, S: int = 8, R: int = 8, interpret: bool = False):
     return res
 
 
+def _decode_many_kernel_o1v6(meta_ref, words_ref, ftabs_ref, ctabs_ref,
+                             x0s_ref, out_ref, x_ref, ctx_ref, win_ref,
+                             p_ref, sems, *, N: int, S: int, R: int,
+                             AP: int):
+    """Order-1 v6: R-stream stacked state + PALETTE-COMPACTED context
+    tables + 2-limb bf16 matmuls.
+
+    The o1 kernel's cost is the per-step (256,256)@(256,N) table-gather
+    matmuls. But an order-1 QUAL/text stream uses a small alphabet A
+    (binned QUAL: 4-40 symbols): every (ctx, sym) with zero frequency is
+    dead table mass. Decoding in RANK space — tables compacted to the
+    palette, ctx carried as a rank, the host mapping pal[rank] at the
+    end — shrinks the gather to (AP,AP)@(AP,N) with AP = padded palette
+    size, bit-exact because zero-frequency rows can never be selected by
+    the staircase and (f, c) values are unchanged by dropping them.
+    Combined with the v6 stacking and _dot16 this multiplies out to
+    ~10-50x less matmul work for typical QUAL streams."""
+    g = pl.program_id(0)
+
+    @pl.when(g == 0)
+    def _init():
+        x_ref[...] = x0s_ref[0:R, :].astype(jnp.uint32)
+        ctx_ref[...] = jnp.zeros((R, N), jnp.int32)
+        for r in range(R):
+            p_ref[r] = meta_ref[2, r]
+
+    LR = N // LANE_COLS
+    WG = LR + 16
+    lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, N), 1)
+    laneR = jax.lax.broadcasted_iota(jnp.int32, (R, N), 1)
+    lane_len = jnp.concatenate(
+        [jnp.clip(meta_ref[0, r] - lane1 * meta_ref[1, r], 0,
+                  meta_ref[1, r]) for r in range(R)], axis=0)
+    sub128 = jax.lax.broadcasted_iota(jnp.int32, (LANE_COLS, 1), 0)
+    subWG = jax.lax.broadcasted_iota(jnp.int32, (WG, 1), 0)
+    iotaApT = jax.lax.broadcasted_iota(jnp.int32, (AP, 1), 0)
+    ftabTs = [jnp.transpose(ftabs_ref[AP * r:AP * (r + 1), :])
+              for r in range(R)]
+    ctabTs = [jnp.transpose(ctabs_ref[AP * r:AP * (r + 1), :])
+              for r in range(R)]
+
+    ctx = ctx_ref[...]
+    for s in range(S):
+        t = g * S + s
+        act = t < lane_len
+        bases, cps = [], []
+        for r in range(R):
+            ps = p_ref[r]
+            base8 = pl.multiple_of(8 * (ps // (8 * LANE_COLS)), 8)
+            bases.append((ps, base8))
+            cp = pltpu.make_async_copy(
+                words_ref.at[pl.ds(base8, WG), :],
+                win_ref.at[pl.ds(r * WG, WG), :], sems.at[r])
+            cp.start()
+            cps.append(cp)
+        x = x_ref[...]
+        slot = (x & jnp.uint32(SCALE - 1)).astype(jnp.int32)
+        slot_f32 = slot.astype(jnp.float32)
+        f_rows, c_rows, s_rows = [], [], []
+        for r in range(R):
+            slot_f = slot_f32[r:r + 1, :]
+            ctxoh = (iotaApT == ctx[r:r + 1, :]).astype(jnp.float32)
+            frL = _dot16(ftabTs[r], ctxoh)           # (AP, N)
+            crL = _dot16(ctabTs[r], ctxoh)
+            ge = (crL <= slot_f).astype(jnp.float32)
+            ge2 = (crL + frL <= slot_f).astype(jnp.float32)
+            s_rows.append(jnp.sum(ge, axis=0, keepdims=True) - 1.0)
+            A_ = jnp.sum(ge * frL, axis=0, keepdims=True)
+            B_ = jnp.sum(ge2 * frL, axis=0, keepdims=True)
+            f_rows.append(A_ - B_)
+            c_rows.append(B_)
+        f = jnp.concatenate(f_rows, axis=0).astype(jnp.int32) \
+            .astype(jnp.uint32)
+        c = jnp.concatenate(c_rows, axis=0).astype(jnp.int32) \
+            .astype(jnp.uint32)
+        srow = jnp.concatenate(s_rows, axis=0).astype(jnp.int32)
+        f = jnp.where(act, f, jnp.uint32(1))
+        c = jnp.where(act, c, jnp.uint32(0))
+
+        xa = f * (x >> SCALE_BITS) + slot.astype(jnp.uint32) - c
+        x = jnp.where(act, xa, x)
+        need = act & (x < RANS_L)
+        rk = need.astype(jnp.int32)
+        k = 1
+        while k < N:
+            sh = pltpu.roll(rk, k, axis=1)
+            rk = rk + jnp.where(laneR >= k, sh, 0)
+            k *= 2
+
+        got_rows = []
+        for r in range(R):
+            ps, base8 = bases[r]
+            cps[r].wait()
+            win_f = win_ref[r * WG:(r + 1) * WG, :].astype(jnp.float32)
+            idx = (ps - base8 * LANE_COLS) + rk[r:r + 1, :] - 1
+            r0 = idx // LANE_COLS
+            c0 = idx - r0 * LANE_COLS
+            M1 = (sub128 == c0).astype(jnp.float32)
+            temp = _dot16(win_f, M1)
+            onr = (subWG == r0).astype(jnp.float32)
+            got_rows.append(jnp.sum(onr * temp, axis=0, keepdims=True))
+            p_ref[r] = ps + jnp.max(rk[r:r + 1, :], axis=1)[0]
+        got = jnp.concatenate(got_rows, axis=0).astype(jnp.int32) \
+            .astype(jnp.uint32)
+
+        x = jnp.where(need, (x << 16) | got, x)
+        x_ref[...] = x
+        ctx = jnp.where(act, srow, ctx)
+        outv = jnp.where(act, srow, 0).astype(jnp.uint8)
+        for r in range(R):
+            out_ref[s:s + 1, r * N:(r + 1) * N] = outv[r:r + 1, :]
+    ctx_ref[...] = ctx
+
+
+@partial(jax.jit, static_argnames=("N", "S", "R", "AP", "G", "interpret"))
+def decode_many_o1_device_v6(meta, words, ftabs, ctabs, x0s, N: int, S: int,
+                             R: int, AP: int, G: int,
+                             interpret: bool = False):
+    LR = N // LANE_COLS
+    wmat = words.reshape(-1, LANE_COLS)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(G,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((S, R * N), lambda g, m: (g, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((max(R, 8), N), jnp.uint32),
+                        pltpu.VMEM((max(R, 8), N), jnp.int32),
+                        pltpu.VMEM((R * (LR + 16), LANE_COLS), jnp.int32),
+                        pltpu.SMEM((R,), jnp.int32),
+                        pltpu.SemaphoreType.DMA((R,))],
+    )
+    return pl.pallas_call(
+        partial(_decode_many_kernel_o1v6, N=N, S=S, R=R, AP=AP),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((G * S, R * N), jnp.uint8),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(meta, wmat, ftabs, ctabs, x0s)
+
+
+def o1_palette(freq2: np.ndarray) -> np.ndarray | None:
+    """Palette for rank-space order-1 decode: symbols with any nonzero
+    frequency (as next-symbol) plus ctx 0; None when too large."""
+    used = freq2.sum(axis=0) > 0
+    used[0] = True
+    pal = np.nonzero(used)[0]
+    return pal if pal.shape[0] <= 128 else None
+
+
+def decode_many_o1_v6(bufs, S: int = 8, R: int = 8,
+                      interpret: bool = False):
+    """Decode up to R order-1 streams concurrently with palette-compacted
+    rank-space tables. Returns list[bytes], or None if any stream's
+    alphabet exceeds 128 (caller falls back to decode_many_o1)."""
+    interpret = _auto_interpret(interpret)
+    from . import rans_np
+    B = len(bufs)
+    assert 0 < B <= R
+    word_parts, ftabs, ctabs, x0_rows, metas, shapes, pals = \
+        [], [], [], [], [], [], []
+    wbase = 0
+    N = None
+    maxA = 1
+    for buf in bufs:
+        buf = memoryview(buf)
+        logN, order = buf[0], buf[1]
+        assert order == 1
+        Ns = 1 << logN
+        if N is None:
+            N = Ns
+        assert Ns == N
+        n = int.from_bytes(buf[2:6], "little")
+        freq2, cum2, off = _order1_tables(buf, 6)
+        pal = o1_palette(freq2)
+        if pal is None:
+            return None
+        pals.append(pal)
+        maxA = max(maxA, pal.shape[0])
+        ftabs.append((freq2, cum2))
+        words = np.frombuffer(buf[off:], dtype="<u2")
+        st = words[: 2 * N].astype(np.uint32)
+        x0_rows.append(((st[0::2] << 16) | st[1::2]).astype(np.int32))
+        dw = words[2 * N:].astype(np.int32)
+        K, _ = rans_np.lane_layout(n, N)
+        metas.append((n, K, wbase))
+        shapes.append((K, n))
+        wlen = (dw.shape[0] + 1023) // 1024 * 1024
+        wp = np.zeros(wlen, np.int32)
+        wp[: dw.shape[0]] = dw
+        word_parts.append(wp)
+        wbase += wlen
+    AP = 16
+    while AP < maxA:
+        AP *= 2
+    ftabA, ctabA = [], []
+    for (freq2, cum2), pal in zip(ftabs, pals):
+        fa = np.zeros((AP, AP), np.float32)
+        ca = np.full((AP, AP), float(SCALE), np.float32)
+        A = pal.shape[0]
+        fa[:A, :A] = freq2[np.ix_(pal, pal)]
+        ca[:A, :A] = cum2[np.ix_(pal, pal)]
+        ftabA.append(fa)
+        ctabA.append(ca)
+    LR = N // LANE_COLS
+    while len(ftabA) < R:
+        ftabA.append(np.zeros((AP, AP), np.float32))
+        ctabA.append(np.full((AP, AP), float(SCALE), np.float32))
+        x0_rows.append(np.zeros(N, np.int32))
+        metas.append((0, 0, 0))
+        pals.append(np.zeros(1, np.int64))
+    R8 = max(R, 8)
+    x0s = np.zeros((R8, N), np.int32)
+    x0s[:R] = np.stack(x0_rows)
+    G = _bucket_up(max((K + S - 1) // S for K, _ in shapes))
+    word_parts.append(np.zeros((LR + 24) * LANE_COLS, np.int32))
+    words = np.concatenate(word_parts)
+    out = decode_many_o1_device_v6(
+        jnp.asarray(np.asarray(metas, np.int32).T.copy()),
+        jnp.asarray(words), jnp.asarray(np.concatenate(ftabA, axis=0)),
+        jnp.asarray(np.concatenate(ctabA, axis=0)),
+        jnp.asarray(x0s), N, S, R, AP, G, interpret)
+    plane = np.asarray(out)
+    res = []
+    for r, (K, n) in enumerate(shapes):
+        sub = plane[:K, r * N:(r + 1) * N]
+        pal8 = pals[r].astype(np.uint8)
+        res.append(pal8[sub].T.reshape(-1)[:n].tobytes() if K else b"")
+    return res
+
+
 def _auto_interpret(interpret: bool) -> bool:
     """pallas_call can't lower natively on the CPU backend — auto-switch
     to interpret mode there (tests / CPU-only hosts)."""

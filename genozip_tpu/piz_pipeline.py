@@ -137,6 +137,23 @@ class PizReader:
                     groups.setdefault((comp[0], comp[1]), []).append(i)
             from .ops import rans_pallas
             for (logn, order), idxs in groups.items():
+                if order == 1 and len(idxs) >= 4:
+                    # o1 v6: stacked streams + palette-compacted rank-space
+                    # tables (small-alphabet QUAL); falls back per chunk
+                    # when an alphabet exceeds 128
+                    srt = sorted(idxs,
+                                 key=lambda i: -raws[i][3]["uncomp_len"])
+                    for j in range(0, len(srt), 16):
+                        chunk = srt[j:j + 16]
+                        R = 16 if len(chunk) > 8 else 8
+                        outs = rans_pallas.decode_many_o1_v6(
+                            [raws[i][2] for i in chunk], R=R)
+                        if outs is None:
+                            outs = rans_pallas.decode_many_o1(
+                                [raws[i][2] for i in chunk])
+                        for i, o in zip(chunk, outs):
+                            payloads[i] = o[: raws[i][3]["uncomp_len"]]
+                    continue
                 if order == 0 and len(idxs) >= 4:
                     # v6 stacked-state kernel: R streams decode
                     # CONCURRENTLY (1.16 GB/s agg at R=16 on v5e);

@@ -152,3 +152,22 @@ def test_decode_many_v6_interpret():
     assert all(o == d for o, d in zip(outs, datas))
     outs = rans_pallas.decode_many_v6(bufs[:3], S=4, R=8, interpret=True)
     assert all(o == d for o, d in zip(outs, datas[:3]))
+
+
+def test_decode_many_o1_v6_interpret():
+    """o1 v6: palette-compacted rank-space decode, bit-exact vs rans_np."""
+    from genozip_tpu.ops import rans_np, rans_pallas
+    rng = np.random.default_rng(23)
+    datas = []
+    for i, sz in enumerate((40000, 2000, 1, 90000, 333, 7777, 64, 12000)):
+        alpha = b"FFFF:F,#" if i % 2 else b"ABCDEFGHIJKLMNOP#!:,"
+        datas.append(rng.choice(np.frombuffer(alpha, np.uint8), sz)
+                     .astype(np.uint8).tobytes())
+    bufs = [rans_np.encode(d, order=1, n_lanes=256) for d in datas]
+    outs = rans_pallas.decode_many_o1_v6(bufs, S=4, R=8, interpret=True)
+    assert outs is not None
+    assert all(o == d for o, d in zip(outs, datas))
+    # >128-symbol alphabet -> None (fallback contract)
+    big = bytes(rng.integers(0, 256, 30000, dtype=np.uint8))
+    assert rans_pallas.decode_many_o1_v6(
+        [rans_np.encode(big, order=1, n_lanes=256)], interpret=True) is None
