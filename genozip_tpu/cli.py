@@ -34,6 +34,11 @@ def build_parser():
     z.add_argument("--test", action="store_true",
                    help="verify by decompress+digest after compressing")
     z.add_argument("--reference", default=None)
+    z.add_argument("--REFERENCE", "--store-reference", dest="store_ref",
+                   action="store_true",
+                   help="also embed the used reference ranges in the "
+                        "archive so unzip needs no .ref file "
+                        "(REF_EXT_STORE, reference flags.h:16-21)")
     z.add_argument("--password", default=None,
                    help="encrypt with AES-256 (reference --password)")
     z.add_argument("--mesh", type=int, default=None,
@@ -178,7 +183,8 @@ def main(argv=None):
                              show_stats=args.stats, reference=args.reference,
                              password=args.password, use_md5=args.md5,
                              bamass=args.bamass, truncate=args.truncate,
-                             mesh=args.mesh, dp=args.dp)
+                             mesh=args.mesh, dp=args.dp,
+                             store_ref=args.store_ref)
         if args.test:
             from .piz_pipeline import piz_file
             piz_file(out, None, reference=args.reference,

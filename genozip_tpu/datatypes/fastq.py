@@ -315,6 +315,11 @@ class FastqDT(DataType):
         if gpos2 is None:
             gpos2 = gpos
             junction = lens.astype(np.int64)
+        if getattr(ref, "track_used", False):  # REF_EXT_STORE tracking
+            ref.mark_used(gpos[aligned], junction[aligned])
+            sp2 = aligned & (junction < lens)
+            if sp2.any():
+                ref.mark_used(gpos2[sp2], (lens - junction)[sp2])
         ridx, mpos, mbase = al.mismatch_lists(
             ref, seq_mat, codes, lens, gpos, is_fwd, aligned, gpos2, junction)
         nm = np.bincount(ridx, minlength=len(seq))[aligned]

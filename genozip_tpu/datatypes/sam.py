@@ -528,6 +528,8 @@ class SamDT(DataType):
                 continue
             oplens = oplens[ok]
             by_ref[rows] = True
+            if getattr(ref, "track_used", False):
+                ref.mark_used(gpos0[rows], ref_len[ok])  # REF_EXT_STORE
             # walk ops; compare match segments
             roff = np.zeros(rows.shape[0], dtype=np.int64)
             goff = gpos0[rows].copy()

@@ -116,6 +116,9 @@ class VcfDT(DataType):
         first = mat[:, 0] if mat.shape[1] else np.zeros(len(ref_col), np.uint8)
         gb = packops.ACGT[ref.codes[np.clip(gpos, 0, max(ref.length - 1, 0))]]
         same = (lens == 1) & (gpos >= 0) & (first == gb)
+        if getattr(ref, "track_used", False):  # REF_EXT_STORE tracking
+            ok_g = gpos >= 0
+            ref.mark_used(gpos[ok_g], np.ones(int(ok_g.sum()), np.int64))
         ctxs["REFSAME"] = VBCtx("REFSAME", MODE_NUM,
                                 local=same.astype(np.int64), cat="int")
         rest = ragged.take(ref_col, np.nonzero(~same)[0])

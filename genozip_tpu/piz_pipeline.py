@@ -52,7 +52,22 @@ class PizReader:
                 np.frombuffer(payload[off:off + pl], np.uint8), 2,
                 meta["length"])
             self.dt.ref = RefGenome(codes, meta["contigs"])
-        if reference:
+        if self.file_hdr.get("ref_stored") and not reference:
+            # REF_EXT_STORE: the used genome ranges travel in the archive
+            payload, _ = self.zr.read_one(fmt.SEC_REFERENCE)
+            from .ref.refstore import RefGenome
+            from .ops import pack as packops
+            ml = int.from_bytes(payload[0:4], "little")
+            meta = fmt.json_parse(payload[4:4 + ml])
+            codes = np.zeros(meta["length"], np.uint8)
+            off = 4 + ml
+            for s, l in meta["ranges"]:
+                nb = (l + 3) // 4
+                codes[s:s + l] = packops.unpack_np(
+                    np.frombuffer(payload[off:off + nb], np.uint8), 2, l)
+                off += nb
+            self.dt.ref = RefGenome(codes, meta["contigs"])
+        elif reference:
             # lazy requirement: metadata-only operations (gxls) work without
             # the reference; recon paths assert when they actually need it
             from .ref.refstore import load_ref_file

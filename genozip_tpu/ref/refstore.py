@@ -47,6 +47,43 @@ class RefGenome:
                 return c
         return None
 
+    BLOCK = 4096  # usage-tracking granularity (REF_EXT_STORE)
+
+    def mark_used(self, starts: np.ndarray, lens: np.ndarray):
+        """Record genome ranges touched by seg (REF_EXT_STORE usage
+        tracking, reference src/reference.c is_set bitmaps). Block-level:
+        a bool per 4KB block."""
+        if not getattr(self, "track_used", False) or starts.shape[0] == 0:
+            return
+        if getattr(self, "used_blocks", None) is None:
+            self.used_blocks = np.zeros(
+                (self.length + self.BLOCK - 1) // self.BLOCK + 1, bool)
+        s = np.clip(starts.astype(np.int64), 0, self.length - 1)
+        e = np.clip(starts.astype(np.int64) + np.maximum(lens, 1),
+                    1, self.length)
+        b0 = s // self.BLOCK
+        b1 = (e - 1) // self.BLOCK
+        span = int((b1 - b0).max()) if b0.shape[0] else 0
+        for k in range(span + 1):
+            self.used_blocks[np.minimum(b0 + k, b1)] = True
+
+    def used_ranges(self):
+        """(start, len) base ranges from the block bitmap, merged."""
+        ub = getattr(self, "used_blocks", None)
+        if ub is None or not ub.any():
+            return []
+        blocks = np.nonzero(ub)[0]
+        brk = np.nonzero(np.diff(blocks) > 1)[0]
+        starts_b = np.concatenate([[blocks[0]], blocks[brk + 1]])
+        ends_b = np.concatenate([blocks[brk], [blocks[-1]]])
+        out = []
+        for sb, eb in zip(starts_b, ends_b):
+            s = int(sb) * self.BLOCK
+            e = min((int(eb) + 1) * self.BLOCK, self.length)
+            if e > s:
+                out.append((s, e - s))
+        return out
+
 
 def kmers_at(codes: np.ndarray, positions: np.ndarray, k: int = KMER):
     """Pack k consecutive 2-bit codes starting at each position into u32

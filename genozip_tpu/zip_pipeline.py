@@ -221,6 +221,29 @@ def _maybe_write_internal_ref(job, dt, reference) -> bool:
     return True
 
 
+def _maybe_write_stored_ref(job, dt, reference, store_ref) -> bool:
+    """REF_EXT_STORE (src/reference.c / flags.h:16-21 --REFERENCE mode):
+    with an external reference, also embed the genome ranges the file
+    actually used, so unzip needs no .ref file. Payload: contigs json +
+    (start, len) ranges + concatenated 2-bit codes per range."""
+    ref = getattr(dt, "ref", None)
+    if not store_ref or not reference or ref is None:
+        return False
+    ranges = ref.used_ranges()
+    if not ranges:
+        return False
+    from .ops import pack as packops
+    meta = fmt.json_payload({"contigs": ref.contigs,
+                             "length": int(ref.length),
+                             "ranges": [[int(s), int(l)] for s, l in ranges]})
+    packed = b"".join(packops.pack_np(ref.codes[s:s + l], 2).tobytes()
+                      for s, l in ranges)
+    payload = len(meta).to_bytes(4, "little") + meta + packed
+    job.zw.write_section(fmt.SEC_REFERENCE, payload,
+                         codec=codec_assign.assign_best(payload, "text"))
+    return True
+
+
 def _setup_encryption(job, password):
     if not password:
         return None
@@ -248,9 +271,11 @@ def zip_file(in_path: str, out_path: str, dt_name: str | None = None,
              reference: str | None = None, password: str | None = None,
              use_md5: bool = False, bamass: str | None = None,
              truncate: bool = False, mesh: int | None = None,
-             dp: int | None = None):
+             dp: int | None = None, store_ref: bool = False):
     reader, dt, dt_name = _open_component(in_path, dt_name, reference,
                                           truncate=truncate)
+    if store_ref and getattr(dt, "ref", None) is not None:
+        dt.ref.track_used = True  # REF_EXT_STORE usage tracking
     if mesh and getattr(dt, "ref", None) is not None:
         # sharded aligner: genome+refhash over 'mp', read batches over 'dp'
         from .parallel.mesh_aligner import MeshAligner
@@ -429,6 +454,7 @@ def zip_file(in_path: str, out_path: str, dt_name: str | None = None,
                                  if len(isz) >= 64 else codecs.NONE)
 
     ref_internal = _maybe_write_internal_ref(job, dt, reference)
+    ref_stored = _maybe_write_stored_ref(job, dt, reference, store_ref)
 
     file_hdr = {
         "version": 1, "dt": dt_name, "num_vbs": vb_i,
@@ -437,6 +463,7 @@ def zip_file(in_path: str, out_path: str, dt_name: str | None = None,
         "txt_name": in_path.rsplit("/", 1)[-1],
         "reference": reference.rsplit("/", 1)[-1] if reference else None,
         "ref_internal": ref_internal,
+        "ref_stored": ref_stored,
         "enc": enc,
         "md5": md5.hexdigest() if md5 else None,
         "mgzip": mgzip,

@@ -44,14 +44,70 @@ def main():
         bufs = [rans_np.encode(d, order=1, n_lanes=N) for d in datas]
         tot = sum(len(d) for d in datas)
         try:
+            import jax.numpy as jnp
+            from genozip_tpu.ops.rans_pallas import (
+                LANE_COLS, _order1_tables, o1_palette, _bucket_up,
+                decode_many_o1_device_v6)
+            word_parts, fA, cA, x0_rows, metas, shapes, pals = \
+                [], [], [], [], [], [], []
+            wbase = 0
+            maxA = 1
+            for buf in bufs:
+                buf = memoryview(buf)
+                n = int.from_bytes(buf[2:6], "little")
+                freq2, cum2, off = _order1_tables(buf, 6)
+                pal = o1_palette(freq2)
+                maxA = max(maxA, pal.shape[0])
+                pals.append((pal, freq2, cum2))
+                words = np.frombuffer(buf[off:], dtype="<u2")
+                st = words[: 2 * N].astype(np.uint32)
+                x0_rows.append(((st[0::2] << 16) | st[1::2])
+                               .astype(np.int32))
+                dw = words[2 * N:].astype(np.int32)
+                K, _ = rans_np.lane_layout(n, N)
+                metas.append((n, K, wbase))
+                shapes.append((K, n))
+                wlen = (dw.shape[0] + 1023) // 1024 * 1024
+                wp = np.zeros(wlen, np.int32)
+                wp[: dw.shape[0]] = dw
+                word_parts.append(wp)
+                wbase += wlen
+            AP = 16
+            while AP < maxA:
+                AP *= 2
+            SCALE = 4096.0
+            for pal, freq2, cum2 in pals:
+                fa = np.zeros((AP, AP), np.float32)
+                ca = np.full((AP, AP), SCALE, np.float32)
+                A = pal.shape[0]
+                fa[:A, :A] = freq2[np.ix_(pal, pal)]
+                ca[:A, :A] = cum2[np.ix_(pal, pal)]
+                fA.append(fa)
+                cA.append(ca)
+            LR = N // LANE_COLS
+            R8 = max(R, 8)
+            x0s = np.zeros((R8, N), np.int32)
+            x0s[:R] = np.stack(x0_rows)
+            G = _bucket_up(max((K + S - 1) // S for K, _ in shapes))
+            word_parts.append(np.zeros((LR + 24) * LANE_COLS, np.int32))
+            md = jax.device_put(jnp.asarray(
+                np.asarray(metas, np.int32).T.copy()))
+            wd = jax.device_put(jnp.asarray(np.concatenate(word_parts)))
+            fd = jax.device_put(jnp.asarray(np.concatenate(fA, axis=0)))
+            cd = jax.device_put(jnp.asarray(np.concatenate(cA, axis=0)))
+            xd = jax.device_put(jnp.asarray(x0s))
+            fn = lambda: decode_many_o1_device_v6(
+                md, wd, fd, cd, xd, N, S, R, AP, G)
             t0 = time.time()
-            outs = rans_pallas.decode_many_o1_v6(bufs, S=S, R=R)
+            plane = np.asarray(jax.block_until_ready(fn()))
             cmp_s = time.time() - t0
-            ok = outs is not None and \
-                all(o == d for o, d in zip(outs, datas))
-            b = best3(lambda: rans_pallas.decode_many_o1_v6(bufs, S=S, R=R))
-            line = (f"o1v6 N={N} S={S} R={R}: {tot/1e6/b:.0f} MB/s agg "
-                    f"(incl host framing) exact={ok} (compile {cmp_s:.0f}s)")
+            ok = all(
+                pals[r][0].astype(np.uint8)[plane[:K, r * N:(r + 1) * N]]
+                .T.reshape(-1)[:n].tobytes() == datas[r]
+                for r, (K, n) in enumerate(shapes))
+            b = best3(lambda: jax.block_until_ready(fn()))
+            line = (f"o1v6 N={N} S={S} R={R} AP={AP}: {tot/1e6/b:.0f} MB/s "
+                    f"agg kernel-only exact={ok} (compile {cmp_s:.0f}s)")
         except Exception as ex:
             line = f"o1v6 N={N} S={S} R={R}: FAIL {type(ex).__name__} {ex}"
         print(line, flush=True)
