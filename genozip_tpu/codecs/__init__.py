@@ -64,7 +64,18 @@ def compress_many_rans(payloads, order: int):
     format-identical to the host coder's."""
     from ..ops import rans_pallas
     if order == 0:
-        return rans_pallas.encode_many(payloads, n_lanes=1024, S=8)
+        # v6 stacked-state kernel in chunks of <=16 concurrent streams
+        outs = []
+        srt = sorted(range(len(payloads)), key=lambda i: -len(payloads[i]))
+        res = [None] * len(payloads)
+        for j in range(0, len(srt), 16):
+            chunk = srt[j:j + 16]
+            R = 16 if len(chunk) > 8 else 8
+            enc = rans_pallas.encode_many_v6(
+                [payloads[i] for i in chunk], n_lanes=1024, S=8, R=R)
+            for i, e in zip(chunk, enc):
+                res[i] = e
+        return res
     return rans_pallas.encode_many_o1(payloads, n_lanes=1024, S=8)
 
 

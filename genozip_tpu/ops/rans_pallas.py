@@ -15,6 +15,13 @@ STATUS round 2 (kernel-only, measured on TPU v5e):
       bf16 limb passes (_dot16; Mosaic has no Precision.HIGH) instead
       of HIGHEST's six — exact because the one-hot side is single-limb
       and values fit 16 bits.
+  o1 v6 (decode_many_o1_v6, stacking + PALETTE-COMPACTED rank-space
+      tables + _dot16): R=16 AP=16: 1222 MB/s aggregate (N=1024),
+      1131 (N=2048); R=8: 775 MB/s — vs 71 MB/s for the round-1 order-1
+      kernel. The o1 cost was the (256,256)@(256,N) context-table
+      gathers; compacting to the palette (QUAL alphabets are tiny)
+      shrinks them to (AP,AP)@(AP,N), bit-exact since zero-frequency
+      rows are never selected. >128-symbol alphabets fall back.
   v5 + _dot16: 262 MB/s single-stream (was 223 with HIGHEST).
   v3 (round-1 default):        198 MB/s (N=1024 S=8); 164 @ N=4096.
   v4 (two-level 16x16 lookup): 201 MB/s — bit-exact, but no speedup:
@@ -1594,6 +1601,217 @@ def decode_many_o1_device_v6(meta, words, ftabs, ctabs, x0s, N: int, S: int,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(meta, wmat, ftabs, ctabs, x0s)
+
+
+def _encode_many_kernel_v6(meta_ref, syms_ref, tabs_ref, out_ref, sts_ref,
+                           x_ref, *, N: int, S: int, R: int):
+    """Stacked R-stream order-0 encode (v6 design, see decode v6): all
+    streams padded to a shared G*S step count, processed in DESCENDING t
+    (the grid index_map reverses blocks); per-stream (1,N) work — symbol
+    one-hot + _dot16 (f,c) gather and the banded word scatter — loops over
+    R, everything else ((R,N) divmod/emit/state and the rank roll-scan)
+    runs fully batched. Output block per program: 8 header rows (per-
+    stream word count at column r*128) + S*LR word rows per stream."""
+    g = pl.program_id(0)
+
+    @pl.when(g == 0)
+    def _init():
+        x_ref[...] = jnp.full((max(R, 8), N), RANS_L, jnp.uint32)
+
+    LR = N // LANE_COLS
+    BLK = S * LR
+    G = pl.num_programs(0)
+    thi = (G - 1 - g) * S
+    lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, N), 1)
+    laneR = jax.lax.broadcasted_iota(jnp.int32, (R, N), 1)
+    lane_len = jnp.concatenate(
+        [jnp.clip(meta_ref[0, r] - lane1 * meta_ref[1, r], 0,
+                  meta_ref[1, r]) for r in range(R)], axis=0)     # (R, N)
+    iota256T = jax.lax.broadcasted_iota(jnp.int32, (256, 1), 0)
+    sub128 = jax.lax.broadcasted_iota(jnp.int32, (LANE_COLS, 1), 0)
+    blkrow_iota = jax.lax.broadcasted_iota(jnp.int32, (1, BLK), 1)
+    fcTs = [tabs_ref[8 * r:8 * r + 8, :] for r in range(R)]
+
+    q = jnp.full((R, 1), BLK * LANE_COLS, dtype=jnp.int32)
+    outTs = [jnp.zeros((LANE_COLS, BLK), jnp.int32) for _ in range(R)]
+    for s in range(S):
+        t = thi + (S - 1 - s)
+        act = t < lane_len                                        # (R, N)
+        f_rows, c_rows = [], []
+        for r in range(R):
+            sym = syms_ref[S - 1 - s: S - s,
+                           r * N:(r + 1) * N].astype(jnp.int32)
+            inm = (iota256T == sym).astype(jnp.float32)           # (256, N)
+            fc = _dot16(fcTs[r], inm)                             # (8, N)
+            f_rows.append(fc[0:1, :])
+            c_rows.append(fc[1:2, :])
+        f_row = jnp.concatenate(f_rows, axis=0).astype(jnp.int32)
+        c_row = jnp.concatenate(c_rows, axis=0).astype(jnp.int32)
+        f_row = jnp.where(act, f_row, 1)
+        c_row = jnp.where(act, c_row, 0)
+        fu = f_row.astype(jnp.uint32)
+
+        x = x_ref[0:R, :]
+        emit = act & ((x >> 20) >= fu)
+        word = (x & jnp.uint32(0xFFFF)).astype(jnp.int32)
+        x = jnp.where(emit, x >> 16, x)
+
+        rk = emit.astype(jnp.int32)
+        k = 1
+        while k < N:
+            sh = pltpu.roll(rk, k, axis=1)
+            rk = rk + jnp.where(laneR >= k, sh, 0)
+            k *= 2
+        total = jnp.max(rk, axis=1, keepdims=True)                # (R, 1)
+        pos = q - total + rk - 1
+        r0 = pos // LANE_COLS
+        c0 = pos - r0 * LANE_COLS
+        rbase = (q - total) // LANE_COLS
+        for r in range(R):
+            for j in range(LR + 1):
+                sel_j = emit[r:r + 1, :] & (r0[r:r + 1, :]
+                                            == rbase[r, 0] + j)
+                selc = (sub128 == jnp.where(sel_j, c0[r:r + 1, :], -1)) \
+                    .astype(jnp.int32)
+                wcol = jnp.sum(selc * word[r:r + 1, :], axis=1,
+                               keepdims=True)
+                onrow = (blkrow_iota == rbase[r, 0] + j).astype(jnp.int32)
+                outTs[r] = outTs[r] + onrow * wcol
+        q = q - total
+
+        hi12 = (x >> 24).astype(jnp.int32)
+        mid12 = ((x >> 12) & jnp.uint32(0xFFF)).astype(jnp.int32)
+        lo12 = (x & jnp.uint32(0xFFF)).astype(jnp.int32)
+        ff = f_row.astype(jnp.float32)
+
+        def _divmod(d):
+            qq = jnp.floor(d.astype(jnp.float32) / ff).astype(jnp.int32)
+            rr = d - qq * f_row
+            fix_up = (rr >= f_row).astype(jnp.int32)
+            qq = qq + fix_up
+            rr = rr - fix_up * f_row
+            fix_dn = (rr < 0).astype(jnp.int32)
+            qq = qq - fix_dn
+            rr = rr + fix_dn * f_row
+            return qq, rr
+
+        q1, r1 = _divmod(hi12)
+        q2, r2 = _divmod((r1 << 12) | mid12)
+        q3, r3 = _divmod((r2 << 12) | lo12)
+        quot = (q1.astype(jnp.uint32) << 24) | \
+            (q2.astype(jnp.uint32) << 12) | q3.astype(jnp.uint32)
+        xa = (quot << SCALE_BITS) + r3.astype(jnp.uint32) + \
+            c_row.astype(jnp.uint32)
+        xn = jnp.where(act, xa, x)
+        x_ref[0:R, :] = xn
+
+    hr = jax.lax.broadcasted_iota(jnp.int32, (8, LANE_COLS), 0)
+    hc = jax.lax.broadcasted_iota(jnp.int32, (8, LANE_COLS), 1)
+    for r in range(R):
+        cnt = BLK * LANE_COLS - q[r, 0]
+        out_ref[0:8, r * LANE_COLS:(r + 1) * LANE_COLS] = \
+            jnp.where((hr == 0) & (hc == 0), cnt, 0)
+        out_ref[8:, r * LANE_COLS:(r + 1) * LANE_COLS] = \
+            jnp.transpose(outTs[r])
+        sts_ref[0:8, r * N:(r + 1) * N] = jnp.broadcast_to(
+            x_ref[r:r + 1, :].astype(jnp.int32), (8, N))
+
+
+@partial(jax.jit, static_argnames=("N", "S", "R", "G", "interpret"))
+def encode_many_device_v6(meta, syms, tabs, N: int, S: int, R: int, G: int,
+                          interpret: bool = False):
+    """meta (2, R) i32 [n, K]; syms (G*S, R*N) u8 (step-major, padded);
+    tabs (R*8, 256) f32 rows 0/1 = freq/cum. Outputs: blocks
+    (G*(S*LR+8), R*128) i32 and final states (8, R*N) i32."""
+    LR = N // LANE_COLS
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(G,),
+        in_specs=[pl.BlockSpec((S, R * N), lambda g, m: (G - 1 - g, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=[pl.BlockSpec((S * LR + 8, R * LANE_COLS),
+                                lambda g, m: (g, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.VMEM)],
+        scratch_shapes=[pltpu.VMEM((max(R, 8), N), jnp.uint32)],
+    )
+    return pl.pallas_call(
+        partial(_encode_many_kernel_v6, N=N, S=S, R=R),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((G * (S * LR + 8), R * LANE_COLS),
+                                        jnp.int32),
+                   jax.ShapeDtypeStruct((8, R * N), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(meta, syms, tabs)
+
+
+def encode_many_v6(datas, n_lanes: int = 1024, S: int = 8, R: int = 8,
+                   interpret: bool = False):
+    """Encode up to R payloads as order-0 streams with the stacked-state
+    kernel; each output is byte-identical to rans_np.encode(d, order=0,
+    n_lanes=n_lanes)."""
+    interpret = _auto_interpret(interpret)
+    from . import rans_np
+    N = n_lanes
+    LR = N // LANE_COLS
+    B = len(datas)
+    assert 0 < B <= R
+    tabs, heads, metas, shapes, planes = [], [], [], [], []
+    Gmax = 1
+    for d in datas:
+        a = np.frombuffer(d, np.uint8) if isinstance(
+            d, (bytes, bytearray, memoryview)) else np.asarray(d, np.uint8)
+        n = a.shape[0]
+        freq = rans_np.normalize_freqs(np.bincount(a, minlength=256))
+        cum = np.concatenate([[0], np.cumsum(freq)[:-1]]).astype(np.uint32)
+        t8 = np.zeros((8, 256), np.float32)
+        t8[0] = freq.astype(np.float32)
+        t8[1] = cum.astype(np.float32)
+        tabs.append(t8)
+        heads.append(bytes([int(np.log2(N)), 0])
+                     + int(n).to_bytes(4, "little")
+                     + rans_np._freqs_serialize(freq))
+        K, _ = rans_np.lane_layout(n, N)
+        Gmax = max(Gmax, (K + S - 1) // S if K else 1)
+        metas.append((n, K))
+        shapes.append((n, K))
+        planes.append(a)
+    G = _bucket_up(Gmax)
+    syms = np.zeros((G * S, R * N), np.uint8)
+    for r, a in enumerate(planes):
+        n, K = shapes[r]
+        if K:
+            padded = np.zeros(N * K, np.uint8)
+            padded[:n] = a
+            syms[:K, r * N:(r + 1) * N] = padded.reshape(N, K).T
+    while len(tabs) < R:
+        tabs.append(np.zeros((8, 256), np.float32))
+        metas.append((0, 0))
+    blocks, sts = encode_many_device_v6(
+        jnp.asarray(np.asarray(metas, np.int32).T.copy()),
+        jnp.asarray(syms), jnp.asarray(np.concatenate(tabs, axis=0)),
+        N, S, R, G, interpret)
+    blocks = np.asarray(blocks).reshape(G, S * LR + 8, R, LANE_COLS)
+    sts = np.asarray(sts).astype(np.uint32)
+    outs = []
+    for r, (n, K) in enumerate(shapes):
+        x = sts[0, r * N:(r + 1) * N] if K else \
+            np.full(N, RANS_L, np.uint32)
+        st = np.empty(2 * N, np.uint16)
+        st[0::2] = (x >> 16).astype(np.uint16)
+        st[1::2] = (x & 0xFFFF).astype(np.uint16)
+        parts = []
+        for g in range(G - 1, -1, -1):
+            cnt = int(blocks[g, 0, r, 0])
+            if cnt:
+                pay = blocks[g, 8:, r, :].reshape(-1)
+                parts.append(pay[pay.shape[0] - cnt:])
+        words = np.concatenate(parts).astype(np.uint16) if parts else \
+            np.zeros(0, np.uint16)
+        outs.append(heads[r] + st.tobytes() + words.tobytes())
+    return outs
 
 
 def o1_palette(freq2: np.ndarray) -> np.ndarray | None:

@@ -171,3 +171,16 @@ def test_decode_many_o1_v6_interpret():
     big = bytes(rng.integers(0, 256, 30000, dtype=np.uint8))
     assert rans_pallas.decode_many_o1_v6(
         [rans_np.encode(big, order=1, n_lanes=256)], interpret=True) is None
+
+
+def test_encode_many_v6_interpret():
+    """Stacked-state multi-stream encode: byte-identical to rans_np."""
+    from genozip_tpu.ops import rans_np, rans_pallas
+    rng = np.random.default_rng(29)
+    datas = [rng.choice(np.frombuffer(b"FFFF:F,#ABx", np.uint8), sz)
+             .astype(np.uint8).tobytes()
+             for sz in (5000, 60000, 37, 1, 24000, 3456)]
+    outs = rans_pallas.encode_many_v6(datas, n_lanes=256, S=4, R=8,
+                                      interpret=True)
+    for d, o in zip(datas, outs):
+        assert o == rans_np.encode(d, order=0, n_lanes=256)
