@@ -76,7 +76,20 @@ def compress_many_rans(payloads, order: int):
             for i, e in zip(chunk, enc):
                 res[i] = e
         return res
-    return rans_pallas.encode_many_o1(payloads, n_lanes=1024, S=8)
+    # order-1: stacked palette kernel, per-chunk fallback for wide alphabets
+    res = [None] * len(payloads)
+    srt = sorted(range(len(payloads)), key=lambda i: -len(payloads[i]))
+    for j in range(0, len(srt), 16):
+        chunk = srt[j:j + 16]
+        R = 16 if len(chunk) > 8 else 8
+        enc = rans_pallas.encode_many_o1_v6(
+            [payloads[i] for i in chunk], n_lanes=1024, S=8, R=R)
+        if enc is None:
+            enc = rans_pallas.encode_many_o1(
+                [payloads[i] for i in chunk], n_lanes=1024, S=8)
+        for i, e in zip(chunk, enc):
+            res[i] = e
+    return res
 
 
 def _bucket(n: int) -> int:

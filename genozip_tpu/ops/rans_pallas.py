@@ -1742,9 +1742,268 @@ def encode_many_device_v6(meta, syms, tabs, N: int, S: int, R: int, G: int,
         out_shape=[jax.ShapeDtypeStruct((G * (S * LR + 8), R * LANE_COLS),
                                         jnp.int32),
                    jax.ShapeDtypeStruct((8, R * N), jnp.int32)],
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            # R unrolled per-step (256,N) one-hots overflow the default
+            # 16M scoped-vmem budget
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(meta, syms, tabs)
+
+
+def _encode_many_kernel_o1v6(meta_ref, syms_ref, ctxs_ref, ftabs_ref,
+                             ctabs_ref, out_ref, sts_ref, x_ref,
+                             *, N: int, S: int, R: int, AP: int):
+    """Stacked R-stream ORDER-1 encode with palette-compacted rank-space
+    tables (see decode o1v6): the host remaps symbol/ctx planes to ranks,
+    so the per-step per-stream table work is two (AP,AP)@(AP,N) _dot16
+    gathers + (AP,N) one-hot row selects instead of 256-row everything;
+    the (R,N) divmod/emit/state chain and the roll-scan run batched."""
+    g = pl.program_id(0)
+
+    @pl.when(g == 0)
+    def _init():
+        x_ref[...] = jnp.full((max(R, 8), N), RANS_L, jnp.uint32)
+
+    LR = N // LANE_COLS
+    BLK = S * LR
+    G = pl.num_programs(0)
+    thi = (G - 1 - g) * S
+    lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, N), 1)
+    laneR = jax.lax.broadcasted_iota(jnp.int32, (R, N), 1)
+    lane_len = jnp.concatenate(
+        [jnp.clip(meta_ref[0, r] - lane1 * meta_ref[1, r], 0,
+                  meta_ref[1, r]) for r in range(R)], axis=0)
+    iotaApT = jax.lax.broadcasted_iota(jnp.int32, (AP, 1), 0)
+    sub128 = jax.lax.broadcasted_iota(jnp.int32, (LANE_COLS, 1), 0)
+    blkrow_iota = jax.lax.broadcasted_iota(jnp.int32, (1, BLK), 1)
+    ftabTs = [jnp.transpose(ftabs_ref[AP * r:AP * (r + 1), :])
+              for r in range(R)]
+    ctabTs = [jnp.transpose(ctabs_ref[AP * r:AP * (r + 1), :])
+              for r in range(R)]
+
+    q = jnp.full((R, 1), BLK * LANE_COLS, dtype=jnp.int32)
+    outTs = [jnp.zeros((LANE_COLS, BLK), jnp.int32) for _ in range(R)]
+    for s in range(S):
+        t = thi + (S - 1 - s)
+        act = t < lane_len
+        f_rows, c_rows = [], []
+        for r in range(R):
+            sym = syms_ref[S - 1 - s: S - s,
+                           r * N:(r + 1) * N].astype(jnp.int32)
+            ctx = ctxs_ref[S - 1 - s: S - s,
+                           r * N:(r + 1) * N].astype(jnp.int32)
+            symoh = (iotaApT == sym).astype(jnp.float32)
+            ctxoh = (iotaApT == ctx).astype(jnp.float32)
+            frL = _dot16(ftabTs[r], ctxoh)
+            crL = _dot16(ctabTs[r], ctxoh)
+            f_rows.append(jnp.sum(symoh * frL, axis=0, keepdims=True))
+            c_rows.append(jnp.sum(symoh * crL, axis=0, keepdims=True))
+        f_row = jnp.concatenate(f_rows, axis=0).astype(jnp.int32)
+        c_row = jnp.concatenate(c_rows, axis=0).astype(jnp.int32)
+        f_row = jnp.where(act, f_row, 1)
+        c_row = jnp.where(act, c_row, 0)
+        fu = f_row.astype(jnp.uint32)
+
+        x = x_ref[0:R, :]
+        emit = act & ((x >> 20) >= fu)
+        word = (x & jnp.uint32(0xFFFF)).astype(jnp.int32)
+        x = jnp.where(emit, x >> 16, x)
+
+        rk = emit.astype(jnp.int32)
+        k = 1
+        while k < N:
+            sh = pltpu.roll(rk, k, axis=1)
+            rk = rk + jnp.where(laneR >= k, sh, 0)
+            k *= 2
+        total = jnp.max(rk, axis=1, keepdims=True)
+        pos = q - total + rk - 1
+        r0 = pos // LANE_COLS
+        c0 = pos - r0 * LANE_COLS
+        rbase = (q - total) // LANE_COLS
+        for r in range(R):
+            for j in range(LR + 1):
+                sel_j = emit[r:r + 1, :] & (r0[r:r + 1, :]
+                                            == rbase[r, 0] + j)
+                selc = (sub128 == jnp.where(sel_j, c0[r:r + 1, :], -1)) \
+                    .astype(jnp.int32)
+                wcol = jnp.sum(selc * word[r:r + 1, :], axis=1,
+                               keepdims=True)
+                onrow = (blkrow_iota == rbase[r, 0] + j).astype(jnp.int32)
+                outTs[r] = outTs[r] + onrow * wcol
+        q = q - total
+
+        hi12 = (x >> 24).astype(jnp.int32)
+        mid12 = ((x >> 12) & jnp.uint32(0xFFF)).astype(jnp.int32)
+        lo12 = (x & jnp.uint32(0xFFF)).astype(jnp.int32)
+        ff = f_row.astype(jnp.float32)
+
+        def _divmod(d):
+            qq = jnp.floor(d.astype(jnp.float32) / ff).astype(jnp.int32)
+            rr = d - qq * f_row
+            fix_up = (rr >= f_row).astype(jnp.int32)
+            qq = qq + fix_up
+            rr = rr - fix_up * f_row
+            fix_dn = (rr < 0).astype(jnp.int32)
+            qq = qq - fix_dn
+            rr = rr + fix_dn * f_row
+            return qq, rr
+
+        q1, r1 = _divmod(hi12)
+        q2, r2 = _divmod((r1 << 12) | mid12)
+        q3, r3 = _divmod((r2 << 12) | lo12)
+        quot = (q1.astype(jnp.uint32) << 24) | \
+            (q2.astype(jnp.uint32) << 12) | q3.astype(jnp.uint32)
+        xa = (quot << SCALE_BITS) + r3.astype(jnp.uint32) + \
+            c_row.astype(jnp.uint32)
+        xn = jnp.where(act, xa, x)
+        x_ref[0:R, :] = xn
+
+    hr = jax.lax.broadcasted_iota(jnp.int32, (8, LANE_COLS), 0)
+    hc = jax.lax.broadcasted_iota(jnp.int32, (8, LANE_COLS), 1)
+    for r in range(R):
+        cnt = BLK * LANE_COLS - q[r, 0]
+        out_ref[0:8, r * LANE_COLS:(r + 1) * LANE_COLS] = \
+            jnp.where((hr == 0) & (hc == 0), cnt, 0)
+        out_ref[8:, r * LANE_COLS:(r + 1) * LANE_COLS] = \
+            jnp.transpose(outTs[r])
+        sts_ref[0:8, r * N:(r + 1) * N] = jnp.broadcast_to(
+            x_ref[r:r + 1, :].astype(jnp.int32), (8, N))
+
+
+@partial(jax.jit, static_argnames=("N", "S", "R", "AP", "G", "interpret"))
+def encode_many_o1_device_v6(meta, syms, ctxs, ftabs, ctabs, N: int,
+                             S: int, R: int, AP: int, G: int,
+                             interpret: bool = False):
+    LR = N // LANE_COLS
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(G,),
+        in_specs=[pl.BlockSpec((S, R * N), lambda g, m: (G - 1 - g, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((S, R * N), lambda g, m: (G - 1 - g, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=[pl.BlockSpec((S * LR + 8, R * LANE_COLS),
+                                lambda g, m: (g, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.VMEM)],
+        scratch_shapes=[pltpu.VMEM((max(R, 8), N), jnp.uint32)],
+    )
+    return pl.pallas_call(
+        partial(_encode_many_kernel_o1v6, N=N, S=S, R=R, AP=AP),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((G * (S * LR + 8), R * LANE_COLS),
+                                        jnp.int32),
+                   jax.ShapeDtypeStruct((8, R * N), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(meta, syms, ctxs, ftabs, ctabs)
+
+
+def encode_many_o1_v6(datas, n_lanes: int = 1024, S: int = 8, R: int = 8,
+                      interpret: bool = False):
+    """Encode up to R payloads as ORDER-1 streams with the stacked
+    palette kernel; byte-identical to rans_np.encode(d, order=1). Returns
+    None when any payload's alphabet exceeds 128 (caller falls back)."""
+    import zlib as _z
+    interpret = _auto_interpret(interpret)
+    from . import rans_np
+    N = n_lanes
+    LR = N // LANE_COLS
+    B = len(datas)
+    assert 0 < B <= R
+    heads, metas, shapes, plan = [], [], [], []
+    Gmax = 1
+    maxA = 1
+    for d in datas:
+        a = np.frombuffer(d, np.uint8) if isinstance(
+            d, (bytes, bytearray, memoryview)) else np.asarray(d, np.uint8)
+        n = a.shape[0]
+        m, K, lane_len = rans_np._to_matrix(a, N)
+        ctx_m = np.zeros_like(m)
+        if K:
+            ctx_m[1:] = m[:-1]
+        hist2 = np.zeros((256, 256), np.int64)
+        if K:
+            active = np.arange(K)[:, None] < lane_len[None, :]
+            np.add.at(hist2, (ctx_m[active], m[active]), 1)
+        freq2 = np.zeros((256, 256), np.uint32)
+        cum2 = np.zeros((256, 256), np.uint32)
+        used_ctx = hist2.sum(axis=1) > 0
+        parts = [np.packbits(used_ctx.astype(np.uint8),
+                             bitorder="little").tobytes()]
+        for cx in np.nonzero(used_ctx)[0]:
+            freq2[cx] = rans_np.normalize_freqs(hist2[cx])
+            cum2[cx] = np.concatenate([[0], np.cumsum(freq2[cx])[:-1]])
+            parts.append(rans_np._freqs_serialize(freq2[cx]))
+        raw = b"".join(parts)
+        comp = _z.compress(raw, 6)
+        heads.append(bytes([int(np.log2(N)), 1])
+                     + int(n).to_bytes(4, "little")
+                     + len(raw).to_bytes(4, "little")
+                     + len(comp).to_bytes(4, "little") + comp)
+        pal = o1_palette(freq2.astype(np.float32))
+        if pal is None:
+            return None
+        maxA = max(maxA, pal.shape[0])
+        Gmax = max(Gmax, (K + S - 1) // S if K else 1)
+        metas.append((n, K))
+        shapes.append((n, K))
+        plan.append((m, ctx_m, freq2, cum2, pal))
+    AP = 16
+    while AP < maxA:
+        AP *= 2
+    G = _bucket_up(Gmax)
+    syms = np.zeros((G * S, R * N), np.uint8)
+    ctxs = np.zeros((G * S, R * N), np.uint8)
+    ftabA, ctabA = [], []
+    for r, (m, ctx_m, freq2, cum2, pal) in enumerate(plan):
+        lut = np.zeros(256, np.uint8)
+        lut[pal] = np.arange(pal.shape[0], dtype=np.uint8)
+        K = shapes[r][1]
+        if K:
+            syms[:K, r * N:(r + 1) * N] = lut[m]
+            ctxs[:K, r * N:(r + 1) * N] = lut[ctx_m]
+        fa = np.zeros((AP, AP), np.float32)
+        ca = np.zeros((AP, AP), np.float32)
+        A = pal.shape[0]
+        fa[:A, :A] = freq2[np.ix_(pal, pal)]
+        ca[:A, :A] = cum2[np.ix_(pal, pal)]
+        ftabA.append(fa)
+        ctabA.append(ca)
+    while len(ftabA) < R:
+        ftabA.append(np.zeros((AP, AP), np.float32))
+        ctabA.append(np.zeros((AP, AP), np.float32))
+        metas.append((0, 0))
+    blocks, sts = encode_many_o1_device_v6(
+        jnp.asarray(np.asarray(metas, np.int32).T.copy()),
+        jnp.asarray(syms), jnp.asarray(ctxs),
+        jnp.asarray(np.concatenate(ftabA, axis=0)),
+        jnp.asarray(np.concatenate(ctabA, axis=0)),
+        N, S, R, AP, G, interpret)
+    blocks = np.asarray(blocks).reshape(G, S * LR + 8, R, LANE_COLS)
+    sts = np.asarray(sts).astype(np.uint32)
+    outs = []
+    for r, (n, K) in enumerate(shapes):
+        x = sts[0, r * N:(r + 1) * N] if K else \
+            np.full(N, RANS_L, np.uint32)
+        st = np.empty(2 * N, np.uint16)
+        st[0::2] = (x >> 16).astype(np.uint16)
+        st[1::2] = (x & 0xFFFF).astype(np.uint16)
+        parts = []
+        for g in range(G - 1, -1, -1):
+            cnt = int(blocks[g, 0, r, 0])
+            if cnt:
+                pay = blocks[g, 8:, r, :].reshape(-1)
+                parts.append(pay[pay.shape[0] - cnt:])
+        words = np.concatenate(parts).astype(np.uint16) if parts else \
+            np.zeros(0, np.uint16)
+        outs.append(heads[r] + st.tobytes() + words.tobytes())
+    return outs
 
 
 def encode_many_v6(datas, n_lanes: int = 1024, S: int = 8, R: int = 8,

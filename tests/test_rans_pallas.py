@@ -184,3 +184,16 @@ def test_encode_many_v6_interpret():
                                       interpret=True)
     for d, o in zip(datas, outs):
         assert o == rans_np.encode(d, order=0, n_lanes=256)
+
+
+def test_encode_many_o1_v6_interpret():
+    """Stacked palette order-1 encode: byte-identical to rans_np."""
+    from genozip_tpu.ops import rans_np, rans_pallas
+    rng = np.random.default_rng(41)
+    datas = [rng.choice(np.frombuffer(b"FFFF:F,#", np.uint8), sz)
+             .astype(np.uint8).tobytes() for sz in (5000, 60000, 37, 1)]
+    outs = rans_pallas.encode_many_o1_v6(datas, n_lanes=256, S=4, R=8,
+                                         interpret=True)
+    assert outs is not None
+    for d, o in zip(datas, outs):
+        assert o == rans_np.encode(d, order=1, n_lanes=256)
