@@ -47,10 +47,12 @@ def shard_genome(ref, mp: int, max_read_len: int):
         e = min(s + slab + halo, G)
         slabs[j, : e - s] = ref.codes[s:e]
         starts[j] = s
-    nslots = ref.refhash.shape[0]
+    # layer 0 only on the mesh path (the layered table is [l0 | l1] flat;
+    # owner-rank routing assumes slot space == 2^hash_bits)
+    nslots = 1 << ref.hash_bits
     per = -(-nslots // mp)
     rh = np.full(mp * per, NO_GPOS, dtype=np.uint32)
-    rh[:nslots] = ref.refhash
+    rh[:nslots] = ref.refhash[:nslots]
     return slabs, starts, rh.reshape(mp, per)
 
 

@@ -88,6 +88,16 @@ def align_batch(ref: RefGenome, codes_mat: np.ndarray, lens: np.ndarray,
             start = g - off          # genome pos of read base 0 (this strand)
             start[miss] = -1
             cands.append((start, direction))
+            size = 1 << ref.hash_bits
+            if ref.refhash.shape[0] >= 2 * size:
+                # layer-1 candidates (second locus of repetitive kmers,
+                # refhash_make.c occupancy layers)
+                g1 = ref.refhash[size + h].astype(np.int64)
+                miss1 = g1 == int(NO_GPOS)
+                start1 = g1 - off
+                start1[miss1] = -1
+                if (~miss1).any():
+                    cands.append((start1, direction))
 
     # score every candidate: gather genome windows, count mismatches;
     # keep best AND runner-up (distinct gpos, same strand) for splicing

@@ -102,20 +102,49 @@ def hash_kmer(kmer: np.ndarray, bits: int):
 
 
 def build_refhash(codes: np.ndarray, bits: int = HASH_BITS_DEFAULT,
-                  stride: int = 1):
-    """kmer->GPOS first-wins table. One vectorized pass (chunked)."""
+                  stride: int = 1, layers: int = 2):
+    """kmer->GPOS table, LAYERED (reference src/refhash_make.c occupancy
+    layers): layer 0 holds the smallest GPOS per slot, layer 1 the second
+    smallest — repetitive kmers get two candidate loci instead of one
+    (hit-rate on repetitive genomes). Flat layout [layer0 | layer1] so the
+    on-disk and mmap-cache formats are unchanged; consumers detect layer 1
+    by the array length. One vectorized pass, chunked."""
     G = codes.shape[0]
-    table = np.full(1 << bits, NO_GPOS, dtype=np.uint32)
+    size = 1 << bits
+    table = np.full(layers * size, NO_GPOS, dtype=np.uint32)
     if G < KMER:
         return table
+    t0 = table[:size]
+    t1 = table[size:2 * size] if layers > 1 else None
     chunk = 1 << 22
     for start in range(0, G - KMER + 1, chunk):
         end = min(start + chunk, G - KMER + 1)
         pos = np.arange(start, end, stride, dtype=np.int64)
         km = kmers_at(codes, pos)
         h = hash_kmer(km, bits)
-        # first-wins within the chunk AND across chunks: minimum GPOS wins
-        np.minimum.at(table, h, pos.astype(np.uint32))
+        if t1 is None:
+            np.minimum.at(t0, h, pos.astype(np.uint32))
+            continue
+        # per-slot two smallest GPOSes this chunk, merged with the tables
+        order = np.argsort(h, kind="stable")   # pos already ascending
+        hs = h[order]
+        ps = pos[order].astype(np.uint32)
+        k = hs.shape[0]
+        firstm = np.ones(k, bool)
+        firstm[1:] = hs[1:] != hs[:-1]
+        runidx = np.nonzero(firstm)[0]
+        c0h = hs[runidx]
+        c0p = ps[runidx]
+        nxt = runidx + 1
+        nxt = nxt[nxt < k]
+        second_sel = nxt[~firstm[nxt]]
+        c1p = np.full(runidx.shape[0], NO_GPOS, np.uint32)
+        ri = np.searchsorted(runidx, second_sel, side="right") - 1
+        c1p[ri] = ps[second_sel]
+        stack = np.stack([t0[c0h], t1[c0h], c0p, c1p])
+        stack.sort(axis=0)   # GPOSes are globally distinct; NO_GPOS last
+        t0[c0h] = stack[0]
+        t1[c0h] = stack[1]
     return table
 
 

@@ -313,3 +313,30 @@ def test_pair_gpos_penalty_prefers_near_mate():
     res = aligner.align_batch(ref, codes, lens, pair_gpos=pair)
     assert int(res["gpos"][0]) == siteY, int(res["gpos"][0])
     assert int(res["nmm"][0]) == 4
+
+
+def test_refhash_layered_second_locus():
+    """Layered refhash (refhash_make.c occupancy layers): a genome built as
+    LEFT + LEFT (exact repeat) keeps BOTH loci; reads from the second copy
+    still align (layer-1 candidates), where a single-layer table only knows
+    the first copy."""
+    from genozip_tpu.ref import refstore, aligner as al
+    rng = np.random.default_rng(123)
+    left = rng.choice(BASES, 30000)
+    fa = b">c0\n" + left.tobytes() + left.tobytes() + b"\n"
+    ref = refstore.fasta_to_genome(fa, hash_bits=18)
+    size = 1 << ref.hash_bits
+    assert ref.refhash.shape[0] == 2 * size          # two layers
+    l1_hits = (ref.refhash[size:] != refstore.NO_GPOS).sum()
+    assert l1_hits > 10000                           # repeats landed in l1
+    # roundtrippable alignment of reads drawn from BOTH copies
+    codes = refstore.fasta_to_genome(fa).codes
+    L = 100
+    starts = np.concatenate([rng.integers(0, 29000, 50),
+                             rng.integers(30000, 59000, 50)])
+    mat = np.stack([codes[s:s + L] for s in starts])
+    res = al.align_batch(ref, mat, np.full(100, L, np.int64))
+    assert res["aligned"].mean() > 0.95
+    # reconstruction must be exact wherever the aligner placed the read
+    mm = res["nmm"][res["aligned"]]
+    assert (mm == 0).all()
