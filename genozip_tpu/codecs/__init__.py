@@ -68,11 +68,12 @@ def compress_many_rans(payloads, order: int):
         outs = []
         srt = sorted(range(len(payloads)), key=lambda i: -len(payloads[i]))
         res = [None] * len(payloads)
-        for j in range(0, len(srt), 16):
-            chunk = srt[j:j + 16]
-            R = 16 if len(chunk) > 8 else 8
+        # R=8: 482 MB/s agg on v5e; R=16 reaches 621 but its ~10min
+        # first-compile is not worth it for the encode side
+        for j in range(0, len(srt), 8):
+            chunk = srt[j:j + 8]
             enc = rans_pallas.encode_many_v6(
-                [payloads[i] for i in chunk], n_lanes=1024, S=8, R=R)
+                [payloads[i] for i in chunk], n_lanes=1024, S=8, R=8)
             for i, e in zip(chunk, enc):
                 res[i] = e
         return res

@@ -450,6 +450,103 @@ class SamDT(DataType):
     _REF_OPS = frozenset(b"MDN=X")
     _MATCH_OPS = frozenset(b"M=X")
     _ALL_OPS = frozenset(b"MIDNSHP=X")
+    _READ_LUT = np.zeros(256, bool)
+    _REF_LUT = np.zeros(256, bool)
+    _MATCH_LUT = np.zeros(256, bool)
+    _ALLOP_LUT = np.zeros(256, bool)
+    _INS_LUT = np.zeros(256, bool)
+    for _b in b"MIS=X":
+        _READ_LUT[_b] = True
+    for _b in b"MDN=X":
+        _REF_LUT[_b] = True
+    for _b in b"M=X":
+        _MATCH_LUT[_b] = True
+    for _b in b"MIDNSHP=X":
+        _ALLOP_LUT[_b] = True
+    for _b in b"IS":
+        _INS_LUT[_b] = True
+
+    @staticmethod
+    def _seg_excl_cumsum(vals: np.ndarray, seg: np.ndarray, n: int):
+        """Exclusive cumsum of vals restarting at each segment (seg ids
+        are non-decreasing)."""
+        c = np.cumsum(vals)
+        excl = c - vals
+        if excl.shape[0] == 0:
+            return excl
+        first = np.ones(seg.shape[0], bool)
+        first[1:] = seg[1:] != seg[:-1]
+        base = np.repeat(excl[first], np.diff(
+            np.concatenate([np.nonzero(first)[0], [seg.shape[0]]])))
+        return excl - base
+
+    def _flat_ops(self, cigar, n: int):
+        """Flattened CIGAR op table — the TPU-first replacement for the
+        per-template walks (reference src/sam_cigar.c per-line parse):
+        EVERY row's ops live in flat arrays, so seg/recon/MD-NM walks are
+        O(total bases) vectorized passes with no per-unique-CIGAR python —
+        the structure long-read BAMs need (most templates unique there).
+        Returns None without the native tokenizer, else a dict with
+        letters/oplen/oprow/opidx (per op, (row, op) ordered), roff/goff
+        (read/ref offsets before each op within its row), row_ok
+        (structurally valid with >=1 match op), read_len/ref_len."""
+        from .. import native
+        from ..seg import TOK_MARK
+        if not native.available():
+            return None
+        tmpl_data, tmpl_lens, vals, _tok = native.tokenize(
+            np.ascontiguousarray(cigar.data), cigar.offsets, 1 << 30)
+        tmpl_lens = tmpl_lens.astype(np.int64)
+        toff = np.concatenate([[0], np.cumsum(tmpl_lens)])
+        data = tmpl_data
+        brow = np.repeat(ragged.arange(n), tmpl_lens)
+        pos_in = ragged.arange(data.shape[0]) - toff[:-1][brow]
+        ismark = data == TOK_MARK
+        k_row = np.bincount(brow[ismark], minlength=n)
+        row_ok = (tmpl_lens == 2 * k_row) & (k_row > 0)
+        even = (pos_in & 1) == 0
+        okb = np.where(even, ismark, self._ALLOP_LUT[data])
+        np.logical_and.at(row_ok, brow, okb)
+        has_m = np.zeros(n, bool)
+        mb = self._MATCH_LUT[data] & ~even
+        has_m[brow[mb]] = True
+        row_ok &= has_m
+        markpos = np.nonzero(ismark)[0]
+        dmax = max(data.shape[0] - 1, 0)
+        letters = data[np.minimum(markpos + 1, dmax)] if data.shape[0] \
+            else np.zeros(0, np.uint8)
+        oprow = brow[markpos]
+        keep = row_ok[oprow]
+        letters = letters[keep]
+        oplen = vals[keep].astype(np.int64)
+        oprow = oprow[keep]
+        kpr = np.bincount(oprow, minlength=n)
+        opidx = ragged.arange(oprow.shape[0]) - np.concatenate(
+            [[0], np.cumsum(kpr)])[:-1][oprow]
+        cr = oplen * self._READ_LUT[letters]
+        cf = oplen * self._REF_LUT[letters]
+        return {
+            "letters": letters, "oplen": oplen, "oprow": oprow,
+            "opidx": opidx,
+            "roff": self._seg_excl_cumsum(cr, oprow, n),
+            "goff": self._seg_excl_cumsum(cf, oprow, n),
+            "row_ok": row_ok,
+            "read_len": np.bincount(oprow, weights=cr,
+                                    minlength=n).astype(np.int64),
+            "ref_len": np.bincount(oprow, weights=cf,
+                                   minlength=n).astype(np.int64),
+        }
+
+    @staticmethod
+    def _expand_ops(sel: np.ndarray, oplen: np.ndarray):
+        """Per-byte expansion of the selected ops: (flat op-id per byte,
+        within-op offset per byte)."""
+        L = oplen[sel]
+        tot = int(L.sum())
+        opid = np.repeat(np.nonzero(sel)[0], L)
+        within = ragged.arange(tot) - np.repeat(
+            np.concatenate([[0], np.cumsum(L)])[:-1], L)
+        return opid, within
 
     def _gbase_of(self, rname_col, ref):
         uw, inv = dedup_col(rname_col)
@@ -459,39 +556,6 @@ class SamDT(DataType):
             if c is not None:
                 base[w] = c["gpos"]
         return base[inv]
-
-    def _cigar_groups(self, cigar, n):
-        """Group rows by CIGAR template. Yields (rows, op_letters, oplen
-        matrix (len(rows), k)) for eligible templates; rows of ineligible
-        templates are never yielded."""
-        from .. import native
-        if not native.available():
-            return
-        tmpl_data, tmpl_lens, vals, tok = native.tokenize(
-            np.ascontiguousarray(cigar.data), cigar.offsets, 1 << 30)
-        tmpl = Col(tmpl_data, np.concatenate([[0], np.cumsum(tmpl_lens)]))
-        uw, inv = dedup_col(tmpl)
-        # op-length values are row-major; rows sharing a template share count k
-        marks_per_word = np.array(
-            [uw.row(w).count(b"\x01") for w in range(len(uw))], dtype=np.int64)
-        per_row = marks_per_word[inv]
-        val_off = np.concatenate([[0], np.cumsum(per_row)])
-        for w in range(len(uw)):
-            word = uw.row(w)
-            k = int(marks_per_word[w])
-            ops = word.replace(b"\x01", b"")
-            # template must be exactly '\x01<op>' * k (a numeric length
-            # before every op letter)
-            if k == 0 or len(ops) != k or not set(ops) <= self._ALL_OPS or \
-                    word != b"".join(b"\x01" + ops[j:j + 1] for j in range(k)):
-                continue
-            if not (set(ops) & self._MATCH_OPS):
-                continue  # no matching segment: nothing to gain
-            rows = np.nonzero(inv == w)[0]
-            oplens = np.empty((rows.shape[0], k), dtype=np.int64)
-            for j in range(k):
-                oplens[:, j] = vals[val_off[rows] + j]
-            yield rows, ops, oplens
 
     def _seg_seq_vs_ref(self, ctxs, seq, rname, pos, cigar, ref):
         """CIGAR-driven SEQ-vs-reference diff (reference parity:
@@ -507,60 +571,33 @@ class SamDT(DataType):
         gbase = self._gbase_of(rname, ref)
         seq_lens = seq.lens
         gpos0 = gbase + pv - 1
-        smat, _ = ragged.to_matrix(seq)
-        codes = packops.BASE2BIT[smat]
         G = ref.length
 
-        by_ref = np.zeros(n, dtype=bool)
-        mm_rows, mm_pos, mm_base = [], [], []
-        for rows, ops, oplens in self._cigar_groups(cigar, n):
-            read_len = oplens[:, [j for j in range(len(ops))
-                                  if ops[j] in self._READ_OPS]].sum(axis=1) \
-                if any(o in self._READ_OPS for o in ops) else np.zeros(rows.shape[0], np.int64)
-            ref_len = oplens[:, [j for j in range(len(ops))
-                                 if ops[j] in self._REF_OPS]].sum(axis=1) \
-                if any(o in self._REF_OPS for o in ops) else np.zeros(rows.shape[0], np.int64)
-            ok = (pok[rows] & (gbase[rows] >= 0) & (pv[rows] > 0)
-                  & (read_len == seq_lens[rows])
-                  & (gpos0[rows] >= 0) & (gpos0[rows] + ref_len <= G))
-            rows = rows[ok]
-            if rows.shape[0] == 0:
-                continue
-            oplens = oplens[ok]
-            by_ref[rows] = True
-            if getattr(ref, "track_used", False):
-                ref.mark_used(gpos0[rows], ref_len[ok])  # REF_EXT_STORE
-            # walk ops; compare match segments
-            roff = np.zeros(rows.shape[0], dtype=np.int64)
-            goff = gpos0[rows].copy()
-            for j, op in enumerate(ops):
-                Lj = oplens[:, j]
-                if op in self._MATCH_OPS:
-                    Lmax = int(Lj.max())
-                    pidx = np.arange(Lmax)[None, :]
-                    valid = pidx < Lj[:, None]
-                    sidx = np.clip(roff[:, None] + pidx, 0, smat.shape[1] - 1)
-                    swin = np.take_along_axis(codes[rows], sidx, axis=1)
-                    bwin = np.take_along_axis(smat[rows], sidx, axis=1)
-                    gidx = np.clip(goff[:, None] + pidx, 0, max(G - 1, 0))
-                    gwin = ref.codes[gidx]
-                    mm = ((gwin != swin) | ~packops.IS_ACGT[bwin]) & valid
-                    ri, pj = np.nonzero(mm)
-                    mm_rows.append(rows[ri])
-                    mm_pos.append(roff[ri] + pj)
-                    mm_base.append(bwin[ri, pj])
-                if op in self._READ_OPS:
-                    roff += Lj
-                if op in self._REF_OPS:
-                    goff += Lj
-
-        # mismatch channels, sorted by (row, read position)
-        if mm_rows:
-            mr = np.concatenate(mm_rows)
-            mp = np.concatenate(mm_pos)
-            mb = np.concatenate(mm_base)
-            order = np.lexsort((mp, mr))
-            mr, mp, mb = mr[order], mp[order], mb[order]
+        # flat op table: every row's ops in one vectorized pass (no
+        # per-unique-CIGAR python — long-read BAMs have unique templates)
+        fo = self._flat_ops(cigar, n)
+        if fo is None:
+            by_ref = np.zeros(n, dtype=bool)
+        else:
+            by_ref = (fo["row_ok"] & pok & (gbase >= 0) & (pv > 0)
+                      & (fo["read_len"] == seq_lens)
+                      & (gpos0 >= 0) & (gpos0 + fo["ref_len"] <= G))
+        if fo is not None and getattr(ref, "track_used", False):
+            ref.mark_used(gpos0[by_ref], fo["ref_len"][by_ref])
+        if fo is not None and by_ref.any():
+            sel = self._MATCH_LUT[fo["letters"]] & by_ref[fo["oprow"]]
+            opid, within = self._expand_ops(sel, fo["oplen"])
+            brows = fo["oprow"][opid]
+            spos = seq.offsets[:-1][brows] + fo["roff"][opid] + within
+            gpos = gpos0[brows] + fo["goff"][opid] + within
+            sbase = seq.data[spos]
+            mmk = (ref.codes[gpos] != packops.BASE2BIT[sbase]) \
+                | ~packops.IS_ACGT[sbase]
+            # ops are (row, opidx)-ordered and bytes ascend within an op,
+            # so mismatches are already sorted by (row, read position)
+            mr = brows[mmk]
+            mp = (fo["roff"][opid] + within)[mmk]
+            mb = sbase[mmk]
         else:
             mr = np.zeros(0, np.int64)
             mp = np.zeros(0, np.int64)
@@ -574,32 +611,24 @@ class SamDT(DataType):
         ctxs["SEQMISB"] = VBCtx("SEQMISB", MODE_TXT, local=mb, cat="text")
 
         # NONREF: whole seq for non-by-ref rows; I/S segments for by-ref rows
-        nonref_parts = self._nonref_stream(seq, cigar, by_ref, n)
+        nonref_parts = self._nonref_stream(seq, by_ref, n, fo)
         ctxs["NONREF"] = VBCtx("NONREF", MODE_TXT, local=nonref_parts,
                                cat="seq")
 
-    def _nonref_stream(self, seq, cigar, by_ref, n):
+    def _nonref_stream(self, seq, by_ref, n, fo):
         """Row-order NONREF bytes: full seq (non-by-ref rows) or I/S segments
         in op order (by-ref rows) — a sorted piece list + one ragged gather."""
         MAXOPS = 1 << 20
         p_starts = [seq.offsets[:-1][~by_ref]]
         p_lens = [seq.lens[~by_ref]]
         p_keys = [np.nonzero(~by_ref)[0] * MAXOPS]
-        for rows, ops, oplens in self._cigar_groups(cigar, n):
-            sel = by_ref[rows]
-            rows = rows[sel]
-            if rows.shape[0] == 0 or not any(o in b"IS" for o in ops):
-                continue
-            oplens = oplens[sel]
-            roff = np.zeros(rows.shape[0], dtype=np.int64)
-            for j, op in enumerate(ops):
-                Lj = oplens[:, j]
-                if op in b"IS":
-                    p_starts.append(seq.offsets[:-1][rows] + roff)
-                    p_lens.append(Lj)
-                    p_keys.append(rows * MAXOPS + j + 1)
-                if op in self._READ_OPS:
-                    roff = roff + Lj
+        if fo is not None:
+            sel = self._INS_LUT[fo["letters"]] & by_ref[fo["oprow"]]
+            if sel.any():
+                rows_i = fo["oprow"][sel]
+                p_starts.append(seq.offsets[:-1][rows_i] + fo["roff"][sel])
+                p_lens.append(fo["oplen"][sel])
+                p_keys.append(rows_i * MAXOPS + fo["opidx"][sel] + 1)
         starts = np.concatenate(p_starts)
         lens = np.concatenate(p_lens)
         keys = np.concatenate(p_keys)
@@ -638,66 +667,50 @@ class SamDT(DataType):
         has_md = np.zeros(n, bool)
         total_match = np.zeros(n, np.int64)
         mm_cnt = np.bincount(mm_row, minlength=n)
-        mm_off = np.concatenate([[0], np.cumsum(mm_cnt)])
         nm_pred += mm_cnt
 
         ev_row, ev_coord, ev_j = [], [], []
         ev_refstart, ev_reflen, ev_isdel = [], [], []
 
-        for rows, ops, oplens in self._cigar_groups(cigar_col, n):
-            sel = by_ref[rows]
-            rows = rows[sel]
-            if rows.shape[0] == 0:
-                continue
-            oplens = oplens[sel]
-            has_md[rows] = True
-            # cumulative match length before each op / ref offset walk
-            roff = np.zeros(rows.shape[0], np.int64)
-            goff = gpos0[rows].copy()
-            mbefore = np.zeros(rows.shape[0], np.int64)
-            # this group's mismatch events (ragged per-row slices of the
-            # global channel, vectorized arange-repeat)
-            cnts = mm_cnt[rows]
-            tot = int(cnts.sum())
-            if tot:
-                base = np.repeat(mm_off[rows], cnts)
-                within = ragged.arange(tot) - np.repeat(
-                    np.concatenate([[0], np.cumsum(cnts)])[:-1], cnts)
-                eidx = base + within
-                eslot = np.repeat(ragged.arange(rows.shape[0]), cnts)
-                ep = mm_pos[eidx]
-            for j, op in enumerate(ops):
-                Lj = oplens[:, j]
-                if op in self._MATCH_OPS:
-                    if tot:
-                        m = (ep >= roff[eslot]) & (ep < roff[eslot] + Lj[eslot])
-                        if m.any():
-                            sl = eslot[m]
-                            d = ep[m] - roff[sl]
-                            ev_row.append(rows[sl])
-                            ev_coord.append(mbefore[sl] + d)
-                            ev_j.append(np.full(sl.shape[0], j, np.int64))
-                            ev_refstart.append(goff[sl] + d)
-                            ev_reflen.append(np.ones(sl.shape[0], np.int64))
-                            ev_isdel.append(np.zeros(sl.shape[0], bool))
-                    mbefore = mbefore + Lj
-                    total_match[rows] += Lj
-                elif op == ord("D"):
-                    nz = Lj > 0
-                    if nz.any():
-                        ev_row.append(rows[nz])
-                        ev_coord.append(mbefore[nz])
-                        ev_j.append(np.full(int(nz.sum()), j, np.int64))
-                        ev_refstart.append(goff[nz])
-                        ev_reflen.append(Lj[nz])
-                        ev_isdel.append(np.ones(int(nz.sum()), bool))
-                    nm_pred[rows] += Lj
-                elif op == ord("I"):
-                    nm_pred[rows] += Lj
-                if op in self._READ_OPS:
-                    roff = roff + Lj
-                if op in self._REF_OPS:
-                    goff = goff + Lj
+        fo = self._flat_ops(cigar_col, n)
+        if fo is not None:
+            has_md = by_ref & fo["row_ok"]
+            letters, oplen, oprow = fo["letters"], fo["oplen"], fo["oprow"]
+            # NM additions: inserted + deleted bases of has_md rows
+            selID = ((letters == ord("I")) | (letters == ord("D"))) \
+                & has_md[oprow]
+            np.add.at(nm_pred, oprow[selID], oplen[selID])
+            cm = oplen * self._MATCH_LUT[letters]
+            mbefore = self._seg_excl_cumsum(cm, oprow, n)
+            total_match = np.bincount(oprow, weights=cm,
+                                      minlength=n).astype(np.int64)
+            total_match[~has_md] = 0
+            # mismatch events: locate each mismatch's containing match op
+            # by a sorted-key search over (row, read-offset) op ranges
+            msel = self._MATCH_LUT[letters] & has_md[oprow]
+            mo = np.nonzero(msel)[0]
+            if mo.shape[0] and mm_row.shape[0]:
+                BIGP = np.int64(1) << 40
+                key_ops = oprow[mo] * BIGP + fo["roff"][mo]
+                j = np.searchsorted(key_ops, mm_row * BIGP + mm_pos,
+                                    side="right") - 1
+                op_g = mo[np.maximum(j, 0)]
+                delta = mm_pos - fo["roff"][op_g]
+                ev_row.append(mm_row)
+                ev_coord.append(mbefore[op_g] + delta)
+                ev_j.append(fo["opidx"][op_g])
+                ev_refstart.append(gpos0[mm_row] + fo["goff"][op_g] + delta)
+                ev_reflen.append(np.ones(mm_row.shape[0], np.int64))
+                ev_isdel.append(np.zeros(mm_row.shape[0], bool))
+            dsel = (letters == ord("D")) & has_md[oprow] & (oplen > 0)
+            if dsel.any():
+                dr = oprow[dsel]
+                ev_row.append(dr)
+                ev_coord.append(mbefore[dsel])
+                ev_j.append(fo["opidx"][dsel])
+                ev_refstart.append(gpos0[dr] + fo["goff"][dsel])
+                ev_reflen.append(oplen[dsel])
+                ev_isdel.append(np.ones(int(dsel.sum()), bool))
 
         if ev_row:
             er = np.concatenate(ev_row)
@@ -1286,75 +1299,56 @@ class SamDT(DataType):
         nonref = pctxs["NONREF"].local
         G = ref.length
 
-        # per-row NONREF byte need
-        need = np.where(~by_ref, lens, 0).astype(np.int64)
-        ins_of = {}
-        for rows, ops, oplens in self._cigar_groups(cigar_col, n):
-            has_ins = any(o in b"IS" for o in ops)
-            sel = by_ref[rows]
-            if not has_ins or not sel.any():
-                continue
-            ins_len = oplens[:, [j for j in range(len(ops))
-                                 if ops[j] in b"IS"]].sum(axis=1)
-            need[rows[sel]] = ins_len[sel]
+        # flat op table (same pass the ZIP side used; by_ref rows are
+        # guaranteed structurally valid)
+        fo = self._flat_ops(cigar_col, n)
+        assert fo is not None, "SEQ-vs-ref recon needs the native tokenizer"
+        letters, oplen, oprow = fo["letters"], fo["oplen"], fo["oprow"]
+
+        # per-row NONREF byte need: full row (non-by-ref) or I/S total
+        ins_c = oplen * (self._INS_LUT[letters] & by_ref[oprow])
+        need = np.where(~by_ref, lens,
+                        np.bincount(oprow, weights=ins_c,
+                                    minlength=n).astype(np.int64))
         nr_off = np.concatenate([[0], np.cumsum(need)])
         assert nr_off[-1] == nonref.shape[0], "NONREF stream length mismatch"
 
-        # per-by-ref-row mismatch slices
-        mm_row_of = np.repeat(np.nonzero(by_ref)[0], nm)
-        mm_off = np.concatenate([[0], np.cumsum(
-            np.bincount(mm_row_of, minlength=n))])
+        out_off = np.concatenate([[0], np.cumsum(lens.astype(np.int64))])
+        out = np.zeros(int(out_off[-1]), dtype=np.uint8)
 
-        L = int(lens.max()) if n else 0
-        out = np.zeros((n, max(L, 1)), dtype=np.uint8)
-        # non-by-ref rows: one ragged gather into the matrix
+        # non-by-ref rows: one flat copy
         un = np.nonzero(~by_ref)[0]
         if un.shape[0]:
-            sub = ragged.gather_ranges(nonref, nr_off[un], lens[un])
-            m, _ = ragged.to_matrix(sub)
-            out[un, :m.shape[1]] = m
+            # one pseudo-op per non-by-ref row
+            opid, within = self._expand_ops(~by_ref, lens.astype(np.int64))
+            rows_u = opid
+            out[out_off[:-1][rows_u] + within] = \
+                nonref[nr_off[rows_u] + within]
 
-        for rows, ops, oplens in self._cigar_groups(cigar_col, n):
-            sel = by_ref[rows]
-            rows = rows[sel]
-            if rows.shape[0] == 0:
-                continue
-            oplens = oplens[sel]
-            roff = np.zeros(rows.shape[0], dtype=np.int64)
-            goff = gpos0[rows].copy()
-            ins_cursor = nr_off[rows].copy()
-            for j, op in enumerate(ops):
-                Lj = oplens[:, j]
-                if op in self._MATCH_OPS:
-                    Lmax = int(Lj.max()) if Lj.shape[0] else 0
-                    if Lmax:
-                        pidx = np.arange(Lmax)[None, :]
-                        valid = pidx < Lj[:, None]
-                        gidx = np.clip(goff[:, None] + pidx, 0, max(G - 1, 0))
-                        seg = packops.ACGT[ref.codes[gidx]]
-                        didx = np.clip(roff[:, None] + pidx, 0, out.shape[1] - 1)
-                        cur = np.take_along_axis(out[rows], didx, axis=1)
-                        np.put_along_axis(
-                            out2 := out[rows], didx,
-                            np.where(valid, seg, cur), axis=1)
-                        out[rows] = out2
-                elif op in b"IS":
-                    # insertion/softclip bytes from NONREF (python loop over
-                    # rows of this op — insertions are sparse)
-                    for i, r in enumerate(rows):
-                        l = int(Lj[i])
-                        if l:
-                            out[r, roff[i]:roff[i] + l] = \
-                                nonref[ins_cursor[i]:ins_cursor[i] + l]
-                            ins_cursor[i] += l
-                if op in self._READ_OPS:
-                    roff = roff + Lj
-                if op in self._REF_OPS:
-                    goff = goff + Lj
+        # by-ref rows: match bytes from the genome, I/S bytes from NONREF
+        msel = self._MATCH_LUT[letters] & by_ref[oprow]
+        if msel.any():
+            opid, within = self._expand_ops(msel, oplen)
+            rows_m = oprow[opid]
+            dst = out_off[:-1][rows_m] + fo["roff"][opid] + within
+            gsrc = np.clip(gpos0[rows_m] + fo["goff"][opid] + within, 0,
+                           max(G - 1, 0))
+            out[dst] = packops.ACGT[ref.codes[gsrc]]
+        isel = self._INS_LUT[letters] & by_ref[oprow]
+        if isel.any():
+            # NONREF cursor before each I/S op = row base + prior I/S bytes
+            ins_before = self._seg_excl_cumsum(
+                oplen * self._INS_LUT[letters], oprow, n)
+            opid, within = self._expand_ops(isel, oplen)
+            rows_i = oprow[opid]
+            dst = out_off[:-1][rows_i] + fo["roff"][opid] + within
+            src = nr_off[rows_i] + ins_before[opid] + within
+            out[dst] = nonref[src]
+
         # apply all mismatch patches at once (row-major order by build)
-        out[mm_row_of, mp] = mb
-        a_col = ragged.from_matrix(out, lens)
-        return a_col
+        mm_row_of = np.repeat(np.nonzero(by_ref)[0], nm)
+        out[out_off[:-1][mm_row_of] + mp] = mb
+        return Col(out, out_off)
 
     def recon_vb(self, pctxs: dict, meta: dict) -> bytes:
         n = meta["num_lines"]

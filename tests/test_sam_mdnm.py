@@ -240,3 +240,59 @@ def test_mc_mate_copy(tmp_path):
     pr = PizReader(z)
     assert "AXMCZM" in pr.load_vb(1)[0]["ctxs"]
     pr.close()
+
+
+def test_longread_unique_cigars_roundtrip(tmp_path):
+    """Long-read-style SAM: every CIGAR template unique (many I/D/S ops) —
+    exercises the flat-op table (no per-template walks) end to end."""
+    import time
+    from genozip_tpu.ref import refstore
+    rng = np.random.default_rng(7)
+    fa = b">c0\n" + rng.choice(np.frombuffer(b"ACGT", np.uint8),
+                               400000).tobytes() + b"\n"
+    fp = tmp_path / "g.fa"
+    fp.write_bytes(fa)
+    rp = tmp_path / "g.ref.gxz"
+    refstore.make_reference(str(fp), str(rp))
+    ref = refstore.load_ref_file(str(rp))
+    ACGT = packops.ACGT
+    out = [b"@HD\tVN:1.6\n@SQ\tSN:c0\tLN:%d\n" % ref.length]
+    for i in range(300):
+        p = int(rng.integers(0, ref.length - 6000))
+        g = p
+        segs = []
+        seq = []
+        cig = []
+        nops = int(rng.integers(8, 40))
+        for j in range(nops):
+            kind = rng.integers(0, 10)
+            L = int(rng.integers(1, 120 + i + j))  # lengths -> unique tmpl
+            if kind < 6:      # M
+                seq.append(ACGT[ref.codes[g:g + L]].tobytes())
+                cig.append(b"%dM" % L)
+                g += L
+            elif kind < 8:    # I
+                seq.append(rng.choice(np.frombuffer(b"ACGT", np.uint8),
+                                      L).tobytes())
+                cig.append(b"%dI" % L)
+            else:             # D
+                cig.append(b"%dD" % L)
+                g += L
+        sq = b"".join(seq)
+        if not sq:
+            sq = ACGT[ref.codes[p:p + 50]].tobytes()
+            cig = [b"50M"]
+        out.append(b"lr%d\t0\tc0\t%d\t60\t%s\t*\t0\t0\t%s\t%s\n" % (
+            i, p + 1, b"".join(cig), sq, b"F" * len(sq)))
+    payload = b"".join(out)
+    src = tmp_path / "lr.sam"
+    src.write_bytes(payload)
+    z = tmp_path / "lr.gxz"
+    o = tmp_path / "lr.out"
+    t0 = time.time()
+    zip_file(str(src), str(z), reference=str(rp))
+    piz_file(str(z), str(o), reference=str(rp))
+    dt = time.time() - t0
+    assert o.read_bytes() == payload
+    # seg must be vectorized: 300 unique templates in well under 30s
+    assert dt < 30, f"long-read seg too slow: {dt:.1f}s"
