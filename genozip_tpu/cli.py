@@ -104,6 +104,11 @@ def build_parser():
     c.add_argument("--index", action="store_true",
                    help="with --bam -o FILE: also write FILE.bai "
                         "(reference src/bai.c)")
+    c.add_argument("--cram", action="store_true",
+                   help="translate a SAM/BAM archive to CRAM via samtools "
+                        "(reference: genocat --cram, src/cram.c bridge)")
+    c.add_argument("--cram-ref", default=None,
+                   help="FASTA passed to samtools -T for CRAM encoding")
     c.add_argument("--vcf", action="store_true",
                    help="translate a 23andMe archive to VCF (needs --reference)")
     c.add_argument("--interleave", action="store_true",
@@ -221,6 +226,9 @@ def main(argv=None):
         elif args.bam:
             from .filters import cat_translated_bam
             cat_translated_bam(args, args.output)
+        elif args.cram:
+            from .filters import cat_translated_cram
+            cat_translated_cram(args, args.output)
         elif args.vcf:
             from .filters import cat_translated_vcf
             cat_translated_vcf(args, sys.stdout.buffer)

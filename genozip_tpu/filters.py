@@ -179,6 +179,37 @@ def cat_translated_sam(args, out):
     pr.close()
 
 
+def cat_translated_cram(args, out_path):
+    """SAM/BAM archive -> CRAM via `samtools view -C` (reference parity:
+    the SAM2CRAM translator role, src/data_types.h:253-259 + src/cram.c —
+    the reference crosses the same samtools pipe; feature-gated on tool
+    availability like the CRAM input bridge, src/file.c:560)."""
+    import shutil
+    import subprocess
+    tool = shutil.which("samtools")
+    assert tool, ("--cram needs `samtools` on PATH (the reference bridges "
+                  "CRAM through samtools the same way, file.c:560)")
+    argv = [tool, "view", "-C", "-o", out_path or "/dev/stdout"]
+    if getattr(args, "cram_ref", None):
+        argv += ["-T", args.cram_ref]
+    argv.append("-")
+    pr = PizReader(args.input, reference=getattr(args, "reference", None),
+                   password=getattr(args, "password", None))
+    dt = pr.file_hdr["dt"]
+    pr.close()
+    assert dt in ("sam", "bam"), "--cram needs a SAM or BAM archive"
+    proc = subprocess.Popen(argv, stdin=subprocess.PIPE)
+    try:
+        if dt == "bam":
+            cat_translated_sam(args, proc.stdin)
+        else:
+            cat_filtered(args, proc.stdin)
+    finally:
+        proc.stdin.close()
+        rc = proc.wait()
+    assert rc == 0, f"samtools view -C exited with {rc}"
+
+
 def cat_translated_bam(args, out_path):
     """SAM archive -> BAM (+ optional .bai). Reference parity: genocat
     --bam SAM2BAM translators (src/data_types.h:253-259) and native BAI
