@@ -79,42 +79,55 @@ def gen_fastq(path, target_mb, rng, genome):
 
 
 def gen_bam(path, target_mb, rng, genome):
-    """Sorted BAM with NM/AS tags via the SAM->BAM translator."""
+    """Coordinate-sorted BAM with NM/AS tags via the SAM->BAM translator.
+    Multiple chromosomes (same underlying genome), each a sorted sweep at
+    ~7x coverage, until the on-disk (BGZF) file reaches target_mb."""
     import numpy as np
     from genozip_tpu.translate import sam_header_to_bam, sam_vb_to_bam
     from genozip_tpu.utils.bgzf import BgzfWriter
     G = genome.shape[0]
     rl = 150
-    hdr = b"@HD\tVN:1.6\tSO:coordinate\n@SQ\tSN:chr1\tLN:%d\n" % G
+    n_chrom = max(2, target_mb // 1 + 2)
+    hdr = b"@HD\tVN:1.6\tSO:coordinate\n" + b"".join(
+        b"@SQ\tSN:chr%d\tLN:%d\n" % (c + 1, G) for c in range(n_chrom))
     bam_hdr, name2id = sam_header_to_bam(hdr)
     f = open(path, "wb")
     w = BgzfWriter(f)
     w.write(bam_hdr)
-    size = 0
     target = target_mb << 20
-    pos = 1
-    while size < target and pos < G - 2 * rl:
-        n = 15000
-        poss = np.sort(rng.integers(pos, min(pos + 2_000_000, G - rl), n))
-        rows = []
-        for j in range(n):
-            p = int(poss[j])
-            seq = genome[p:p + rl].copy()
-            ne = rng.binomial(rl, 0.003)
-            if ne:
-                mp = rng.integers(0, rl, ne)
-                seq[mp] = np.frombuffer(b"ACGT", np.uint8)[
-                    rng.integers(0, 4, ne)]
-            q = _qual_rows(rng, 1, rl)[0]
-            fl = 99 if j % 2 == 0 else 147
-            rows.append(b"b%d\t%d\tchr1\t%d\t60\t%dM\t=\t%d\t%d\t%s\t%s\t"
-                        b"NM:i:%d\tAS:i:%d\n"
-                        % (j, fl, p + 1, rl, p + 200, 350 if fl == 99 else
-                           -350, seq.tobytes(), q.tobytes(), ne, rl - 2 * ne))
-        blob, lens, *_ = sam_vb_to_bam(b"".join(rows), name2id)
-        w.write(blob)
-        size += len(blob)
-        pos = int(poss[-1])
+    rid = 0
+    for c in range(n_chrom):
+        if f.tell() >= target:
+            break
+        chrom = b"chr%d" % (c + 1)
+        pos = 1
+        while pos < G - 2 * rl and f.tell() < target:
+            n = 60000
+            hi = min(pos + 2_000_000, G - rl)
+            poss = np.sort(rng.integers(pos, hi, n))
+            seqs = genome[poss[:, None] + np.arange(rl)[None, :]].copy()
+            nerr = rng.binomial(rl, 0.003, n)
+            quals = _qual_rows(rng, n, rl)
+            rows = []
+            for j in range(n):
+                p = int(poss[j])
+                seq = seqs[j]
+                ne = int(nerr[j])
+                if ne:
+                    mp = rng.integers(0, rl, ne)
+                    seq[mp] = np.frombuffer(b"ACGT", np.uint8)[
+                        rng.integers(0, 4, ne)]
+                fl = 99 if j % 2 == 0 else 147
+                rows.append(
+                    b"b%d\t%d\t%s\t%d\t60\t%dM\t=\t%d\t%d\t%s\t%s\t"
+                    b"NM:i:%d\tAS:i:%d\n"
+                    % (rid + j, fl, chrom, p + 1, rl, p + 200,
+                       350 if fl == 99 else -350, seq.tobytes(),
+                       quals[j].tobytes(), ne, rl - 2 * ne))
+            rid += n
+            blob, lens, *_ = sam_vb_to_bam(b"".join(rows), name2id)
+            w.write(blob)
+            pos = hi
     w.close()
     return os.path.getsize(path)
 

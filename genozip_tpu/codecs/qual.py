@@ -161,6 +161,12 @@ def orient(col: Col, rev: np.ndarray, comp: bool = False) -> Col:
     Involutive: orient(orient(x, m), m) == x."""
     if not rev.any():
         return Col(col.data.copy() if comp else col.data, col.offsets)
+    from .. import native
+    if native.available():
+        data = col.data.copy()
+        native.reverse_rows(data, col.offsets, np.nonzero(rev)[0],
+                            _COMP if comp else None)
+        return Col(data, col.offsets)
     total = col.data.shape[0]
     it = np.int32 if total < (1 << 31) else np.int64
     lens = col.lens

@@ -24,6 +24,7 @@ from ..seg import tokenizer_seg_col, tokenizer_recon_col
 
 MAX_RECORDS_PER_VB = 1 << 22
 SEQ_NIBBLE = np.frombuffer(b"=ACMGRSVTWYHKDBN", np.uint8)
+_NIB16 = None  # lazy byte -> uint16 two-letter LUT (little-endian)
 NIB_OF = np.zeros(256, np.uint8)
 for _i, _c in enumerate(b"=ACMGRSVTWYHKDBN"):
     NIB_OF[_c] = _i
@@ -119,9 +120,14 @@ class BamDT(SamDT):
     def _seq_ascii(self, seq_nib: Col, l_seq: np.ndarray):
         """4-bit codes -> ASCII letters + per-row nibble-exactness (odd-length
         rows whose pad nibble isn't 0 can't round-trip through ASCII)."""
+        # single-gather expansion: byte -> two ASCII letters as one uint16
+        global _NIB16
+        if _NIB16 is None:
+            b = np.arange(256, dtype=np.uint8)
+            _NIB16 = (SEQ_NIBBLE[b >> 4].astype(np.uint16)
+                      | (SEQ_NIBBLE[b & 15].astype(np.uint16) << 8))
         expanded = np.empty(seq_nib.data.shape[0] * 2, np.uint8)
-        expanded[0::2] = SEQ_NIBBLE[seq_nib.data >> 4]
-        expanded[1::2] = SEQ_NIBBLE[seq_nib.data & 15]
+        expanded.view(np.uint16)[:] = _NIB16[seq_nib.data]
         ascii_col = ragged.gather_ranges(expanded, seq_nib.offsets[:-1] * 2,
                                          l_seq)
         # exactness: odd rows need pad nibble == 0

@@ -193,6 +193,17 @@ class SamDT(DataType):
         rows = np.nonzero(elig)[0]
         if rows.shape[0] == 0:
             return
+        from .. import native
+        if native.available():
+            # one-pass native scatter (gxz_ref_populate): first writer wins,
+            # blk_set counters updated incrementally (equivalent to recount
+            # since set positions never unset)
+            is_set8 = ref.is_set.view(np.uint8)
+            native.ref_populate(seq.data, seq.offsets, rows,
+                                start_all[rows], packops.BASE2BIT,
+                                ref.codes, is_set8, ref.blk_set,
+                                self._POP_BLK)
+            return
         it = np.int32 if ref.length < (1 << 31) else np.int64
         sub = ragged.take(seq, rows)
         start = start_all[rows].astype(it)
@@ -565,6 +576,7 @@ class SamDT(DataType):
         (unmapped, '*', bad contig, length mismatch) stay verbatim in
         NONREF — correctness is never at stake, only ratio."""
         from ..ops import pack as packops
+        from .. import native
 
         n = len(seq)
         pv, pok = ragged.atoi(pos)
@@ -584,6 +596,31 @@ class SamDT(DataType):
                       & (gpos0 >= 0) & (gpos0 + fo["ref_len"] <= G))
         if fo is not None and getattr(ref, "track_used", False):
             ref.mark_used(gpos0[by_ref], fo["ref_len"][by_ref])
+        if fo is not None and native.available():
+            # one-pass native walk: no per-byte index arrays (gxz_seq_diff)
+            ins_sel = self._INS_LUT[fo["letters"]] & by_ref[fo["oprow"]]
+            nonref_cap = int(seq.lens[~by_ref].sum()
+                             + fo["oplen"][ins_sel].sum())
+            mr32, mp32, mb, nonref = native.seq_diff(
+                seq.data, seq.offsets, by_ref, gpos0,
+                fo["letters"], fo["oplen"], fo["oprow"],
+                fo["roff"], fo["goff"], ref.codes,
+                self._MATCH_LUT, self._INS_LUT,
+                packops.BASE2BIT, packops.IS_ACGT, nonref_cap)
+            mr = mr32.astype(np.int64)
+            mp = mp32.astype(np.int64)
+            nm = np.bincount(mr, minlength=n)[by_ref]
+            ctxs["SQBITMAP"] = VBCtx("SQBITMAP", MODE_NUM,
+                                     local=by_ref.astype(np.int64),
+                                     cat="int")
+            ctxs["SEQNM"] = VBCtx("SEQNM", MODE_NUM, local=nm, cat="int")
+            ctxs["SEQMISP"] = VBCtx("SEQMISP", MODE_NUM, local=mp,
+                                    cat="int")
+            ctxs["SEQMISB"] = VBCtx("SEQMISB", MODE_TXT, local=mb,
+                                    cat="text")
+            ctxs["NONREF"] = VBCtx("NONREF", MODE_TXT, local=nonref,
+                                   cat="seq")
+            return
         if fo is not None and by_ref.any():
             sel = self._MATCH_LUT[fo["letters"]] & by_ref[fo["oprow"]]
             opid, within = self._expand_ops(sel, fo["oplen"])

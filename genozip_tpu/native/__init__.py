@@ -107,6 +107,27 @@ def get():
             lib.gxz_stride_boundary.restype = ctypes.c_int64
             lib.gxz_stride_boundary.argtypes = [ctypes.c_void_p,
                                                 ctypes.c_int64, ctypes.c_int64]
+            lib.gxz_seq_diff.restype = ctypes.c_int64
+            lib.gxz_seq_diff.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,   # seq,off,n
+                ctypes.c_void_p, ctypes.c_void_p,                   # by_ref,gpos0
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,  # letters,oplen,oprow
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,   # roff,goff,K
+                ctypes.c_void_p,                                    # ref_codes
+                ctypes.c_void_p, ctypes.c_void_p,                   # match,ins lut
+                ctypes.c_void_p, ctypes.c_void_p,                   # base2bit,is_acgt
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,  # mm_row,pos,base
+                ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p]   # cap,nonref,nr_len
+            lib.gxz_ref_populate.restype = None
+            lib.gxz_ref_populate.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_int64]
+            lib.gxz_reverse_rows.restype = None
+            lib.gxz_reverse_rows.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_int64, ctypes.c_void_p]
             _lib = lib
         except Exception:
             _lib = None
@@ -301,3 +322,77 @@ def stride_boundary(data: np.ndarray, stride: int) -> int:
     data = np.ascontiguousarray(data)
     return int(lib.gxz_stride_boundary(data.ctypes.data, data.shape[0],
                                        stride))
+
+
+def seq_diff(seq_data, seq_off, by_ref, gpos0, letters, oplen, oprow,
+             roff, goff, ref_codes, match_lut, ins_lut, base2bit, is_acgt,
+             nonref_cap: int):
+    """One-pass CIGAR-driven SEQ-vs-ref diff (see gxz_seq_diff). Returns
+    (mm_row i32, mm_pos i32, mm_base u8, nonref u8)."""
+    lib = get()
+    n = seq_off.shape[0] - 1
+    K = letters.shape[0]
+    seq_data = np.ascontiguousarray(seq_data)
+    seq_off = np.ascontiguousarray(seq_off, dtype=np.int64)
+    by_ref8 = np.ascontiguousarray(by_ref, dtype=np.uint8)
+    gpos0 = np.ascontiguousarray(gpos0, dtype=np.int64)
+    letters = np.ascontiguousarray(letters, dtype=np.uint8)
+    oplen = np.ascontiguousarray(oplen, dtype=np.int64)
+    oprow = np.ascontiguousarray(oprow, dtype=np.int64)
+    roff = np.ascontiguousarray(roff, dtype=np.int64)
+    goff = np.ascontiguousarray(goff, dtype=np.int64)
+    m_lut = np.ascontiguousarray(match_lut, dtype=np.uint8)
+    i_lut = np.ascontiguousarray(ins_lut, dtype=np.uint8)
+    b2b = np.ascontiguousarray(base2bit, dtype=np.uint8)
+    isa = np.ascontiguousarray(is_acgt, dtype=np.uint8)
+    nonref = np.empty(max(nonref_cap, 1), np.uint8)
+    nr_len = ctypes.c_int64(0)
+    cap = max(4096, seq_data.shape[0] // 16)
+    while True:
+        mm_row = np.empty(cap, np.int32)
+        mm_pos = np.empty(cap, np.int32)
+        mm_base = np.empty(cap, np.uint8)
+        cnt = lib.gxz_seq_diff(
+            seq_data.ctypes.data, seq_off.ctypes.data, n,
+            by_ref8.ctypes.data, gpos0.ctypes.data,
+            letters.ctypes.data, oplen.ctypes.data, oprow.ctypes.data,
+            roff.ctypes.data, goff.ctypes.data, K,
+            ref_codes.ctypes.data,
+            m_lut.ctypes.data, i_lut.ctypes.data,
+            b2b.ctypes.data, isa.ctypes.data,
+            mm_row.ctypes.data, mm_pos.ctypes.data, mm_base.ctypes.data,
+            cap, nonref.ctypes.data, ctypes.byref(nr_len))
+        if cnt <= cap:
+            return (mm_row[:cnt], mm_pos[:cnt], mm_base[:cnt],
+                    nonref[:nr_len.value])
+        cap = int(cnt)
+
+
+def ref_populate(seq_data, seq_off, rows, starts, base2bit,
+                 ref_codes, is_set, blk_set, blk: int):
+    """Scatter pure reads into unset genome positions (REF_INTERNAL)."""
+    lib = get()
+    seq_data = np.ascontiguousarray(seq_data)
+    seq_off = np.ascontiguousarray(seq_off, dtype=np.int64)
+    rows = np.ascontiguousarray(rows, dtype=np.int64)
+    starts = np.ascontiguousarray(starts, dtype=np.int64)
+    b2b = np.ascontiguousarray(base2bit, dtype=np.uint8)
+    lib.gxz_ref_populate(seq_data.ctypes.data, seq_off.ctypes.data,
+                         rows.ctypes.data, starts.ctypes.data,
+                         rows.shape[0], b2b.ctypes.data,
+                         ref_codes.ctypes.data, is_set.ctypes.data,
+                         blk_set.ctypes.data, blk)
+
+
+def reverse_rows(data, offsets, rows, comp_lut=None):
+    """In-place reverse (+optional complement) of the selected rows."""
+    lib = get()
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    rows = np.ascontiguousarray(rows, dtype=np.int64)
+    lut_ptr = 0
+    lut = None
+    if comp_lut is not None:
+        lut = np.ascontiguousarray(comp_lut, dtype=np.uint8)
+        lut_ptr = lut.ctypes.data
+    lib.gxz_reverse_rows(data.ctypes.data, offsets.ctypes.data,
+                         rows.ctypes.data, rows.shape[0], lut_ptr)

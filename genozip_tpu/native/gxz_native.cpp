@@ -994,6 +994,106 @@ int64_t gxz_arith_decode(const uint8_t* in, int64_t in_len, uint8_t* out,
     return n;
 }
 
+// One-pass CIGAR-driven SEQ-vs-reference diff (reference parity:
+// src/sam_seq.c sam_seg_SEQ hot loop). Walks the flat op table row-major,
+// comparing M/=/X bytes against the 2-bit genome codes and streaming I/S
+// bytes plus whole non-by_ref rows into the NONREF channel — no per-byte
+// index arrays. Returns the mismatch count found; writes at most mm_cap
+// entries (caller re-runs with a bigger buffer if count > mm_cap).
+// nonref_len returns the bytes written to nonref (caller sizes it exactly).
+int64_t gxz_seq_diff(
+    const uint8_t* seq, const int64_t* seq_off, int64_t n,
+    const uint8_t* by_ref, const int64_t* gpos0,
+    const uint8_t* letters, const int64_t* oplen, const int64_t* oprow,
+    const int64_t* roff, const int64_t* goff, int64_t K,
+    const uint8_t* ref_codes,
+    const uint8_t* match_lut, const uint8_t* ins_lut,
+    const uint8_t* base2bit, const uint8_t* is_acgt,
+    int32_t* mm_row, int32_t* mm_pos, uint8_t* mm_base, int64_t mm_cap,
+    uint8_t* nonref, int64_t* nonref_len) {
+    int64_t mm = 0, nr = 0, k = 0;
+    for (int64_t row = 0; row < n; row++) {
+        int64_t soff = seq_off[row];
+        if (!by_ref[row]) {
+            int64_t len = seq_off[row + 1] - soff;
+            memcpy(nonref + nr, seq + soff, (size_t)len);
+            nr += len;
+            while (k < K && oprow[k] == row) k++;
+            continue;
+        }
+        int64_t g0 = gpos0[row];
+        for (; k < K && oprow[k] == row; k++) {
+            uint8_t lt = letters[k];
+            int64_t len = oplen[k];
+            if (match_lut[lt]) {
+                const uint8_t* s = seq + soff + roff[k];
+                const uint8_t* r = ref_codes + g0 + goff[k];
+                int64_t rp = roff[k];
+                for (int64_t i = 0; i < len; i++) {
+                    uint8_t b = s[i];
+                    if (r[i] != base2bit[b] || !is_acgt[b]) {
+                        if (mm < mm_cap) {
+                            mm_row[mm] = (int32_t)row;
+                            mm_pos[mm] = (int32_t)(rp + i);
+                            mm_base[mm] = b;
+                        }
+                        mm++;
+                    }
+                }
+            } else if (ins_lut[lt]) {
+                memcpy(nonref + nr, seq + soff + roff[k], (size_t)len);
+                nr += len;
+            }
+        }
+    }
+    *nonref_len = nr;
+    return mm;
+}
+
+// Scatter pure-match reads into still-unset genome positions (REF_INTERNAL
+// population, reference src/reference.c + ref_lock.c range writes). First
+// writer wins; blk_set saturation counters updated incrementally.
+void gxz_ref_populate(
+    const uint8_t* seq, const int64_t* seq_off,
+    const int64_t* rows, const int64_t* starts, int64_t nrows,
+    const uint8_t* base2bit,
+    uint8_t* ref_codes, uint8_t* is_set, int64_t* blk_set, int64_t blk) {
+    for (int64_t i = 0; i < nrows; i++) {
+        int64_t row = rows[i];
+        const uint8_t* s = seq + seq_off[row];
+        int64_t len = seq_off[row + 1] - seq_off[row];
+        int64_t g = starts[i];
+        for (int64_t j = 0; j < len; j++) {
+            if (!is_set[g + j]) {
+                ref_codes[g + j] = base2bit[s[j]];
+                is_set[g + j] = 1;
+                blk_set[(g + j) / blk]++;
+            }
+        }
+    }
+}
+
+// In-place reverse (and optional complement via lut) of the selected rows —
+// the NORMQ/strand-orient hot loop (reference src/codec_normq.c role).
+void gxz_reverse_rows(
+    uint8_t* data, const int64_t* offsets,
+    const int64_t* rows, int64_t nrows, const uint8_t* comp_lut) {
+    for (int64_t i = 0; i < nrows; i++) {
+        int64_t row = rows[i];
+        uint8_t* a = data + offsets[row];
+        uint8_t* b = data + offsets[row + 1] - 1;
+        if (comp_lut) {
+            while (a < b) {
+                uint8_t x = comp_lut[*a], y = comp_lut[*b];
+                *a++ = y; *b-- = x;
+            }
+            if (a == b) *a = comp_lut[*a];
+        } else {
+            while (a < b) { uint8_t x = *a; *a++ = *b; *b-- = x; }
+        }
+    }
+}
+
 // Byte offset just past the last newline whose 1-based ordinal is a multiple
 // of `stride` (FASTQ record alignment); 0 if none. memchr = SIMD scan.
 int64_t gxz_stride_boundary(const uint8_t* data, int64_t len, int64_t stride) {

@@ -25,17 +25,23 @@ def pack_np(vals: np.ndarray, width: int) -> np.ndarray:
     per = 8 // width
     n = vals.shape[0]
     pad = (-n) % per
-    v = np.concatenate([vals, np.zeros(pad, np.uint8)]).reshape(-1, per)
-    shifts = (np.arange(per, dtype=np.uint8) * width)
-    return (v << shifts).astype(np.uint16).sum(axis=1).astype(np.uint8)
+    if pad:
+        vals = np.concatenate([vals, np.zeros(pad, np.uint8)])
+    v = vals.reshape(-1, per)
+    out = v[:, 0].copy()
+    for i in range(1, per):                      # in-place OR: no uint16 temp
+        out |= v[:, i] << np.uint8(i * width)
+    return out
 
 
 def unpack_np(packed: np.ndarray, width: int, n: int) -> np.ndarray:
     per = 8 // width
-    shifts = (np.arange(per, dtype=np.uint8) * width)
-    mask = (1 << width) - 1
-    v = (packed[:, None] >> shifts[None, :]) & mask
-    return v.reshape(-1)[:n].astype(np.uint8)
+    mask = np.uint8((1 << width) - 1)
+    out = np.empty((packed.shape[0], per), np.uint8)
+    for i in range(per):
+        np.right_shift(packed, np.uint8(i * width), out=out[:, i])
+    out &= mask
+    return out.reshape(-1)[:n]
 
 
 def pack_jnp(vals, width: int):
