@@ -147,7 +147,7 @@ def _arith_decode(blob) -> bytes:
 
 def _pack_encode(data: bytes, order: int) -> bytes:
     a = np.frombuffer(data, np.uint8)
-    syms = np.unique(a)
+    syms = np.nonzero(np.bincount(a, minlength=256))[0].astype(np.uint8)
     ns = syms.shape[0]
     if ns <= 2:
         width = 1

@@ -9,6 +9,8 @@ context (deterministic: VBs are merged in VB order) and is cached in the
 ZIP-side global context state.
 """
 
+import time
+
 import numpy as np
 
 from . import (NONE, RANS0, RANS1, PACK0, PACK1, ZLIB, BZ2, LZMA, ACGT,
@@ -72,13 +74,19 @@ def assign_best(data: bytes | np.ndarray, category: str = "text") -> int:
         return NONE
     size = SAMPLE_SIZE * (4 if _mode == "best" else 1)
     sample = a[:size].tobytes()
-    best, best_size = NONE, len(sample)
+    best, best_size, best_t = NONE, len(sample), 0.0
     for codec in candidates_for(a, category):
         try:
+            t0 = time.perf_counter()
             sz = len(compress(sample, codec))
+            dt = time.perf_counter() - t0
         except Exception:
             continue
-        # 1% similarity tie-break in favour of the earlier (cheaper) candidate
-        if sz < best_size * 0.99:
-            best, best_size = codec, sz
+        # (size, time) similarity rule (src/codec.c:171-172): a similar-speed
+        # candidate wins at >1% smaller; a markedly slower one must earn it
+        # (>5% smaller) — sampling bias otherwise locks slow coders onto
+        # sections whose full-size ratio difference is negligible
+        slower = best is not NONE and dt > best_t * 1.5 + 5e-4
+        if sz < best_size * (0.95 if slower else 0.99):
+            best, best_size, best_t = codec, sz, dt
     return best

@@ -128,6 +128,14 @@ def get():
             lib.gxz_reverse_rows.argtypes = [
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
                 ctypes.c_int64, ctypes.c_void_p]
+            lib.gxz_atoi.restype = None
+            lib.gxz_atoi.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+                ctypes.c_void_p, ctypes.c_void_p]
+            lib.gxz_itoa.restype = ctypes.c_int64
+            lib.gxz_itoa.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+                ctypes.c_void_p]
             _lib = lib
         except Exception:
             _lib = None
@@ -396,3 +404,28 @@ def reverse_rows(data, offsets, rows, comp_lut=None):
         lut_ptr = lut.ctypes.data
     lib.gxz_reverse_rows(data.ctypes.data, offsets.ctypes.data,
                          rows.ctypes.data, rows.shape[0], lut_ptr)
+
+
+def atoi(data, offsets):
+    """Strict per-row decimal parse -> (int64 vals, bool ok)."""
+    lib = get()
+    n = offsets.shape[0] - 1
+    data = np.ascontiguousarray(data)
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    vals = np.empty(n, np.int64)
+    ok = np.empty(n, np.uint8)
+    lib.gxz_atoi(data.ctypes.data, offsets.ctypes.data, n,
+                 vals.ctypes.data, ok.ctypes.data)
+    return vals, ok.view(bool)
+
+
+def itoa(vals):
+    """int64 rows -> (ascii data, offsets)."""
+    lib = get()
+    vals = np.ascontiguousarray(vals, dtype=np.int64)
+    n = vals.shape[0]
+    offsets = np.empty(n + 1, np.int64)
+    total = lib.gxz_itoa(vals.ctypes.data, n, offsets.ctypes.data, 0)
+    out = np.empty(max(int(total), 1), np.uint8)
+    lib.gxz_itoa(vals.ctypes.data, n, offsets.ctypes.data, out.ctypes.data)
+    return out[:total], offsets

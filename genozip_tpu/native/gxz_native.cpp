@@ -1094,6 +1094,60 @@ void gxz_reverse_rows(
     }
 }
 
+// Strict per-row decimal parse (ragged.atoi semantics): optional leading
+// '-', 1..19 digits, no leading zeros on multi-digit values. Bad rows get
+// ok=0 and val=0. Accumulation wraps in uint64 like the numpy int64 path.
+void gxz_atoi(const uint8_t* data, const int64_t* offsets, int64_t n,
+              int64_t* vals, uint8_t* ok) {
+    for (int64_t i = 0; i < n; i++) {
+        const uint8_t* p = data + offsets[i];
+        int64_t len = offsets[i + 1] - offsets[i];
+        bool neg = len > 1 && p[0] == '-';
+        const uint8_t* d = p + neg;
+        int64_t dl = len - neg;
+        if (dl < 1 || dl > 19 || (dl > 1 && d[0] == '0')) {
+            vals[i] = 0; ok[i] = 0; continue;
+        }
+        uint64_t v = 0;
+        bool good = true;
+        for (int64_t j = 0; j < dl; j++) {
+            uint8_t c = d[j];
+            if (c < '0' || c > '9') { good = false; break; }
+            v = v * 10 + (c - '0');
+        }
+        if (!good) { vals[i] = 0; ok[i] = 0; continue; }
+        vals[i] = (int64_t)(neg ? 0ULL - v : v);   // mod-2^64, matches numpy
+        ok[i] = 1;
+    }
+}
+
+// Vectorized int64 -> decimal ascii rows. Pass 1 (out=NULL): fill offsets
+// and return total bytes. Pass 2: fill out.
+int64_t gxz_itoa(const int64_t* vals, int64_t n, int64_t* offsets,
+                 uint8_t* out) {
+    if (!out) {
+        int64_t total = 0;
+        offsets[0] = 0;
+        for (int64_t i = 0; i < n; i++) {
+            uint64_t a = vals[i] < 0 ? (uint64_t)(-(vals[i] + 1)) + 1
+                                     : (uint64_t)vals[i];
+            int nd = 1;
+            for (uint64_t t = a / 10; t; t /= 10) nd++;
+            total += nd + (vals[i] < 0);
+            offsets[i + 1] = total;
+        }
+        return total;
+    }
+    for (int64_t i = 0; i < n; i++) {
+        uint64_t a = vals[i] < 0 ? (uint64_t)(-(vals[i] + 1)) + 1
+                                 : (uint64_t)vals[i];
+        uint8_t* end = out + offsets[i + 1];
+        do { *--end = (uint8_t)('0' + a % 10); a /= 10; } while (a);
+        if (vals[i] < 0) *--end = '-';
+    }
+    return offsets[n];
+}
+
 // Byte offset just past the last newline whose 1-based ordinal is a multiple
 // of `stride` (FASTQ record alignment); 0 if none. memchr = SIMD scan.
 int64_t gxz_stride_boundary(const uint8_t* data, int64_t len, int64_t stride) {

@@ -285,6 +285,10 @@ def atoi(col: Col, dtype=np.int64):
     lens = col.lens
     if n == 0:
         return np.zeros(0, dtype), np.zeros(0, bool)
+    from .. import native
+    if native.available():
+        vals, ok = native.atoi(col.data, col.offsets)
+        return vals.astype(dtype, copy=False), ok
     safe_starts = np.minimum(col.offsets[:-1], max(col.data.shape[0] - 1, 0))
     first = np.where(lens > 0, col.data[safe_starts] if col.data.shape[0] else 0, 0)
     neg_mask = (first == ord("-")) & (lens > 1)
@@ -320,14 +324,19 @@ def itoa(vals: np.ndarray) -> Col:
     n = vals.shape[0]
     if n == 0:
         return Col(np.zeros(0, np.uint8), np.zeros(1, np.int64))
+    from .. import native
+    if native.available():
+        data, offsets = native.itoa(vals)
+        return Col(data, offsets)
     neg = vals < 0
-    a = np.abs(vals)
+    a = vals.astype(np.uint64)
+    a = np.where(neg, np.uint64(0) - a, a)   # exact magnitude, incl INT64_MIN
     # number of digits
     nd = np.ones(n, dtype=np.int64)
-    t = a // 10
+    t = a // np.uint64(10)
     while np.any(t > 0):
         nd += (t > 0)
-        t //= 10
+        t //= np.uint64(10)
     lens = nd + neg
     offsets = np.concatenate([[0], np.cumsum(lens)])
     out = np.empty(int(lens.sum()), dtype=np.uint8)
@@ -339,8 +348,9 @@ def itoa(vals: np.ndarray) -> Col:
     active = np.ones(n, dtype=bool)
     while active.any():
         pos = end - d
-        out[pos[active]] = (rem[active] % 10 + ord("0")).astype(np.uint8)
-        rem //= 10
+        out[pos[active]] = (rem[active] % np.uint64(10)
+                            + np.uint64(ord("0"))).astype(np.uint8)
+        rem //= np.uint64(10)
         d += 1
         active = rem > 0
         # ensure at least one digit written for zeros: handled by first pass
