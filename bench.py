@@ -87,7 +87,7 @@ def gen_bam(path, target_mb, rng, genome):
     from genozip_tpu.utils.bgzf import BgzfWriter
     G = genome.shape[0]
     rl = 150
-    n_chrom = max(2, target_mb // 1 + 2)
+    n_chrom = max(1, target_mb * (1 << 20) // (G * 5 // 4) + 1)
     hdr = b"@HD\tVN:1.6\tSO:coordinate\n" + b"".join(
         b"@SQ\tSN:chr%d\tLN:%d\n" % (c + 1, G) for c in range(n_chrom))
     bam_hdr, name2id = sam_header_to_bam(hdr)
@@ -203,7 +203,9 @@ def main():
         gen_fastq(fq, BENCH_MB, rng, genome)
     bam = os.path.join(BDIR, "bench.bam")
     if not os.path.exists(bam):
-        gen_bam(bam, BAM_MB, np.random.default_rng(7), genome)
+        # BAM gets its own larger genome so coverage stays realistic (~7x)
+        rng7 = np.random.default_rng(7)
+        gen_bam(bam, BAM_MB, rng7, _genome(rng7, 32 << 20))
     vcf = os.path.join(BDIR, "bench.vcf")
     if not os.path.exists(vcf):
         gen_vcf(vcf, VCF_MB, np.random.default_rng(9))

@@ -74,19 +74,30 @@ def assign_best(data: bytes | np.ndarray, category: str = "text") -> int:
         return NONE
     size = SAMPLE_SIZE * (4 if _mode == "best" else 1)
     sample = a[:size].tobytes()
-    best, best_size, best_t = NONE, len(sample), 0.0
+    n1 = len(sample) // 4
+    # two-point trial for sections much larger than the sample: fixed costs
+    # (static rANS tables, headers) bias a single small sample toward
+    # adaptive coders whose advantage vanishes at full size — extrapolate
+    # the marginal (per-byte) rate instead
+    extrapolate = a.shape[0] > 4 * len(sample) and n1 >= 4096
+    best, best_size, best_t = NONE, float(a.shape[0]), 0.0
     for codec in candidates_for(a, category):
         try:
             t0 = time.perf_counter()
             sz = len(compress(sample, codec))
             dt = time.perf_counter() - t0
+            if extrapolate:
+                sz1 = len(compress(sample[:n1], codec))
+                rate = max(sz - sz1, 0) / (len(sample) - n1)
+                est = sz + rate * (a.shape[0] - len(sample))
+            else:
+                est = sz * (a.shape[0] / max(len(sample), 1))
         except Exception:
             continue
         # (size, time) similarity rule (src/codec.c:171-172): a similar-speed
         # candidate wins at >1% smaller; a markedly slower one must earn it
-        # (>5% smaller) — sampling bias otherwise locks slow coders onto
-        # sections whose full-size ratio difference is negligible
+        # (>5% smaller)
         slower = best is not NONE and dt > best_t * 1.5 + 5e-4
-        if sz < best_size * (0.95 if slower else 0.99):
-            best, best_size, best_t = codec, sz, dt
+        if est < best_size * (0.95 if slower else 0.99):
+            best, best_size, best_t = codec, est, dt
     return best

@@ -39,18 +39,27 @@ class PizReader:
             self.zr.set_encryption(key, salt)
         self.dt = get(self.file_hdr["dt"])(self.file_hdr.get("segconf") or {})
         if self.file_hdr.get("ref_internal"):
-            # REF_INTERNAL: the denovo genome travels in the archive
+            # REF_INTERNAL: the denovo genome travels in the archive as
+            # populated (start, len) ranges (holes reconstruct as code 0)
             payload, _ = self.zr.read_one(fmt.SEC_REFERENCE)
             from .ref.refstore import RefGenome
             from .ops import pack as packops
             ml = int.from_bytes(payload[0:4], "little")
             meta = fmt.json_parse(payload[4:4 + ml])
             off = 4 + ml
-            pl = int.from_bytes(payload[off:off + 8], "little")
-            off += 8
-            codes = packops.unpack_np(
-                np.frombuffer(payload[off:off + pl], np.uint8), 2,
-                meta["length"])
+            if "ranges" in meta:
+                codes = np.zeros(meta["length"], np.uint8)
+                for s, l in meta["ranges"]:
+                    nb = (l + 3) // 4
+                    codes[s:s + l] = packops.unpack_np(
+                        np.frombuffer(payload[off:off + nb], np.uint8), 2, l)
+                    off += nb
+            else:   # legacy whole-genome layout
+                pl = int.from_bytes(payload[off:off + 8], "little")
+                off += 8
+                codes = packops.unpack_np(
+                    np.frombuffer(payload[off:off + pl], np.uint8), 2,
+                    meta["length"])
             self.dt.ref = RefGenome(codes, meta["contigs"])
         if self.file_hdr.get("ref_stored") and not reference:
             # REF_EXT_STORE: the used genome ranges travel in the archive

@@ -210,12 +210,28 @@ def _maybe_write_internal_ref(job, dt, reference) -> bool:
             not getattr(iref, "internal", False) or not iref.is_set.any():
         return False
     from .ops import pack as packops
+    # is_set compaction (reference src/sections.h:437-450 SEC_REFERENCE
+    # range compaction): store only populated 4KB blocks as (start, len)
+    # ranges — unpopulated contigs/holes cost nothing
+    blk = getattr(dt, "_POP_BLK", 4096)
+    if getattr(iref, "blk_set", None) is not None:
+        pop = iref.blk_set > 0
+    else:
+        nblk = -(-iref.length // blk)
+        pad = nblk * blk - iref.length
+        is_set = np.concatenate([iref.is_set[:iref.length],
+                                 np.zeros(pad, bool)])
+        pop = is_set.reshape(-1, blk).any(axis=1)
+    d = np.diff(np.concatenate([[0], pop.view(np.int8), [0]]).astype(np.int8))
+    rs = np.nonzero(d == 1)[0] * blk
+    re_ = np.nonzero(d == -1)[0] * blk
+    ranges = [(int(s), int(min(e, iref.length) - s)) for s, e in zip(rs, re_)]
     meta = fmt.json_payload({"contigs": iref.contigs,
-                             "length": int(iref.length)})
-    packed = packops.pack_np(iref.codes, 2).tobytes()
-    setb = np.packbits(iref.is_set[:iref.length]).tobytes()
-    payload = len(meta).to_bytes(4, "little") + meta + \
-        len(packed).to_bytes(8, "little") + packed + setb
+                             "length": int(iref.length),
+                             "ranges": ranges})
+    packed = b"".join(packops.pack_np(iref.codes[s:s + l], 2).tobytes()
+                      for s, l in ranges)
+    payload = len(meta).to_bytes(4, "little") + meta + packed
     job.zw.write_section(fmt.SEC_REFERENCE, payload,
                          codec=codec_assign.assign_best(payload, "text"))
     return True
