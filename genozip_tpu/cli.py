@@ -55,6 +55,9 @@ def build_parser():
                    help="favor speed: fewer codec trials, 2-seed aligner")
     z.add_argument("--best", action="store_true",
                    help="favor ratio: wider codec trials, larger samples")
+    z.add_argument("-@", "--threads", type=int, default=None,
+                   help="seg worker threads (default: all cores; "
+                        "genozip --threads analog)")
     z.add_argument("--truncate", action="store_true",
                    help="accept inputs cut mid-record (reference --truncate)")
     z.add_argument("--md5", action="store_true",
@@ -189,7 +192,8 @@ def main(argv=None):
                              password=args.password, use_md5=args.md5,
                              bamass=args.bamass, truncate=args.truncate,
                              mesh=args.mesh, dp=args.dp,
-                             store_ref=args.store_ref)
+                             store_ref=args.store_ref,
+                             threads=args.threads)
         if args.test:
             from .piz_pipeline import piz_file
             piz_file(out, None, reference=args.reference,

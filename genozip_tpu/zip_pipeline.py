@@ -287,7 +287,8 @@ def zip_file(in_path: str, out_path: str, dt_name: str | None = None,
              reference: str | None = None, password: str | None = None,
              use_md5: bool = False, bamass: str | None = None,
              truncate: bool = False, mesh: int | None = None,
-             dp: int | None = None, store_ref: bool = False):
+             dp: int | None = None, store_ref: bool = False,
+             threads: int | None = None):
     reader, dt, dt_name = _open_component(in_path, dt_name, reference,
                                           truncate=truncate)
     if store_ref and getattr(dt, "ref", None) is not None:
@@ -320,11 +321,22 @@ def zip_file(in_path: str, out_path: str, dt_name: str | None = None,
     from .utils.progress import Progress
     prog = Progress(f"zip {in_path.rsplit('/', 1)[-1]}", None)
 
-    # 2-stage pipeline (the dispatcher analog, reference src/dispatcher.c:544):
-    # seg VB n+1 on a worker thread while the main thread merges/codes/writes
-    # VB n. Dict merge stays in VB order — determinism preserved. numpy and
-    # the native coder release the GIL, so both cores stay busy.
+    # N-way dispatcher (reference src/dispatcher.c:544 fan-out analog):
+    # up to `workers` VBs seg concurrently on a thread pool while the main
+    # thread merges/codes/writes completed VBs strictly in VB order (FIFO
+    # drain) — dict merge order = determinism. numpy and the native coder
+    # release the GIL, so all host cores stay busy; in-flight VBs are
+    # bounded by the pool width (the reference's vb_pool analog).
+    import os as _os
+    from collections import deque
     from concurrent.futures import ThreadPoolExecutor
+    workers = threads or int(_os.environ.get("GXZ_THREADS", "0")) \
+        or (_os.cpu_count() or 2)
+    if getattr(getattr(dt, "ref", None), "internal", False):
+        # REF_INTERNAL: seg of VB n populates the denovo genome that VB n+1
+        # diffs against (first-writer-wins scatter) — PIZ replays the same
+        # order, so seg must stay sequential (ref_lock.c's serialization)
+        workers = 1
     vb_i = 0
     prim_parts = []      # deported PRIM text (reference gencomp_zip.c)
     depn_parts = []      # deported DEPN text
@@ -377,12 +389,12 @@ def zip_file(in_path: str, out_path: str, dt_name: str | None = None,
             job.flush_vb(b, pre.get(bi, {}))
         batch_built.clear()
 
-    with ThreadPoolExecutor(max_workers=1) as pool:
+    with ThreadPoolExecutor(max_workers=workers) as pool:
         def seg_one(data):
             with profiler.timer("zip:seg"):
                 return dt.seg_vb(data)
 
-        pending = None  # (data, future, (prim positions, depn positions))
+        inflight = deque()  # (data, future, (prim pos, depn pos)) in VB order
         def submit(data):
             nonlocal file_adler
             # digests always cover the ORIGINAL stream, pre-deportation
@@ -423,12 +435,16 @@ def zip_file(in_path: str, out_path: str, dt_name: str | None = None,
             prog.update(int(pdata.shape[0]))
 
         for data in reader.vblocks(dt, vb_size):
-            nxt = submit(data)
-            if pending is not None:
-                drain(pending)
-            pending = nxt
-        if pending is not None:
-            drain(pending)
+            inflight.append(submit(data))
+            # VB 1 segs alone: per-file lazy seg state (e.g. the QUAL demux
+            # class) is decided by the first VB — the reference's first-sight
+            # commit (codec.c:210) — before later VBs fan out concurrently
+            if vb_i == 0:
+                drain(inflight.popleft())
+            elif len(inflight) > workers:
+                drain(inflight.popleft())
+        while inflight:
+            drain(inflight.popleft())
         if sharded is not None:
             flush_batch()
     prog.finish()
