@@ -120,6 +120,11 @@ class BamDT(SamDT):
     def _seq_ascii(self, seq_nib: Col, l_seq: np.ndarray):
         """4-bit codes -> ASCII letters + per-row nibble-exactness (odd-length
         rows whose pad nibble isn't 0 can't round-trip through ASCII)."""
+        from .. import native
+        if native.available():
+            data, off, ok = native.nib_expand(
+                seq_nib.data, seq_nib.offsets, l_seq)
+            return Col(data, off), ok
         # single-gather expansion: byte -> two ASCII letters as one uint16
         global _NIB16
         if _NIB16 is None:

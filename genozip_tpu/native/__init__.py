@@ -136,6 +136,10 @@ def get():
             lib.gxz_itoa.argtypes = [
                 ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
                 ctypes.c_void_p]
+            lib.gxz_nib_expand.restype = ctypes.c_int64
+            lib.gxz_nib_expand.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p]
             _lib = lib
         except Exception:
             _lib = None
@@ -417,6 +421,21 @@ def atoi(data, offsets):
     lib.gxz_atoi(data.ctypes.data, offsets.ctypes.data, n,
                  vals.ctypes.data, ok.ctypes.data)
     return vals, ok.view(bool)
+
+
+def nib_expand(nib_data, offsets, lseq):
+    """BAM 4-bit SEQ -> (ascii data, ascii offsets, per-row nibble-ok)."""
+    lib = get()
+    n = offsets.shape[0] - 1
+    nib_data = np.ascontiguousarray(nib_data)
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    lseq = np.ascontiguousarray(lseq, dtype=np.int64)
+    out_off = np.concatenate([[0], np.cumsum(lseq)])
+    out = np.empty(max(int(out_off[-1]), 1), np.uint8)
+    ok = np.empty(n, np.uint8)
+    lib.gxz_nib_expand(nib_data.ctypes.data, offsets.ctypes.data,
+                       lseq.ctypes.data, n, out.ctypes.data, ok.ctypes.data)
+    return out[: out_off[-1]], out_off, ok.view(bool)
 
 
 def itoa(vals):

@@ -792,49 +792,47 @@ int a_choose_log_lanes(int64_t n) {
     return 8;
 }
 
+// Model storage is freq[] + a lazily-rebuilt exclusive-prefix snapshot per
+// context: freq is always >= 1, so the snapshot is strictly increasing and
+// symbol search is a contiguous upper_bound (cache-friendly, branch-light);
+// a context pays the 256-add rebuild only on its first use after an update
+// (amortized ~1 op/byte at N=256 lanes for order-0 / small-alphabet order-1).
 struct Model {
     int nctx;
     std::vector<uint32_t> freq;    // nctx*256
     std::vector<uint32_t> total;   // nctx
-    std::vector<uint32_t> tree;    // nctx*257 Fenwick (1-indexed)
+    std::vector<uint32_t> pre;     // nctx*257 exclusive prefix (lazy)
+    std::vector<uint8_t> dirty;    // per-context: pre[] is stale
 
     explicit Model(int order) : nctx(order ? 256 : 1),
         freq((size_t)nctx * 256, 1), total(nctx, 256),
-        tree((size_t)nctx * 257, 0) {
-        for (int c = 0; c < nctx; c++) rebuild(c);
-    }
-    void rebuild(int c) {
-        uint32_t* t = &tree[(size_t)c * 257];
-        const uint32_t* f = &freq[(size_t)c * 256];
-        for (int i = 1; i <= 256; i++) t[i] = f[i - 1];
-        for (int i = 1; i <= 256; i++) {
-            int p = i + (i & -i);
-            if (p <= 256) t[p] += t[i];
+        pre((size_t)nctx * 257, 0), dirty(nctx, 1) {}
+    inline const uint32_t* snap(int c) {
+        uint32_t* p = &pre[(size_t)c * 257];
+        if (dirty[c]) {
+            const uint32_t* f = &freq[(size_t)c * 256];
+            uint32_t acc = 0;
+            for (int i = 0; i < 256; i++) { p[i] = acc; acc += f[i]; }
+            p[256] = acc;
+            dirty[c] = 0;
         }
-    }
-    inline uint32_t prefix(int c, int s) const {   // sum f[0..s-1]
-        const uint32_t* t = &tree[(size_t)c * 257];
-        uint32_t r = 0;
-        for (int pos = s; pos; pos -= pos & -pos) r += t[pos];
-        return r;
+        return p;
     }
     inline void add(int c, int s, uint32_t d) {
-        uint32_t* t = &tree[(size_t)c * 257];
-        for (int pos = s + 1; pos <= 256; pos += pos & -pos) t[pos] += d;
         freq[(size_t)c * 256 + s] += d;
         total[c] += d;
+        dirty[c] = 1;
     }
-    // largest sym with prefix(sym) <= v; sets cum = prefix(sym)
-    inline int search(int c, uint32_t v, uint32_t* cum) const {
-        const uint32_t* t = &tree[(size_t)c * 257];
-        int idx = 0;
-        uint32_t rem = v;
-        for (int bit = 128; bit; bit >>= 1) {
-            int nxt = idx + bit;
-            if (nxt <= 256 && t[nxt] <= rem) { idx = nxt; rem -= t[nxt]; }
+    // largest sym with prefix(sym) <= v; sets cum = prefix(sym).
+    // p = snap(c): strictly increasing, p[0]=0, p[256]=total.
+    static inline int search(const uint32_t* p, uint32_t v, uint32_t* cum) {
+        int lo = 0, hi = 255;            // invariant: p[lo] <= v < p[hi+1]
+        while (lo < hi) {
+            int mid = (lo + hi + 1) >> 1;
+            if (p[mid] <= v) lo = mid; else hi = mid - 1;
         }
-        *cum = v - rem;
-        return idx;
+        *cum = p[lo];
+        return lo;
     }
     void rescale(int c) {
         while (total[c] > A_MAX_TOTAL) {
@@ -843,7 +841,7 @@ struct Model {
             for (int i = 0; i < 256; i++) { f[i] = (f[i] + 1) >> 1; tot += f[i]; }
             total[c] = tot;
         }
-        rebuild(c);
+        dirty[c] = 1;
     }
 };
 
@@ -862,37 +860,54 @@ int64_t gxz_arith_encode(const uint8_t* data, int64_t n, int order,
     }
     std::vector<uint32_t> low(N, 0), rng(N, 0xFFFFFFFFu);
     std::vector<std::vector<uint8_t>> lane_bytes(N);
-    std::vector<int32_t> ev;              // global event order: lane ids
+    std::vector<uint8_t> ev;              // global event order: lane ids
     Model model(order);
     std::vector<uint8_t> syms(N), ctxs(N);
     std::vector<int> dirty;
+    // per-step shared reciprocals: lanes in the same context at the same
+    // step divide by the same total — one magic per distinct context
+    std::vector<Magic> mag(model.nctx);
+    std::vector<int64_t> mag_gen(model.nctx, -1);
+    std::vector<int> active(N), pend(N);
+    ev.reserve((size_t)n / 2 + 64);
 
     for (int64_t t = 0; t < K; t++) {
-        for (int l = 0; l < N; l++) {
-            if (t >= lane_len[l]) continue;
+        int na = 0;
+        for (int l = 0; l < N; l++)
+            if (t < lane_len[l]) active[na++] = l;   // lane_len non-increasing
+        for (int ai = 0; ai < na; ai++) {
+            int l = active[ai];
             uint8_t s = data[(int64_t)l * K + t];
             uint8_t cx = (order && t) ? data[(int64_t)l * K + t - 1] : 0;
             syms[l] = s; ctxs[l] = cx;
             uint32_t tot = model.total[cx];
+            if (mag_gen[cx] != t) { mag[cx] = make_magic(tot); mag_gen[cx] = t; }
             uint32_t f = model.freq[(size_t)cx * 256 + s];
             uint32_t c = model.prefix(cx, s);
-            uint32_t r = rng[l] / tot;
+            uint32_t r = magic_div(rng[l], mag[cx], tot);
             low[l] += c * r;
             rng[l] = f * r;
         }
-        for (bool any = true; any; ) {            // renorm, iteration-major
-            any = false;
-            for (int l = 0; l < N; l++) {
-                if (t >= lane_len[l]) continue;
+        // renorm, iteration-major (same byte interleave as the numpy spec):
+        // each pass keeps only the lanes that still renorm
+        int np_ = na;
+        int* cur = active.data();
+        int* nxt = pend.data();
+        while (np_) {
+            int nn = 0;
+            for (int i = 0; i < np_; i++) {
+                int l = cur[i];
                 uint32_t lo = low[l], rg = rng[l];
                 bool c1 = ((lo ^ (lo + rg)) < A_TOP), c2 = rg < A_BOT;
                 if (!(c1 || c2)) continue;
                 if (!c1) rng[l] = (0u - lo) & (A_BOT - 1);
                 lane_bytes[l].push_back((uint8_t)(lo >> 24));
-                ev.push_back(l);
+                ev.push_back((uint8_t)l);
                 low[l] <<= 8; rng[l] <<= 8;
-                any = true;
+                nxt[nn++] = l;
             }
+            np_ = nn;
+            std::swap(cur, nxt);
         }
         dirty.clear();
         for (int l = 0; l < N; l++) {
@@ -949,13 +964,20 @@ int64_t gxz_arith_decode(const uint8_t* in, int64_t in_len, uint8_t* out,
     Model model(order);
     std::vector<uint8_t> syms(N), ctxs(N);
     std::vector<int> dirty;
+    std::vector<Magic> mag(model.nctx);
+    std::vector<int64_t> mag_gen(model.nctx, -1);
+    std::vector<int> active(N), pend(N);
     for (int64_t t = 0; t < K; t++) {
-        for (int l = 0; l < N; l++) {
-            if (t >= lane_len[l]) continue;
+        int na = 0;
+        for (int l = 0; l < N; l++)
+            if (t < lane_len[l]) active[na++] = l;
+        for (int ai = 0; ai < na; ai++) {
+            int l = active[ai];
             uint8_t cx = (order && t) ? out[(int64_t)l * K + t - 1] : 0;
             ctxs[l] = cx;
             uint32_t tot = model.total[cx];
-            uint32_t r = rng[l] / tot;
+            if (mag_gen[cx] != t) { mag[cx] = make_magic(tot); mag_gen[cx] = t; }
+            uint32_t r = magic_div(rng[l], mag[cx], tot);
             uint32_t v = (code[l] - low[l]) / r;
             if (v > tot - 1) v = tot - 1;
             uint32_t c;
@@ -967,10 +989,13 @@ int64_t gxz_arith_decode(const uint8_t* in, int64_t in_len, uint8_t* out,
             out[(int64_t)l * K + t] = (uint8_t)s;
             syms[l] = (uint8_t)s;
         }
-        for (bool any = true; any; ) {
-            any = false;
-            for (int l = 0; l < N; l++) {
-                if (t >= lane_len[l]) continue;
+        int np_ = na;
+        int* cur = active.data();
+        int* nxt = pend.data();
+        while (np_) {
+            int nn = 0;
+            for (int i = 0; i < np_; i++) {
+                int l = cur[i];
                 uint32_t lo = low[l], rg = rng[l];
                 bool c1 = ((lo ^ (lo + rg)) < A_TOP), c2 = rg < A_BOT;
                 if (!(c1 || c2)) continue;
@@ -978,8 +1003,10 @@ int64_t gxz_arith_decode(const uint8_t* in, int64_t in_len, uint8_t* out,
                 uint8_t b = body < bend ? *body++ : 0;
                 code[l] = (code[l] << 8) | b;
                 low[l] <<= 8; rng[l] <<= 8;
-                any = true;
+                nxt[nn++] = l;
             }
+            np_ = nn;
+            std::swap(cur, nxt);
         }
         dirty.clear();
         for (int l = 0; l < N; l++) {
@@ -1146,6 +1173,39 @@ int64_t gxz_itoa(const int64_t* vals, int64_t n, int64_t* offsets,
         if (vals[i] < 0) *--end = '-';
     }
     return offsets[n];
+}
+
+// BAM 4-bit SEQ nibbles -> ASCII letters (reference src/sam_sa.c bam_seq
+// semantics): one pass, 16-bit LUT pair-expand per input byte, truncated to
+// l_seq letters per row; ok[i]=0 when an odd-length row's pad nibble != 0
+// (such a row cannot round-trip through ASCII). Returns bytes written.
+int64_t gxz_nib_expand(const uint8_t* nib, const int64_t* offsets,
+                       const int64_t* lseq, int64_t nrows,
+                       uint8_t* out, uint8_t* ok) {
+    static uint16_t lut[256];
+    static bool init = false;
+    if (!init) {
+        const char* NB = "=ACMGRSVTWYHKDBN";
+        for (int b = 0; b < 256; b++)
+            lut[b] = (uint16_t)((uint8_t)NB[b >> 4])
+                   | ((uint16_t)((uint8_t)NB[b & 15]) << 8);
+        init = true;
+    }
+    uint8_t* o = out;
+    for (int64_t i = 0; i < nrows; i++) {
+        const uint8_t* src = nib + offsets[i];
+        int64_t nb = offsets[i + 1] - offsets[i];
+        int64_t L = lseq[i];
+        int64_t pairs = L >> 1;
+        for (int64_t k = 0; k < pairs; k++) {
+            uint16_t v = lut[src[k]];
+            memcpy(o, &v, 2);
+            o += 2;
+        }
+        if (L & 1) *o++ = (uint8_t)lut[src[pairs]];
+        ok[i] = !((L & 1) && nb > 0 && (src[nb - 1] & 15) != 0);
+    }
+    return o - out;
 }
 
 // Byte offset just past the last newline whose 1-based ordinal is a multiple
