@@ -34,6 +34,18 @@ def counter0(salt: bytes, offset: int) -> bytes:
     return salt[:8] + offset.to_bytes(8, "little")
 
 
+def _aes256_ctr_py(key: bytes, ctr0: bytes, data: bytes) -> bytes:
+    """Host-library AES-256-CTR fallback (same keystream as the native
+    kernel): used when the native runtime is unavailable so encryption
+    degrades in speed, never in availability."""
+    from cryptography.hazmat.primitives.ciphers import (Cipher, algorithms,
+                                                        modes)
+    enc = Cipher(algorithms.AES(key), modes.CTR(ctr0)).encryptor()
+    return enc.update(data) + enc.finalize()
+
+
 def crypt_payload(key: bytes, salt: bytes, offset: int, data: bytes) -> bytes:
-    assert native.available(), "encryption requires the native runtime"
-    return native.aes256_ctr(key, counter0(salt, offset), data)
+    c0 = counter0(salt, offset)
+    if native.available():
+        return native.aes256_ctr(key, c0, data)
+    return _aes256_ctr_py(key, c0, data)

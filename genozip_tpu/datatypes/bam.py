@@ -410,8 +410,6 @@ class BamDT(SamDT):
         return Col(nibbles, np.concatenate([[0], np.cumsum(nb)]))
 
     def vb_boundary(self, data: np.ndarray, is_eof: bool) -> int:
-        if not native.available():
-            raise RuntimeError("BAM requires the native runtime")
         offsets, consumed = native.bam_scan(data, MAX_RECORDS_PER_VB)
         if is_eof and consumed != data.shape[0]:
             raise ValueError("BAM input ends mid-record")

@@ -497,17 +497,13 @@ class SamDT(DataType):
         EVERY row's ops live in flat arrays, so seg/recon/MD-NM walks are
         O(total bases) vectorized passes with no per-unique-CIGAR python —
         the structure long-read BAMs need (most templates unique there).
-        Returns None without the native tokenizer, else a dict with
-        letters/oplen/oprow/opidx (per op, (row, op) ordered), roff/goff
-        (read/ref offsets before each op within its row), row_ok
-        (structurally valid with >=1 match op), read_len/ref_len."""
-        from .. import native
-        from ..seg import TOK_MARK
-        if not native.available():
-            return None
-        tmpl_data, tmpl_lens, vals, _tok = native.tokenize(
-            np.ascontiguousarray(cigar.data), cigar.offsets, 1 << 30)
-        tmpl_lens = tmpl_lens.astype(np.int64)
+        Returns a dict with letters/oplen/oprow/opidx (per op, (row, op)
+        ordered), roff/goff (read/ref offsets before each op within its
+        row), row_ok (structurally valid with >=1 match op),
+        read_len/ref_len."""
+        from ..seg import TOK_MARK, tokenize_col
+        tmpl_data, tmpl_lens, vals, _tok = tokenize_col(
+            cigar.data, cigar.offsets, 1 << 30)
         toff = np.concatenate([[0], np.cumsum(tmpl_lens)])
         data = tmpl_data
         brow = np.repeat(ragged.arange(n), tmpl_lens)
@@ -588,15 +584,12 @@ class SamDT(DataType):
         # flat op table: every row's ops in one vectorized pass (no
         # per-unique-CIGAR python — long-read BAMs have unique templates)
         fo = self._flat_ops(cigar, n)
-        if fo is None:
-            by_ref = np.zeros(n, dtype=bool)
-        else:
-            by_ref = (fo["row_ok"] & pok & (gbase >= 0) & (pv > 0)
-                      & (fo["read_len"] == seq_lens)
-                      & (gpos0 >= 0) & (gpos0 + fo["ref_len"] <= G))
-        if fo is not None and getattr(ref, "track_used", False):
+        by_ref = (fo["row_ok"] & pok & (gbase >= 0) & (pv > 0)
+                  & (fo["read_len"] == seq_lens)
+                  & (gpos0 >= 0) & (gpos0 + fo["ref_len"] <= G))
+        if getattr(ref, "track_used", False):
             ref.mark_used(gpos0[by_ref], fo["ref_len"][by_ref])
-        if fo is not None and native.available():
+        if native.available():
             # one-pass native walk: no per-byte index arrays (gxz_seq_diff)
             ins_sel = self._INS_LUT[fo["letters"]] & by_ref[fo["oprow"]]
             nonref_cap = int(seq.lens[~by_ref].sum()
@@ -621,7 +614,7 @@ class SamDT(DataType):
             ctxs["NONREF"] = VBCtx("NONREF", MODE_TXT, local=nonref,
                                    cat="seq")
             return
-        if fo is not None and by_ref.any():
+        if by_ref.any():
             sel = self._MATCH_LUT[fo["letters"]] & by_ref[fo["oprow"]]
             opid, within = self._expand_ops(sel, fo["oplen"])
             brows = fo["oprow"][opid]
@@ -1339,7 +1332,6 @@ class SamDT(DataType):
         # flat op table (same pass the ZIP side used; by_ref rows are
         # guaranteed structurally valid)
         fo = self._flat_ops(cigar_col, n)
-        assert fo is not None, "SEQ-vs-ref recon needs the native tokenizer"
         letters, oplen, oprow = fo["letters"], fo["oplen"], fo["oprow"]
 
         # per-row NONREF byte need: full row (non-by-ref) or I/S total

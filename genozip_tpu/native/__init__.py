@@ -35,6 +35,8 @@ def get():
         if _lib is not None or _tried:
             return _lib
         _tried = True
+        if os.environ.get("GXZ_NO_NATIVE"):   # force the numpy fallbacks
+            return None
         try:
             if (not os.path.exists(_LIB)
                     or os.path.getmtime(_LIB) < os.path.getmtime(_SRC)):
@@ -142,6 +144,10 @@ def get():
                 ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p]
             _lib = lib
         except Exception:
+            if os.environ.get("GXZ_REQUIRE_NATIVE"):
+                raise RuntimeError(
+                    "native runtime failed to build/load "
+                    "(GXZ_REQUIRE_NATIVE is set)")
             _lib = None
     return _lib
 
@@ -298,7 +304,20 @@ def copy_ranges(src: np.ndarray, src_starts: np.ndarray, dst: np.ndarray,
 
 
 def bam_scan(data: np.ndarray, max_records: int):
+    """Walk the serial BAM block_size chain -> (record offsets, consumed).
+    Has a python fallback: BAM must degrade in speed, never availability."""
     lib = get()
+    if lib is None:
+        mv = memoryview(np.ascontiguousarray(data)).cast("B")
+        length = data.shape[0]
+        offs, off = [], 0
+        while off + 4 <= length and len(offs) < max_records:
+            block_size = int.from_bytes(mv[off:off + 4], "little")
+            if off + 4 + block_size > length:
+                break
+            offs.append(off)
+            off += 4 + block_size
+        return np.asarray(offs, np.int64), off
     offsets = np.empty(max_records, np.int64)
     consumed = ctypes.c_int64(0)
     cnt = lib.gxz_bam_scan(data.ctypes.data, data.shape[0],

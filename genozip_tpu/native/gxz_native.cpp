@@ -778,8 +778,8 @@ int gxz_rows_equal_rep(const uint8_t* data, const int64_t* offsets,
 // ARITH-W32: wide-interleaved adaptive range coder. Bit-exact twin of the
 // numpy spec in ops/arith_np.py (the arith_dynamic.c role, redesigned as N
 // lockstep carryless Subbotin lanes sharing ONE adaptive model with batched
-// per-step updates). Model storage here is freq[] + a Fenwick tree per
-// context (O(log 256) prefix/update/search) — same values, faster walk.
+// per-step updates). Model storage here is freq[] + a lazily-rebuilt
+// exclusive-prefix snapshot per context — same values, faster walk.
 
 namespace arith {
 
@@ -883,7 +883,7 @@ int64_t gxz_arith_encode(const uint8_t* data, int64_t n, int order,
             uint32_t tot = model.total[cx];
             if (mag_gen[cx] != t) { mag[cx] = make_magic(tot); mag_gen[cx] = t; }
             uint32_t f = model.freq[(size_t)cx * 256 + s];
-            uint32_t c = model.prefix(cx, s);
+            uint32_t c = model.snap(cx)[s];
             uint32_t r = magic_div(rng[l], mag[cx], tot);
             low[l] += c * r;
             rng[l] = f * r;
@@ -981,7 +981,7 @@ int64_t gxz_arith_decode(const uint8_t* in, int64_t in_len, uint8_t* out,
             uint32_t v = (code[l] - low[l]) / r;
             if (v > tot - 1) v = tot - 1;
             uint32_t c;
-            int s = model.search(cx, v, &c);
+            int s = arith::Model::search(model.snap(cx), v, &c);
             if (s > 255) s = 255;
             uint32_t f = model.freq[(size_t)cx * 256 + s];
             low[l] += c * r;
@@ -1196,6 +1196,11 @@ int64_t gxz_nib_expand(const uint8_t* nib, const int64_t* offsets,
         const uint8_t* src = nib + offsets[i];
         int64_t nb = offsets[i + 1] - offsets[i];
         int64_t L = lseq[i];
+        if (nb < (L + 1) >> 1) {   // malformed/truncated row: degrade, no overread
+            for (int64_t k = 0; k < L; k++) *o++ = 'N';
+            ok[i] = 0;
+            continue;
+        }
         int64_t pairs = L >> 1;
         for (int64_t k = 0; k < pairs; k++) {
             uint16_t v = lut[src[k]];

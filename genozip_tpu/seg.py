@@ -23,32 +23,77 @@ MAX_NUM_LEN = 18         # digit runs longer than this stay literal
 MAX_TOKENS = 32          # digit runs beyond this stay literal
 
 
-def _digit_runs(col: Col, max_tokens: int = MAX_TOKENS):
-    """Find maximal digit runs within each row.
-    Returns (run_start_pos, run_len, run_row, runs_per_row, keep_mask) where
-    keep_mask marks runs that become numeric tokens (no leading zero unless
-    single digit, len <= MAX_NUM_LEN, token index < MAX_TOKENS)."""
-    data = col.data
-    n = len(col)
+def _tokenize_np(data: np.ndarray, offsets: np.ndarray, max_tokens: int):
+    """Vectorized numpy twin of native gxz_tokenize (bit-exact: same keep
+    rules, same output streams) — used when the native runtime is absent so
+    every tokenizer consumer degrades in speed only, never availability.
+    Returns (tmpl_data u8, tmpl_lens i64, vals i64, tok_idx i32): kept digit
+    runs are replaced by TOK_MARK in the template and emitted row-major;
+    a run is kept iff no leading zero (unless single digit), len <= 18, and
+    fewer than max_tokens runs were already kept in its row."""
+    n = offsets.shape[0] - 1
     isd = (data >= ord("0")) & (data <= ord("9"))
     prev = np.concatenate([[False], isd[:-1]])
     row_start = np.zeros(data.shape[0] + 1, dtype=bool)
-    row_start[col.offsets[:-1]] = True
+    row_start[offsets[:-1]] = True
     runstart = isd & (~prev | row_start[:-1])
     start_pos = np.nonzero(runstart)[0]
-    # run end: next position where isd stops or row ends
     isd_ext = np.concatenate([isd, [False]])
-    row_start_ext = row_start
-    runend_mask = isd & (~isd_ext[1:] | row_start_ext[1:data.shape[0] + 1])
+    runend_mask = isd & (~isd_ext[1:] | row_start[1:data.shape[0] + 1])
     end_pos = np.nonzero(runend_mask)[0] + 1
     run_len = end_pos - start_pos
-    run_row = np.searchsorted(col.offsets[1:], start_pos, side="right")
-    runs_per_row = np.bincount(run_row, minlength=n)
-    # token index within row
-    tok_idx = np.arange(start_pos.shape[0]) - np.concatenate([[0], np.cumsum(runs_per_row)])[run_row]
+    run_row = np.searchsorted(offsets[1:], start_pos, side="right")
     lead0 = (run_len > 1) & (data[start_pos] == ord("0"))
-    keep = (~lead0) & (run_len <= MAX_NUM_LEN) & (tok_idx < max_tokens)
-    return start_pos, run_len, run_row, tok_idx, keep
+    keep0 = (~lead0) & (run_len <= MAX_NUM_LEN)
+    # native semantics: the token counter advances on KEPT runs only, so the
+    # cap admits the first max_tokens runs per row that pass the base filter
+    kept_rank = np.cumsum(keep0) - keep0  # exclusive cumcount of kept runs
+    row_base = np.zeros(start_pos.shape[0], np.int64)
+    if start_pos.shape[0]:
+        first = np.ones(start_pos.shape[0], bool)
+        first[1:] = run_row[1:] != run_row[:-1]
+        fidx = np.nonzero(first)[0]
+        row_base = np.repeat(kept_rank[fidx], np.diff(
+            np.concatenate([fidx, [start_pos.shape[0]]])))
+    tok_idx_all = kept_rank - row_base
+    keep = keep0 & (tok_idx_all < max_tokens)
+    # recompute rank among the FINAL keep set (cap can only trim the tail of
+    # a row's kept runs, so ranks below the cap are unchanged)
+    kept_starts, kept_lens = start_pos[keep], run_len[keep]
+    tok_idx = tok_idx_all[keep].astype(np.int32)
+    vals = np.zeros(kept_starts.shape[0], np.int64)
+    if kept_starts.shape[0]:
+        vcol = ragged.gather_ranges(
+            data, kept_starts, kept_lens)
+        vals, ok = ragged.atoi(vcol)
+        assert ok.all()
+    # template: drop kept-run bytes except the first, which becomes TOK_MARK
+    drop = np.zeros(data.shape[0], dtype=bool)
+    mark = np.zeros(data.shape[0], dtype=bool)
+    if kept_starts.shape[0]:
+        total = int(kept_lens.sum())
+        pos = np.arange(total, dtype=np.int64) - np.repeat(
+            np.concatenate([[0], np.cumsum(kept_lens)])[:-1], kept_lens)
+        drop[np.repeat(kept_starts, kept_lens) + pos] = True
+        mark[kept_starts] = True
+    keep_byte = ~drop | mark
+    tmpl_data = np.where(mark, TOK_MARK, data)[keep_byte]
+    kept_per_row = np.zeros(n, dtype=np.int64)
+    np.add.at(kept_per_row, run_row[keep], run_len[keep] - 1)
+    tmpl_lens = (offsets[1:] - offsets[:-1]) - kept_per_row
+    return tmpl_data, tmpl_lens, vals, tok_idx
+
+
+def tokenize_col(data: np.ndarray, offsets: np.ndarray, max_tokens: int):
+    """One-pass tokenizer scan (native when available, numpy twin
+    otherwise). Returns (tmpl_data, tmpl_lens, vals, tok_idx)."""
+    from . import native
+    if native.available():
+        t, tl, v, ti = native.tokenize(
+            np.ascontiguousarray(data), offsets, max_tokens)
+        return t, tl.astype(np.int64), v, ti
+    return _tokenize_np(np.ascontiguousarray(data),
+                        np.ascontiguousarray(offsets, np.int64), max_tokens)
 
 
 def tokenizer_seg_col(prefix: str, col: Col, single_stream: bool = False,
@@ -79,109 +124,38 @@ def tokenizer_seg_col(prefix: str, col: Col, single_stream: bool = False,
         ctxs[prefix] = VBCtx(prefix, MODE_DICT, b250=inv, vb_words=uw, cat="b250")
         return ctxs
 
-    from . import native
-    if native.available():
-        # one-pass native scan (identical keep rules)
-        cap = (1 << 62) if single_stream else max_tokens
-        tmpl_data, tmpl_lens, vals, new_tok = native.tokenize(
-            data, col.offsets, cap)
-        tmpl_col = Col(tmpl_data, np.concatenate([[0], np.cumsum(tmpl_lens)]))
-        uw, inv = dedup_col(tmpl_col)
-        ctxs[prefix] = VBCtx(prefix, MODE_DICT, b250=inv, vb_words=uw, cat="b250")
-        if vals.shape[0] == 0:
-            return ctxs
-        if single_stream:
-            # uniform per-row counts -> store column-major (the sample-matrix
-            # transpose, reference LT_UINT8_TR-style: per-column value
-            # distributions stay coherent for the entropy coder)
-            k = int(new_tok.max()) + 1
-            if n and vals.shape[0] == n * k and \
-                    (new_tok == np.tile(np.arange(k, dtype=new_tok.dtype), n)).all():
-                ctxs[f"{prefix}S"] = VBCtx(
-                    f"{prefix}S", MODE_NUM,
-                    local=np.ascontiguousarray(vals.reshape(n, k).T).reshape(-1),
-                    cat="int", param=2)
-            else:
-                ctxs[f"{prefix}S"] = VBCtx(f"{prefix}S", MODE_NUM, local=vals,
-                                           cat="int", param=0)
-            return ctxs
-        ntok = int(new_tok.max()) + 1
-        for t in range(ntok):
-            v = vals[new_tok == t]
-            name = f"{prefix}{t}"
-            d = np.diff(v, prepend=np.int64(0))
-            use_delta = v.shape[0] > 4 and (d[1:] >= 0).mean() > 0.9
-            if use_delta:
-                ctxs[name] = VBCtx(name, MODE_NUM, local=d, cat="int", param=1)
-            else:
-                ctxs[name] = VBCtx(name, MODE_NUM, local=v, cat="int", param=0)
-        return ctxs
-
-    start_pos, run_len, run_row, tok_idx, keep = _digit_runs(col, max_tokens)
-    if single_stream:
-        # no per-position cap — all clean runs become tokens
-        data_ = col.data
-        lead0 = (run_len > 1) & (data_[start_pos] == ord("0"))
-        keep = (~lead0) & (run_len <= MAX_NUM_LEN)
-
-    # template: replace each kept run with TOK_MARK
-    drop = np.zeros(data.shape[0], dtype=bool)
-    kept_starts = start_pos[keep]
-    kept_lens = run_len[keep]
-    if kept_starts.shape[0]:
-        total = int(kept_lens.sum())
-        pos = np.arange(total, dtype=np.int64) - np.repeat(
-            np.concatenate([[0], np.cumsum(kept_lens)])[:-1], kept_lens)
-        drop[np.repeat(kept_starts, kept_lens) + pos] = True
-        mark = np.zeros(data.shape[0], dtype=bool)
-        mark[kept_starts] = True
-    else:
-        mark = np.zeros(data.shape[0], dtype=bool)
-    keep_byte = ~drop | mark
-    tmpl_data = np.where(mark, TOK_MARK, data)[keep_byte]
-    # per-row new lengths
-    kept_per_row = np.zeros(n, dtype=np.int64)
-    np.add.at(kept_per_row, run_row[keep], run_len[keep] - 1)
-    tmpl_lens = col.lens - kept_per_row
+    cap = (1 << 62) if single_stream else max_tokens
+    tmpl_data, tmpl_lens, vals, new_tok = tokenize_col(data, col.offsets, cap)
     tmpl_col = Col(tmpl_data, np.concatenate([[0], np.cumsum(tmpl_lens)]))
-
     uw, inv = dedup_col(tmpl_col)
     ctxs[prefix] = VBCtx(prefix, MODE_DICT, b250=inv, vb_words=uw, cat="b250")
-
-    # numeric streams per token position; rows lacking token t are simply
-    # absent from stream t (recon walks marks per row, so alignment is by
-    # presence: stream t holds values for rows having >= t+1 kept runs, in
-    # row order)
-    if kept_starts.shape[0] and single_stream:
-        # one stream, (row, position) order == start_pos order
-        vals_col = ragged.gather_ranges(data, kept_starts, kept_lens)
-        vals, ok = ragged.atoi(vals_col)
-        assert ok.all()
-        name = f"{prefix}S"
-        ctxs[name] = VBCtx(name, MODE_NUM, local=vals, cat="int", param=0)
-    elif kept_starts.shape[0]:
-        kept_rows = run_row[keep]
-        kept_tok = tok_idx[keep].copy()
-        # re-number kept token indices per row (0,1,2,... among kept only)
-        order = np.lexsort((kept_tok, kept_rows))
-        kr, ks, kl = kept_rows[order], kept_starts[order], kept_lens[order]
-        new_tok = np.arange(kr.shape[0]) - np.concatenate(
-            [[0], np.cumsum(np.bincount(kr, minlength=n))])[kr]
-        vals_col = ragged.gather_ranges(data, ks, kl)
-        vals, ok = ragged.atoi(vals_col)
-        assert ok.all()  # keep-mask guarantees clean digit runs
-        ntok = int(new_tok.max()) + 1 if new_tok.shape[0] else 0
-        for t in range(ntok):
-            m = new_tok == t
-            v = vals[m]
-            name = f"{prefix}{t}"
-            # delta-code when mostly monotonic (qname counters, coordinates)
-            d = np.diff(v, prepend=np.int64(0))
-            use_delta = v.shape[0] > 4 and (d[1:] >= 0).mean() > 0.9
-            if use_delta:
-                ctxs[name] = VBCtx(name, MODE_NUM, local=d, cat="int", param=1)
-            else:
-                ctxs[name] = VBCtx(name, MODE_NUM, local=v, cat="int", param=0)
+    if vals.shape[0] == 0:
+        return ctxs
+    if single_stream:
+        # uniform per-row counts -> store column-major (the sample-matrix
+        # transpose, reference LT_UINT8_TR-style: per-column value
+        # distributions stay coherent for the entropy coder)
+        k = int(new_tok.max()) + 1
+        if n and vals.shape[0] == n * k and \
+                (new_tok == np.tile(np.arange(k, dtype=new_tok.dtype), n)).all():
+            ctxs[f"{prefix}S"] = VBCtx(
+                f"{prefix}S", MODE_NUM,
+                local=np.ascontiguousarray(vals.reshape(n, k).T).reshape(-1),
+                cat="int", param=2)
+        else:
+            ctxs[f"{prefix}S"] = VBCtx(f"{prefix}S", MODE_NUM, local=vals,
+                                       cat="int", param=0)
+        return ctxs
+    ntok = int(new_tok.max()) + 1
+    for t in range(ntok):
+        v = vals[new_tok == t]
+        name = f"{prefix}{t}"
+        d = np.diff(v, prepend=np.int64(0))
+        use_delta = v.shape[0] > 4 and (d[1:] >= 0).mean() > 0.9
+        if use_delta:
+            ctxs[name] = VBCtx(name, MODE_NUM, local=d, cat="int", param=1)
+        else:
+            ctxs[name] = VBCtx(name, MODE_NUM, local=v, cat="int", param=0)
     return ctxs
 
 
