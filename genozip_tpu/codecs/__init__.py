@@ -146,6 +146,7 @@ def _arith_decode(blob) -> bytes:
 
 
 def _pack_encode(data: bytes, order: int) -> bytes:
+    from .. import native
     a = np.frombuffer(data, np.uint8)
     syms = np.nonzero(np.bincount(a, minlength=256))[0].astype(np.uint8)
     ns = syms.shape[0]
@@ -159,18 +160,24 @@ def _pack_encode(data: bytes, order: int) -> bytes:
         raise ValueError("PACK needs <=16 distinct symbols")
     lut = np.zeros(256, np.uint8)
     lut[syms] = np.arange(ns, dtype=np.uint8)
-    packed = packops.pack_np(lut[a], width)
+    if native.available():
+        packed = native.pack_lut(a, lut, width)
+    else:
+        packed = packops.pack_np(lut[a], width)
     sub = _rans_encode(packed.tobytes(), order)
     head = bytes([ns, width]) + len(a).to_bytes(8, "little") + syms.tobytes()
     return head + sub
 
 
 def _pack_decode(blob) -> bytes:
+    from .. import native
     blob = memoryview(blob)
     ns, width = blob[0], blob[1]
     n = int.from_bytes(blob[2:10], "little")
     syms = np.frombuffer(blob[10:10 + ns], np.uint8)
     packed = np.frombuffer(_rans_decode(blob[10 + ns:]), np.uint8)
+    if native.available():
+        return native.unpack_lut(packed, n, width, syms).tobytes()
     codes = packops.unpack_np(packed, width, n)
     return syms[codes].tobytes()
 

@@ -68,37 +68,48 @@ def candidates_for(data: np.ndarray, category: str):
     return cands
 
 
-def assign_best(data: bytes | np.ndarray, category: str = "text") -> int:
-    a = np.frombuffer(data, np.uint8) if isinstance(data, (bytes, bytearray, memoryview)) else data.view(np.uint8).reshape(-1)
-    if a.shape[0] < MIN_SIZE_TO_COMPRESS:
-        return NONE
-    size = SAMPLE_SIZE * (4 if _mode == "best" else 1)
-    sample = a[:size].tobytes()
+def _strided_sample(a: np.ndarray, size: int) -> bytes:
+    """Representative sample: evenly-spaced chunks across the WHOLE payload.
+    A head sample misleads on demuxed/grouped streams (e.g. channel-sorted
+    QUAL), where the head is one channel's distribution."""
+    if a.shape[0] <= size:
+        return a.tobytes()
+    k = 16
+    chunk = size // k
+    step = (a.shape[0] - chunk) // max(k - 1, 1)
+    return b"".join(a[i * step:i * step + chunk].tobytes() for i in range(k))
+
+
+def _trial(a: np.ndarray, sample: bytes, codec: int, two_point: bool):
+    """Compress (and decompress — decode time is real wall time too: --test,
+    unzip, genocat) the sample. Returns (est_full_size, wall_seconds)."""
+    from . import decompress
+    t0 = time.perf_counter()
+    blob = compress(sample, codec)
+    sz = len(blob)
+    decompress(blob, codec, len(sample))
+    dt = time.perf_counter() - t0
     n1 = len(sample) // 4
-    # two-point trial for sections much larger than the sample: fixed costs
-    # (static rANS tables, headers) bias a single small sample toward
-    # adaptive coders whose advantage vanishes at full size — extrapolate
-    # the marginal (per-byte) rate instead
-    extrapolate = a.shape[0] > 4 * len(sample) and n1 >= 4096
-    best, best_size, best_t = NONE, float(a.shape[0]), 0.0
-    for codec in candidates_for(a, category):
-        try:
-            t0 = time.perf_counter()
-            sz = len(compress(sample, codec))
-            dt = time.perf_counter() - t0
-            if extrapolate:
-                sz1 = len(compress(sample[:n1], codec))
-                rate = max(sz - sz1, 0) / (len(sample) - n1)
-                est = sz + rate * (a.shape[0] - len(sample))
-            else:
-                est = sz * (a.shape[0] / max(len(sample), 1))
-        except Exception:
-            continue
-        # (size, time) similarity rule (src/codec.c:171-172): a similar-speed
-        # candidate wins at >1% smaller; a slower one must earn its wall time
-        # in proportion — a q-times-slower coder on the write critical path
-        # needs ~2% extra ratio per doubling (MB/s is the headline metric;
-        # in 'best' mode ratio wins at the reference's flat 5%)
+    if two_point and n1 >= 4096:
+        # extrapolate the marginal (per-byte) rate: fixed costs (static rANS
+        # tables, headers) bias a small sample toward adaptive coders whose
+        # advantage vanishes at full size
+        sz1 = len(compress(sample[:n1], codec))
+        rate = max(sz - sz1, 0) / (len(sample) - n1)
+        est = sz + rate * (a.shape[0] - len(sample))
+    else:
+        est = sz * (a.shape[0] / max(len(sample), 1))
+    return est, dt
+
+
+def _pick(scored, payload_n: float):
+    """(size, time) similarity rule (src/codec.c:171-172): a similar-speed
+    candidate wins at >1% smaller; a slower one must earn its wall time in
+    proportion — a q-times-slower coder on the write critical path needs ~2%
+    extra ratio per doubling (MB/s is the headline metric; in 'best' mode
+    ratio wins at the reference's flat 5%)."""
+    best, best_size, best_t = NONE, payload_n, 0.0
+    for codec, est, dt in scored:
         if best is not NONE and dt > best_t * 1.5 + 5e-4:
             if _mode == "best":
                 need = 0.95
@@ -110,3 +121,36 @@ def assign_best(data: bytes | np.ndarray, category: str = "text") -> int:
         if est < best_size * need:
             best, best_size, best_t = codec, est, dt
     return best
+
+
+def assign_best(data: bytes | np.ndarray, category: str = "text") -> int:
+    a = np.frombuffer(data, np.uint8) if isinstance(data, (bytes, bytearray, memoryview)) else data.view(np.uint8).reshape(-1)
+    if a.shape[0] < MIN_SIZE_TO_COMPRESS:
+        return NONE
+    size = SAMPLE_SIZE * (4 if _mode == "best" else 1)
+    sample = _strided_sample(a, size)
+    scored = []
+    for codec in candidates_for(a, category):
+        try:
+            est, dt = _trial(a, sample, codec, a.shape[0] > 4 * len(sample))
+        except Exception:
+            continue
+        scored.append((codec, est, dt))
+    # runoff: small-sample estimates misrank codecs whose strength is
+    # context depth (e.g. PACK+order-1 = order-4 on 2-bit data needs data to
+    # learn) — re-trial the near-tied candidates on a 1MB strided sample.
+    # Runs once per context per file (first-sight commit), so the extra
+    # ~100ms amortizes to nothing.
+    if a.shape[0] > (8 << 20) and len(scored) > 1 and _mode != "fast":
+        floor = min(est for _, est, _ in scored)
+        finalists = [c for c, est, _ in scored if est <= floor * 1.3]
+        if len(finalists) > 1:
+            big = _strided_sample(a, 1 << 20)
+            scored = []
+            for codec in finalists:
+                try:
+                    est, dt = _trial(a, big, codec, False)
+                except Exception:
+                    continue
+                scored.append((codec, est, dt))
+    return _pick(scored, float(a.shape[0]))

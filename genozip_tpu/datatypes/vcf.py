@@ -49,7 +49,26 @@ class VcfDT(DataType):
         ctxs = {}
         nf = dominant + 1
         glines = ragged.take(lines, good_idx)
-        fields = ragged.split_fields_fixed(glines, ord("\t"), nf) if len(glines) else []
+        # good rows all have exactly nf-1 tabs, so the tab positions reshape
+        # to (ng, nf-1) directly — no searchsorted, no per-field split for
+        # the (possibly hundreds of) sample columns
+        fields = []
+        sep_pos = None
+        ng = len(glines)
+        if ng:
+            sep_pos = np.nonzero(glines.data == ord("\t"))[0]
+            sep_pos = sep_pos.reshape(ng, nf - 1) if nf > 1 \
+                else sep_pos.reshape(ng, 0)
+            nfix = min(nf, 9)
+            bounds = np.empty((ng, nfix + 1), dtype=np.int64)
+            bounds[:, 0] = glines.offsets[:-1]
+            bounds[:, 1:nfix + 1] = sep_pos[:, :nfix] + 1 if nf > nfix \
+                else np.concatenate([sep_pos + 1,
+                                     glines.offsets[1:, None] + 1], axis=1)
+            for f in range(nfix):
+                fields.append(ragged.gather_ranges(
+                    glines.data, bounds[:, f],
+                    bounds[:, f + 1] - 1 - bounds[:, f]))
 
         if fields:
             for fi, fname in enumerate(["CHROM", "POS", "ID", "REF", "ALT",
@@ -74,13 +93,25 @@ class VcfDT(DataType):
                         ctxs.update(tokenizer_seg_col("INFO", col,
                                                       max_tokens=64))
             if nf > 9:
-                if self._seg_samples(ctxs, fields, nf):
-                    pass
-                else:
-                    # fallback: join sample fields with \t, one tokenized column
-                    smp = ragged.interleave(fields[9:],
-                                            sep_after=[b"\t"] * (nf - 10) + [None])
-                    ctxs.update(tokenizer_seg_col("SMP", smp, single_stream=True))
+                # sample cells gathered SAMPLE-MAJOR in one pass straight
+                # from the line bytes (the reference's LT_UINT8_TR
+                # sample-matrix transpose as a layout choice,
+                # src/vcf_samples.c) — no per-sample python loop
+                S = nf - 9
+                st = sep_pos[:, 8:] + 1                      # (ng, S)
+                en = np.concatenate([sep_pos[:, 9:],
+                                     glines.offsets[1:, None]], axis=1)
+                cells = ragged.gather_ranges(
+                    glines.data, np.ascontiguousarray(st.T).ravel(),
+                    np.ascontiguousarray((en - st).T).ravel())
+                if not self._seg_samples(ctxs, fields[8], cells, S):
+                    # fallback: the raw sample region (all cells joined by
+                    # \t = the original row suffix), one tokenized column
+                    smp = ragged.gather_ranges(
+                        glines.data, sep_pos[:, 8] + 1,
+                        glines.offsets[1:] - sep_pos[:, 8] - 1)
+                    ctxs.update(tokenizer_seg_col("SMP", smp,
+                                                  single_stream=True))
 
         if exc_idx.shape[0]:
             uw, inv = dedup_col(ragged.take(lines, exc_idx))
@@ -352,23 +383,14 @@ class VcfDT(DataType):
             pred = np.where(ok, np.minimum(v2 - v1, 99), 0)
         return pred, ok
 
-    def _sample_cells(self, fields, nf):
-        """Concatenate the sample columns sample-major (transposed: all rows
-        of sample 0, then sample 1, ...) — the reference's LT_UINT8_TR
-        sample-matrix transpose as a layout choice, src/vcf_samples.c."""
-        S = nf - 9
-        data = np.concatenate([fields[9 + s].data for s in range(S)])
-        lens = np.concatenate([fields[9 + s].lens for s in range(S)])
-        return Col(data, np.concatenate([[0], np.cumsum(lens)])), S
-
-    def _seg_samples(self, ctxs, fields, nf):
+    def _seg_samples(self, ctxs, fmt_col, cells, S):
         """Per-FORMAT-tag sample sub-contexts (reference parity:
         src/vcf_samples.c:1601 per-tag contexts + transpose). Requires one
         FORMAT word per VB; each cell splits on ':' into per-tag streams
         (trailing tags may be dropped per spec — a per-cell count stream
         handles ragged cells). GT goes through the PBWT haplotype transform
-        (src/codec_pbwt.c, src/vcf_format_GT.c) with per-cell exceptions."""
-        fmt_col = fields[8]
+        (src/codec_pbwt.c, src/vcf_format_GT.c) with per-cell exceptions.
+        `cells` arrive sample-major (all rows of sample 0, then 1, ...)."""
         uw, _inv = dedup_col(fmt_col)
         if len(uw) != 1:
             return False
@@ -376,12 +398,10 @@ class VcfDT(DataType):
         T = len(tags)
         if T == 0 or T > self.MAX_FMT_TAGS or any(len(t) == 0 for t in tags):
             return False
-        cells, S = self._sample_cells(fields, nf)
         C = len(cells)
         data = cells.data
         cp = np.nonzero(data == ord(":"))[0]
-        cell_of = np.searchsorted(cells.offsets[1:], cp, side="right")
-        ncol = np.bincount(cell_of, minlength=C)
+        ncol = ragged.count_sep_per_row(cells, ord(":"))
         ncnt = ncol + 1
         bad = (ncnt > T) | (cells.lens == 0)
         ncnt = np.where(bad, 0, ncnt)

@@ -22,7 +22,7 @@ _tried = False
 
 def _build():
     cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", _SRC,
-           "-o", _LIB + ".tmp", "-lz"]
+           "-o", _LIB + ".tmp", "-lz", "-ldeflate"]
     subprocess.run(cmd, check=True, capture_output=True)
     os.replace(_LIB + ".tmp", _LIB)
 
@@ -142,6 +142,37 @@ def get():
             lib.gxz_nib_expand.argtypes = [
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
                 ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p]
+            lib.gxz_count_eq.restype = None
+            lib.gxz_count_eq.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+                ctypes.c_uint8, ctypes.c_void_p]
+            lib.gxz_pack_lut.restype = None
+            lib.gxz_pack_lut.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+                ctypes.c_int, ctypes.c_void_p]
+            lib.gxz_unpack_lut.restype = None
+            lib.gxz_unpack_lut.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int,
+                ctypes.c_void_p, ctypes.c_void_p]
+            lib.gxz_bgzf_scan.restype = ctypes.c_int64
+            lib.gxz_bgzf_scan.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_void_p]
+            lib.gxz_bgzf_inflate.restype = ctypes.c_int64
+            lib.gxz_bgzf_inflate.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p]
+            lib.gxz_bgzf_deflate.restype = ctypes.c_int64
+            lib.gxz_bgzf_deflate.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int,
+                ctypes.c_int, ctypes.c_void_p, ctypes.c_int64]
+            lib.gxz_bgzf_deflate_exact.restype = ctypes.c_int64
+            lib.gxz_bgzf_deflate_exact.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+                ctypes.c_int64, ctypes.c_int, ctypes.c_void_p,
+                ctypes.c_int, ctypes.c_int, ctypes.c_void_p,
+                ctypes.c_int64]
             _lib = lib
         except Exception:
             if os.environ.get("GXZ_REQUIRE_NATIVE"):
@@ -455,6 +486,115 @@ def nib_expand(nib_data, offsets, lseq):
     lib.gxz_nib_expand(nib_data.ctypes.data, offsets.ctypes.data,
                        lseq.ctypes.data, n, out.ctypes.data, ok.ctypes.data)
     return out[: out_off[-1]], out_off, ok.view(bool)
+
+
+def bgzf_scan(buf: np.ndarray):
+    """Scan whole BGZF blocks -> (offsets i64, bsizes i32, isizes i32,
+    consumed, uniform_headers)."""
+    lib = get()
+    max_blocks = buf.shape[0] // 28 + 2
+    boff = np.empty(max_blocks, np.int64)
+    bsize = np.empty(max_blocks, np.int32)
+    isize = np.empty(max_blocks, np.int32)
+    consumed = ctypes.c_int64(0)
+    uniform = ctypes.c_int32(1)
+    n = lib.gxz_bgzf_scan(buf.ctypes.data, buf.shape[0], max_blocks,
+                          boff.ctypes.data, bsize.ctypes.data,
+                          isize.ctypes.data, ctypes.byref(consumed),
+                          ctypes.byref(uniform))
+    return (boff[:n], bsize[:n], isize[:n], int(consumed.value),
+            bool(uniform.value))
+
+
+def bgzf_inflate(buf: np.ndarray, boff, bsize, isize) -> np.ndarray:
+    lib = get()
+    total = int(isize.sum())
+    out = np.empty(max(total, 1), np.uint8)
+    boff = np.ascontiguousarray(boff, np.int64)
+    bsize = np.ascontiguousarray(bsize, np.int32)
+    isize = np.ascontiguousarray(isize, np.int32)
+    r = lib.gxz_bgzf_inflate(buf.ctypes.data, boff.ctypes.data,
+                             bsize.ctypes.data, isize.ctypes.data,
+                             boff.shape[0], out.ctypes.data)
+    assert r == total, f"BGZF inflate failed at block {-r - 1}"
+    return out[:total]
+
+
+def bgzf_deflate(data, block: int = 65280, level: int = 6) -> bytes:
+    """Deflate into a standard BGZF chain (no EOF marker)."""
+    lib = get()
+    a = np.frombuffer(data, np.uint8) if not isinstance(data, np.ndarray) \
+        else data
+    n = a.shape[0]
+    nblk = n // block + 2
+    cap = n + n // 64 + 64 * nblk + 1024
+    out = np.empty(cap, np.uint8)
+    r = lib.gxz_bgzf_deflate(a.ctypes.data, n, block, level,
+                             out.ctypes.data, cap)
+    assert r > 0 or n == 0, f"BGZF deflate failed ({r})"
+    return out[:max(r, 0)].tobytes()
+
+
+def bgzf_deflate_exact(data, isizes: np.ndarray, level: int,
+                       header: bytes, nthreads: int = 0) -> bytes:
+    """Byte-exact BGZF re-emission: zlib at the discovered level, recorded
+    per-block isizes, original 12-byte header template. Threaded."""
+    import os as _os
+    lib = get()
+    a = np.frombuffer(data, np.uint8) if not isinstance(data, np.ndarray) \
+        else data
+    isz = np.ascontiguousarray(isizes, np.uint32)
+    hdr = np.frombuffer(header, np.uint8)
+    n = a.shape[0]
+    cap = n + n // 32 + (len(header) + 64) * (isz.shape[0] + 1) + 1024
+    out = np.empty(cap, np.uint8)
+    if not nthreads:
+        nthreads = max(_os.cpu_count() or 1, 1)
+    r = lib.gxz_bgzf_deflate_exact(
+        a.ctypes.data, n, isz.ctypes.data, isz.shape[0], level,
+        hdr.ctypes.data, hdr.shape[0], nthreads, out.ctypes.data, cap)
+    assert r >= 0, f"exact BGZF deflate failed ({r})"
+    return out[:r].tobytes()
+
+
+def pack_lut(data: np.ndarray, lut: np.ndarray, width: int) -> np.ndarray:
+    """codes = lut[data] packed `width` bits each (one pass)."""
+    lib = get()
+    n = data.shape[0]
+    per = 8 // width
+    out = np.empty((n + per - 1) // per, np.uint8)
+    data = np.ascontiguousarray(data)
+    lut = np.ascontiguousarray(lut, np.uint8)
+    lib.gxz_pack_lut(data.ctypes.data, n, lut.ctypes.data, width,
+                     out.ctypes.data)
+    return out
+
+
+def unpack_lut(packed: np.ndarray, n: int, width: int,
+               syms: np.ndarray) -> np.ndarray:
+    """out[i] = syms[packed code i] (one pass)."""
+    lib = get()
+    out = np.empty(max(n, 1), np.uint8)
+    packed = np.ascontiguousarray(packed)
+    syms = np.ascontiguousarray(syms, np.uint8)
+    # syms LUT is indexed by full code width; pad to the code range
+    full = np.zeros(16 if width == 4 else (4 if width == 2 else 2), np.uint8)
+    full[:syms.shape[0]] = syms
+    lib.gxz_unpack_lut(packed.ctypes.data, n, width, full.ctypes.data,
+                       out.ctypes.data)
+    return out[:n]
+
+
+def count_eq(data, offsets, sep: int):
+    """Per-row count of bytes == sep."""
+    lib = get()
+    n = offsets.shape[0] - 1
+    data = np.ascontiguousarray(data)
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    out = np.empty(max(n, 1), np.int64)
+    lib.gxz_count_eq(data.ctypes.data, offsets.ctypes.data, n, sep,
+                     out.ctypes.data)
+    return out[:n]
 
 
 def itoa(vals):

@@ -15,7 +15,9 @@
 #include <algorithm>
 #include <vector>
 #include <memory>
+#include <thread>
 #include <zlib.h>
+#include <libdeflate.h>
 
 namespace {
 
@@ -1211,6 +1213,276 @@ int64_t gxz_nib_expand(const uint8_t* nib, const int64_t* offsets,
         ok[i] = !((L & 1) && nb > 0 && (src[nb - 1] & 15) != 0);
     }
     return o - out;
+}
+
+// ---------------------------------------------------------------------------
+// BGZF block chain: scan (headers only) + batch inflate/deflate. Replaces the
+// per-block python loop in utils/bgzf.py (reference src/mgzip.c: main thread
+// reads whole blocks, compute threads inflate, zip.c:520-521).
+// ---------------------------------------------------------------------------
+
+// Scan whole BGZF blocks in buf[0:len): record each block's offset, bsize
+// (on-disk) and isize (inflated). Returns block count; *consumed = bytes of
+// whole blocks; *uniform stays 1 while every block's first 12 header bytes
+// match the first block's.
+int64_t gxz_bgzf_scan(const uint8_t* buf, int64_t len, int64_t max_blocks,
+                      int64_t* boff, int32_t* bsize, int32_t* isize,
+                      int64_t* consumed, int32_t* uniform) {
+    int64_t off = 0, cnt = 0;
+    *uniform = 1;
+    while (cnt < max_blocks && off + 18 <= len) {
+        const uint8_t* h = buf + off;
+        if (!(h[0] == 0x1F && h[1] == 0x8B && (h[3] & 4) &&
+              h[12] == 0x42 && h[13] == 0x43))
+            break;   // not a BGZF header: stop (caller raises)
+        int64_t bs = (int64_t)(h[16] | (h[17] << 8)) + 1;
+        if (off + bs > len) break;   // partial block: wait for more bytes
+        if (cnt > 0 && memcmp(buf + boff[0], h, 12)) *uniform = 0;
+        boff[cnt] = off;
+        bsize[cnt] = (int32_t)bs;
+        uint32_t isz;
+        memcpy(&isz, buf + off + bs - 4, 4);
+        isize[cnt] = (int32_t)isz;
+        off += bs;
+        cnt++;
+    }
+    *consumed = off;
+    return cnt;
+}
+
+// Inflate n scanned blocks into out (caller sized = sum of isizes).
+// Returns total inflated bytes, or -(i+1) if block i failed.
+// libdeflate raw-inflate: ~2-3x zlib (the reference vendors libdeflate for
+// exactly this role).
+int64_t gxz_bgzf_inflate(const uint8_t* buf, const int64_t* boff,
+                         const int32_t* bsize, const int32_t* isize,
+                         int64_t n, uint8_t* out) {
+    struct libdeflate_decompressor* d = libdeflate_alloc_decompressor();
+    if (!d) return -1;
+    int64_t total = 0;
+    for (int64_t i = 0; i < n; i++) {
+        int64_t comp_len = bsize[i] - 18 - 8;
+        if (isize[i] == 0) { if (comp_len <= 2) continue; }
+        size_t actual = 0;
+        if (libdeflate_deflate_decompress(
+                d, buf + boff[i] + 18, (size_t)comp_len, out + total,
+                (size_t)isize[i], &actual) != LIBDEFLATE_SUCCESS ||
+            actual != (size_t)isize[i]) {
+            libdeflate_free_decompressor(d);
+            return -(i + 1);
+        }
+        total += isize[i];
+    }
+    libdeflate_free_decompressor(d);
+    return total;
+}
+
+// Deflate payload into a chain of standard BGZF blocks (64KB plaintext per
+// block, htslib convention, EOF marker NOT included). out must hold
+// ~len + len/512 + 64 per block of overhead. Returns bytes written.
+int64_t gxz_bgzf_deflate(const uint8_t* data, int64_t len, int block,
+                         int level, uint8_t* out, int64_t cap) {
+    struct libdeflate_compressor* c =
+        libdeflate_alloc_compressor(level < 1 ? 1 : (level > 12 ? 12 : level));
+    if (!c) return -1;
+    int64_t off = 0, w = 0;
+    while (off < len) {
+        int64_t pl = len - off < block ? len - off : block;
+        if (w + pl + 64 > cap) { libdeflate_free_compressor(c); return -2; }
+        uint8_t* hdr = out + w;
+        size_t comp = libdeflate_deflate_compress(
+            c, data + off, (size_t)pl, hdr + 18, (size_t)(cap - w - 26));
+        if (!comp) { libdeflate_free_compressor(c); return -3; }
+        int64_t bs = (int64_t)comp + 26;
+        const uint8_t fixed[16] = {0x1F, 0x8B, 8, 4, 0, 0, 0, 0, 0, 0xFF,
+                                   6, 0, 0x42, 0x43, 2, 0};
+        memcpy(hdr, fixed, 16);
+        hdr[16] = (uint8_t)((bs - 1) & 0xFF);
+        hdr[17] = (uint8_t)(((bs - 1) >> 8) & 0xFF);
+        uint32_t crc = libdeflate_crc32(0, data + off, (size_t)pl);
+        uint32_t isz = (uint32_t)pl;
+        memcpy(hdr + 18 + comp, &crc, 4);
+        memcpy(hdr + 18 + comp + 4, &isz, 4);
+        w += bs;
+        off += pl;
+    }
+    libdeflate_free_compressor(c);
+    return w;
+}
+
+// Exact BGZF re-emission (reference --bgzf=exact, src/mgzip.c): deflate the
+// payload into blocks of the RECORDED isizes with plain zlib at the
+// discovered level — byte-identical to the original writer (python zlib is
+// the same libz). hdr = the original 12-byte fixed header template.
+// Blocks are independent -> threaded. Returns bytes written, or <0 on error.
+
+static void bgzf_exact_range(const uint8_t* data, const int64_t* doff,
+                             const uint32_t* isizes, int64_t b0, int64_t b1,
+                             int level, const uint8_t* hdr, int hdr_len,
+                             uint8_t* scratch, int64_t scratch_stride,
+                             int32_t* out_lens) {
+    z_stream zs;
+    memset(&zs, 0, sizeof zs);
+    if (deflateInit2(&zs, level, Z_DEFLATED, -15, 8,
+                     Z_DEFAULT_STRATEGY) != Z_OK) {
+        for (int64_t b = b0; b < b1; b++) out_lens[b] = -1;
+        return;
+    }
+    for (int64_t b = b0; b < b1; b++) {
+        uint32_t pl = isizes[b];
+        uint8_t* dst = scratch + (b - b0) * scratch_stride;
+        zs.next_in = const_cast<uint8_t*>(data + doff[b]);
+        zs.avail_in = pl;
+        zs.next_out = dst + hdr_len + 6;
+        zs.avail_out = (uInt)(scratch_stride - hdr_len - 14);
+        if (deflate(&zs, Z_FINISH) != Z_STREAM_END) { out_lens[b] = -1; break; }
+        int64_t comp = (int64_t)(scratch_stride - hdr_len - 14) - zs.avail_out;
+        int64_t bs = comp + hdr_len + 6 + 8;
+        memcpy(dst, hdr, (size_t)hdr_len);
+        dst[hdr_len + 0] = 0x42; dst[hdr_len + 1] = 0x43;
+        dst[hdr_len + 2] = 2;    dst[hdr_len + 3] = 0;
+        dst[hdr_len + 4] = (uint8_t)((bs - 1) & 0xFF);
+        dst[hdr_len + 5] = (uint8_t)(((bs - 1) >> 8) & 0xFF);
+        uint32_t crc = crc32(0, data + doff[b], pl);
+        memcpy(dst + hdr_len + 6 + comp, &crc, 4);
+        memcpy(dst + hdr_len + 6 + comp + 4, &pl, 4);
+        out_lens[b] = (int32_t)bs;
+        deflateReset(&zs);
+    }
+    deflateEnd(&zs);
+}
+
+int64_t gxz_bgzf_deflate_exact(const uint8_t* data, int64_t len,
+                               const uint32_t* isizes, int64_t nblocks,
+                               int level, const uint8_t* hdr, int hdr_len,
+                               int nthreads, uint8_t* out, int64_t cap) {
+    std::vector<int64_t> doff(nblocks + 1);
+    int64_t acc = 0;
+    int64_t max_isz = 1;
+    for (int64_t b = 0; b < nblocks; b++) {
+        doff[b] = acc;
+        acc += isizes[b];
+        if ((int64_t)isizes[b] > max_isz) max_isz = isizes[b];
+    }
+    doff[nblocks] = acc;
+    if (acc != len) return -10;   // plaintext length != recorded isizes
+    int64_t stride = max_isz + max_isz / 32 + hdr_len + 64;
+    if (nthreads < 1) nthreads = 1;
+    if (nthreads > 8) nthreads = 8;
+    if (nblocks < 2 * nthreads) nthreads = 1;
+    std::vector<int32_t> lens(nblocks);
+    std::vector<std::vector<uint8_t>> scratch(nthreads);
+    std::vector<std::thread> ths;
+    int64_t per = (nblocks + nthreads - 1) / nthreads;
+    for (int t = 0; t < nthreads; t++) {
+        int64_t b0 = t * per, b1 = std::min<int64_t>(b0 + per, nblocks);
+        if (b0 >= b1) break;
+        scratch[t].resize((size_t)((b1 - b0) * stride));
+        ths.emplace_back(bgzf_exact_range, data, doff.data(), isizes, b0, b1,
+                         level, hdr, hdr_len, scratch[t].data(), stride,
+                         lens.data());
+    }
+    for (auto& th : ths) th.join();
+    int64_t w = 0;
+    for (int t = 0, b = 0; t < (int)ths.size(); t++) {
+        int64_t b0 = (int64_t)t * per;
+        int64_t b1 = std::min<int64_t>(b0 + per, nblocks);
+        for (int64_t i = b0; i < b1; i++, b++) {
+            if (lens[i] < 0) return -(i + 1);
+            if (w + lens[i] > cap) return -11;
+            memcpy(out + w, scratch[t].data() + (i - b0) * stride,
+                   (size_t)lens[i]);
+            w += lens[i];
+        }
+    }
+    return w;
+}
+
+// LUT-map + bit-pack in one pass (codecs PACK0/PACK1 hot half): codes =
+// lut[data[i]] packed `width` bits each, little-endian within byte.
+void gxz_pack_lut(const uint8_t* data, int64_t n, const uint8_t* lut,
+                  int width, uint8_t* out) {
+    int per = 8 / width;
+    int64_t nb = (n + per - 1) / per;
+    memset(out, 0, (size_t)nb);
+    int64_t i = 0;
+    if (width == 2) {
+        int64_t n4 = n / 4;
+        for (int64_t b = 0; b < n4; b++) {
+            const uint8_t* p = data + b * 4;
+            out[b] = (uint8_t)(lut[p[0]] | (lut[p[1]] << 2) |
+                               (lut[p[2]] << 4) | (lut[p[3]] << 6));
+        }
+        i = n4 * 4;
+    } else if (width == 4) {
+        int64_t n2 = n / 2;
+        for (int64_t b = 0; b < n2; b++) {
+            const uint8_t* p = data + b * 2;
+            out[b] = (uint8_t)(lut[p[0]] | (lut[p[1]] << 4));
+        }
+        i = n2 * 2;
+    } else {
+        int64_t n8 = n / 8;
+        for (int64_t b = 0; b < n8; b++) {
+            const uint8_t* p = data + b * 8;
+            uint8_t v = 0;
+            for (int k = 0; k < 8; k++) v |= lut[p[k]] << k;
+            out[b] = v;
+        }
+        i = n8 * 8;
+    }
+    for (; i < n; i++)
+        out[i / per] |= (uint8_t)(lut[data[i]] << ((i % per) * width));
+}
+
+// Unpack + symbol-map in one pass (PACK decode): out[i] = syms[code_i].
+void gxz_unpack_lut(const uint8_t* packed, int64_t n, int width,
+                    const uint8_t* syms, uint8_t* out) {
+    if (width == 2) {
+        // 32-bit LUT: one packed byte -> 4 output symbols
+        uint32_t lut4[256];
+        for (int b = 0; b < 256; b++) {
+            uint8_t o[4] = {syms[b & 3], syms[(b >> 2) & 3],
+                            syms[(b >> 4) & 3], syms[(b >> 6) & 3]};
+            memcpy(&lut4[b], o, 4);
+        }
+        int64_t n4 = n / 4;
+        for (int64_t b = 0; b < n4; b++) {
+            uint32_t v = lut4[packed[b]];
+            memcpy(out + b * 4, &v, 4);
+        }
+        for (int64_t i = n4 * 4; i < n; i++)
+            out[i] = syms[(packed[i / 4] >> ((i % 4) * 2)) & 3];
+    } else if (width == 4) {
+        uint16_t lut2[256];
+        for (int b = 0; b < 256; b++) {
+            uint8_t o[2] = {syms[b & 15], syms[(b >> 4) & 15]};
+            memcpy(&lut2[b], o, 2);
+        }
+        int64_t n2 = n / 2;
+        for (int64_t b = 0; b < n2; b++) {
+            uint16_t v = lut2[packed[b]];
+            memcpy(out + b * 2, &v, 2);
+        }
+        for (int64_t i = n2 * 2; i < n; i++)
+            out[i] = syms[(packed[i / 2] >> ((i % 2) * 4)) & 15];
+    } else {
+        for (int64_t i = 0; i < n; i++)
+            out[i] = syms[(packed[i / 8] >> (i % 8)) & 1];
+    }
+}
+
+// Per-row count of bytes equal to sep (ragged count_sep_per_row): one pass,
+// no index materialization.
+void gxz_count_eq(const uint8_t* data, const int64_t* off, int64_t n,
+                  uint8_t sep, int64_t* out) {
+    for (int64_t i = 0; i < n; i++) {
+        int64_t c = 0;
+        const uint8_t* p = data + off[i];
+        const uint8_t* e = data + off[i + 1];
+        for (; p < e; p++) c += (*p == sep);
+        out[i] = c;
+    }
 }
 
 // Byte offset just past the last newline whose 1-based ordinal is a multiple

@@ -255,15 +255,17 @@ class PizReader:
         self._gc_depn, _ = _read_comp(2, gc.get("depn_vbs", 0))
         return True
 
-    def merge_vb_gencomp(self, out: bytes) -> bytes:
+    def merge_vb_gencomp(self, out: bytes, pctxs=None) -> bytes:
         """Re-interleave the just-reconstructed MAIN VB's deported lines
         (vectorized ragged merge — no per-line Python objects). Call
         immediately after recon_loaded_vb on comp 0 (queue order == MAIN
         VB order, so VBs must be consumed or drained sequentially)."""
         from .utils import ragged
         e = np.zeros(0, np.int64)
-        pp = self._last_pctxs.get("GPPOS")
-        dp = self._last_pctxs.get("GCPOS")
+        if pctxs is None:
+            pctxs = self._last_pctxs
+        pp = pctxs.get("GPPOS")
+        dp = pctxs.get("GCPOS")
         if pp is None and dp is None:
             return out
         prim_pos = pp.nums() if pp is not None else e
@@ -305,7 +307,8 @@ class PizReader:
             out = self.merge_vb_gencomp(out)
         return out
 
-    def recon_loaded_vb(self, loaded, vb_i: int, comp_i: int = 0) -> bytes:
+    def recon_loaded_vb(self, loaded, vb_i: int, comp_i: int = 0,
+                        want_pctxs: bool = False):
         vb_hdr, sec, pair_sec = loaded
         pctxs = {}
         for name, cm in vb_hdr["ctxs"].items():
@@ -347,12 +350,13 @@ class PizReader:
         else:
             assert zlib.adler32(out) == vb_hdr["adler"], \
                 f"VB {vb_i}: digest mismatch"
-        return out
+        return (out, pctxs) if want_pctxs else out
 
     def _apply_gpos_pair_delta(self, pctxs, vb_i):
         """R2 GPOS was stored as delta vs R1's gpos for reads aligned in both
         (reference fastq_seg_gpos_R2 / fastq_seq.c:187)."""
-        r1 = self._load_ctx_sections(vb_i, 0, ["SQBITMAP", "GPOS"])
+        with self.io_lock:
+            r1 = self._load_ctx_sections(vb_i, 0, ["SQBITMAP", "GPOS"])
         a1 = r1["SQBITMAP"]["local"][0].astype(bool)
         g1 = np.zeros(a1.shape[0], np.int64)
         g1[a1] = r1["GPOS"]["local"][0].astype(np.int64)
@@ -438,27 +442,55 @@ def piz_file(z_path: str, out_path: str | None = None,
                 sink.write(hdr)
         if hdr and md5:
             md5.update(hdr)
-        # 2-stage pipeline: load/decompress VB n+1 on a worker while the main
-        # thread reconstructs VB n (reference: piz_read_one_vb on the main
-        # thread + compute threads, src/piz.c:770)
+        # N-way dispatcher (reference src/dispatcher.c:544 via piz.c:770):
+        # workers load+decompress+reconstruct whole VBs concurrently (numpy
+        # and the native kernels release the GIL; section reads serialize
+        # under io_lock); the main thread drains IN ORDER — gencomp
+        # re-interleave, running digest, and the output write are
+        # order-dependent (the reference writer-thread role)
+        from collections import deque
         from concurrent.futures import ThreadPoolExecutor
+        import os as _os
         nvb = comp.get("num_vbs", pr.num_vbs())
-        with ThreadPoolExecutor(max_workers=1) as pool:
-            fut = pool.submit(pr.load_vb, 1, comp_i) if nvb else None
+        workers = int(_os.environ.get("GXZ_PIZ_WORKERS", 0)) or \
+            min(max(_os.cpu_count() or 2, 1), 8)
+        if pr.deep_index is not None and comp_i == 0:
+            # deep: the BAM component feeds deep_index IN VB ORDER (FASTQ
+            # comps reference SAM lines by running index) — keep it serial
+            workers = 1
+
+        def work(vb_i):
+            loaded = pr.load_vb(vb_i, comp_i)
+            with profiler.timer("piz:recon"):
+                return pr.recon_loaded_vb(loaded, vb_i, comp_i,
+                                          want_pctxs=True)
+
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            inflight = deque()
             for vb_i in range(1, nvb + 1):
-                loaded = fut.result()
-                fut = pool.submit(pr.load_vb, vb_i + 1, comp_i) \
-                    if vb_i < nvb else None
-                with profiler.timer("piz:recon+digest"):
-                    out = pr.recon_loaded_vb(loaded, vb_i, comp_i)
+                inflight.append(pool.submit(work, vb_i))
+                while len(inflight) > workers:
+                    out, pctxs = inflight.popleft().result()
+                    with profiler.timer("piz:drain"):
+                        if has_gencomp and comp_i == 0:
+                            out = pr.merge_vb_gencomp(out, pctxs)
+                        adler = zlib.adler32(out, adler)
+                        if md5:
+                            md5.update(out)
+                        total += len(out)
+                        if sink:
+                            sink.write(out)
+            while inflight:
+                out, pctxs = inflight.popleft().result()
+                with profiler.timer("piz:drain"):
                     if has_gencomp and comp_i == 0:
-                        out = pr.merge_vb_gencomp(out)
+                        out = pr.merge_vb_gencomp(out, pctxs)
                     adler = zlib.adler32(out, adler)
                     if md5:
                         md5.update(out)
-                total += len(out)
-                if sink:
-                    sink.write(out)
+                    total += len(out)
+                    if sink:
+                        sink.write(out)
         assert total == comp["txt_len"], f"component {comp_i}: length mismatch"
         if comp.get("adler") is not None:
             assert adler == comp["adler"], f"component {comp_i}: digest mismatch"

@@ -34,6 +34,17 @@ class BgzfWriter:
 
     def write(self, data: bytes):
         self.buf += data
+        nfull = len(self.buf) // BLOCK
+        if not nfull:
+            return
+        from .. import native
+        if native.available():
+            # whole-chain deflate in one native call (libdeflate)
+            take = nfull * BLOCK
+            self.f.write(native.bgzf_deflate(bytes(self.buf[:take]),
+                                             BLOCK, self.level))
+            del self.buf[:take]
+            return
         while len(self.buf) >= BLOCK:
             self.f.write(_one_block(bytes(self.buf[:BLOCK]), self.level))
             del self.buf[:BLOCK]
@@ -67,8 +78,12 @@ class BgzfBlockReader:
         self.exact_level = None       # discovered zlib level, or None
         self.uniform_headers = True
         self._probe = None            # (payload, deflate_bytes) of 1st block
+        self._raw = b""               # compressed tail awaiting a full block
 
     def read(self, want: int) -> bytes:
+        from .. import native
+        if native.available():
+            return self._read_native(want)
         out = bytearray()
         while len(out) < want:
             hdr = self.f.read(18)
@@ -90,6 +105,65 @@ class BgzfBlockReader:
                 self._probe = (payload, comp)
             out += payload
         return bytes(out)
+
+    def _read_native(self, want: int) -> bytes:
+        """Batch scan + inflate a run of blocks in one native call
+        (reference src/mgzip.c whole-block reads, zip.c:520-521). Returns at
+        most `want` bytes (file.read contract); surplus plaintext from the
+        inflated batch is kept for the next call."""
+        from .. import native
+        import numpy as np
+        parts = []
+        got = 0
+        if getattr(self, "_plain", b""):
+            take = self._plain[:want]
+            self._plain = self._plain[want:]
+            parts.append(take)
+            got += len(take)
+        while got < want:
+            # compressed is smaller than plaintext, so `want - got`
+            # compressed bytes always cover the remaining need
+            chunk = self.f.read(max(want - got, 1 << 20))
+            if chunk:
+                self._raw = self._raw + chunk if self._raw else chunk
+            if not self._raw:
+                break
+            buf = np.frombuffer(self._raw, np.uint8)
+            boff, bsize, isize, consumed, uniform = native.bgzf_scan(buf)
+            if consumed == 0:
+                if chunk:
+                    continue        # partial block: need more bytes
+                raise AssertionError("BGZF stream corrupt")
+            first_hdr = bytes(buf[int(boff[0]):int(boff[0]) + 12])
+            if self.header_template is None:
+                self.header_template = first_hdr
+            if not uniform or first_hdr != self.header_template:
+                self.uniform_headers = False
+            payload = native.bgzf_inflate(buf, boff, bsize, isize)
+            self.isizes.extend(int(x) for x in isize)
+            if self._probe is None:
+                nz = np.nonzero(isize > 0)[0]
+                if nz.shape[0]:
+                    i = int(nz[0])
+                    o0 = int(isize[:i].sum())
+                    comp = bytes(buf[int(boff[i]) + 18:
+                                     int(boff[i] + bsize[i]) - 8])
+                    self._probe = (payload[o0:o0 + int(isize[i])].tobytes(),
+                                   comp)
+            pb = payload.tobytes()
+            need = want - got
+            if len(pb) > need:
+                self._plain = pb[need:]
+                pb = pb[:need]
+            parts.append(pb)
+            got += len(pb)
+            self._raw = self._raw[consumed:]
+            if not chunk and not self._raw:
+                break
+        if not parts:
+            return b""
+        return b"".join(bytes(p) for p in parts) if len(parts) > 1 \
+            else bytes(parts[0])
 
     def discover_level(self):
         """Trial levels 1..9 against the first block (reference
@@ -142,6 +216,25 @@ class ExactBgzfWriter:
 
     def write(self, data: bytes):
         self.buf += data
+        from .. import native
+        if native.available():
+            # batch all fully-covered blocks into one threaded native call
+            import numpy as np
+            isz = self.isizes
+            b0 = self.block_i
+            acc = 0
+            b1 = b0
+            while b1 < len(isz) and acc + isz[b1] <= len(self.buf):
+                acc += isz[b1]
+                b1 += 1
+            if b1 > b0:
+                blob = native.bgzf_deflate_exact(
+                    bytes(self.buf[:acc]), np.asarray(isz[b0:b1], np.uint32),
+                    self.level, self.header)
+                self.f.write(blob)
+                del self.buf[:acc]
+                self.block_i = b1
+            return
         while self.block_i < len(self.isizes):
             need = self.isizes[self.block_i]
             if need == 0:
@@ -153,6 +246,19 @@ class ExactBgzfWriter:
             self.block_i += 1
 
     def close(self):
+        from .. import native
+        if native.available() and self.block_i < len(self.isizes):
+            import numpy as np
+            isz = np.asarray(self.isizes[self.block_i:], np.uint32)
+            need = int(isz.sum())
+            assert len(self.buf) == need, "BGZF-exact: plaintext/isize mismatch"
+            blob = native.bgzf_deflate_exact(bytes(self.buf), isz,
+                                             self.level, self.header)
+            self.f.write(blob)
+            self.buf.clear()
+            self.block_i = len(self.isizes)
+            self.f.close()
+            return
         while self.block_i < len(self.isizes):
             need = self.isizes[self.block_i]
             if need == 0:

@@ -215,11 +215,21 @@ def split_first_fields(line_col: Col, sep: int, k: int):
 
 
 def count_sep_per_row(line_col: Col, sep: int) -> np.ndarray:
-    data = line_col.data
-    sep_pos = np.nonzero(data == sep)[0]
-    row_of = np.searchsorted(line_col.offsets[1:], sep_pos, side="right")
-    # drop separators that fall outside rows (shouldn't happen for contiguous)
-    return np.bincount(row_of, minlength=len(line_col))
+    # one pass over the bytes (native kernel, or a reduceat over the byte
+    # mask) — no searchsorted over the (possibly millions of) separator
+    # positions, no serial cumsum
+    n = len(line_col)
+    if n == 0:
+        return np.zeros(0, np.int64)
+    from .. import native
+    if native.available():
+        return native.count_eq(line_col.data, line_col.offsets, sep)
+    off = line_col.offsets
+    m = (line_col.data[:off[-1]] == sep).view(np.int8)
+    a = np.concatenate([m, np.zeros(1, np.int8)])
+    res = np.add.reduceat(a, off[:-1], dtype=np.int64)
+    res[off[1:] == off[:-1]] = 0   # reduceat returns a[i] for empty rows
+    return res
 
 
 def to_matrix(col: Col, fill: int = 0):
@@ -227,6 +237,12 @@ def to_matrix(col: Col, fill: int = 0):
     n = len(col)
     lens = col.lens
     w = int(lens.max()) if n and lens.shape[0] else 0
+    if n and w and (lens == w).all():
+        # uniform width: rows are adjacent by the Col contract, so the
+        # matrix is just a reshaped slice — no index materialization
+        o0 = int(col.offsets[0])
+        mat = col.data[o0:o0 + n * w].reshape(n, w).copy()
+        return mat, lens
     mat = np.full((n, max(w, 1)), fill, dtype=np.uint8)
     total = int(lens.sum())
     if total:

@@ -52,16 +52,44 @@ class ZipJob:
         self.ra_index = {}
         self.components = []
 
+    def precompress_locals(self, res):
+        """Worker-side compression of local sections whose codec is already
+        committed (reference zip.c:566 zip_compress_all_contexts_local runs
+        in the compute thread). Returns {name: (codec, arr, payload, blob)};
+        build_vb consumes it when the main-thread codec decision agrees.
+        Reads committed codecs without taking them — commit/counting stays
+        in the ordered main-thread drain, so archives remain deterministic."""
+        pre = {}
+        for name, c in res.ctxs.items():
+            if c.local is None:
+                continue
+            g = self.gctxs.get(name)
+            if g is None or g.local_codec is None:
+                continue
+            if g.codec_nvb.get("local", 0) == 9 and \
+                    codec_assign._mode != "fast":
+                continue        # next pick_codec call is the VB-10 retest
+            codec = g.local_codec
+            arr = narrow_int(c.local) if c.mode == "num" else c.local
+            payload = arr.tobytes()
+            try:
+                blob = codecs.compress(payload, codec)
+            except Exception:
+                continue
+            pre[name] = (codec, arr, payload, blob)
+        return pre
+
     def write_vb(self, res, data, vb_i, comp_i, pair_payloads=None,
-                 collect=False):
+                 collect=False, pre_locals=None):
         """Write one VB's sections. pair_payloads: comp-0 payload map for
         pair-identical dropping. collect=True returns {name: payload} map."""
-        built = self.build_vb(res, data, vb_i, comp_i, pair_payloads, collect)
+        built = self.build_vb(res, data, vb_i, comp_i, pair_payloads, collect,
+                              pre_locals)
         self.flush_vb(built)
         return built["out_payloads"]
 
     def build_vb(self, res, data, vb_i, comp_i, pair_payloads=None,
-                 collect=False):
+                 collect=False, pre_locals=None):
         """Phase 1: dict merge (VB order = determinism) + section planning.
         No compression happens here, so a dp batch of built VBs can route
         their payloads through ONE sharded device kernel before flushing
@@ -82,7 +110,8 @@ class ZipJob:
             if ents:
                 self.ra_index[f"{comp_i}:{vb_i}"] = ents
 
-        pending = []  # (sec_type, name, payload, codec, ltype, flags, units)
+        # (sec_type, name, payload, codec, ltype, flags, units, blob|None)
+        pending = []
         for name, c in res.ctxs.items():
             g = self.gctxs.get(name)
             if g is None:
@@ -111,12 +140,16 @@ class ZipJob:
                     codec = g.pick_codec("b250", payload, "b250")
                     pending.append((fmt.SEC_B250, name, payload, codec,
                                     fmt.lt_for_dtype(payload_arr.dtype), 0,
-                                    int(c.b250.shape[0])))
+                                    int(c.b250.shape[0]), None))
             if c.local is not None:
-                local = c.local
-                if c.mode == "num":
-                    local = narrow_int(local)
-                payload = local.tobytes()
+                pc = (pre_locals or {}).get(name)
+                if pc is not None:
+                    local, payload = pc[1], pc[2]
+                else:
+                    local = c.local
+                    if c.mode == "num":
+                        local = narrow_int(local)
+                    payload = local.tobytes()
                 key = (name, fmt.SEC_LOCAL)
                 if collect:
                     out_payloads[key] = payload
@@ -124,10 +157,11 @@ class ZipJob:
                     ctx_meta[name]["pair"] = "copy_local"
                 else:
                     codec = g.pick_codec("local", payload, c.cat)
+                    blob = pc[3] if pc is not None and pc[0] == codec else None
                     pending.append((fmt.SEC_LOCAL, name, payload,
                                     codec, fmt.lt_for_dtype(local.dtype),
                                     FLAG_DELTA if c.param == 1 else 0,
-                                    len(payload)))
+                                    len(payload), blob))
 
         vb_hdr = {"n": res.num_lines, "len": int(data.shape[0]),
                   "adler": zlib.adler32(data), "ctxs": ctx_meta,
@@ -155,19 +189,23 @@ class ZipJob:
             if bmin:
                 for order, cid in ((0, codecs.RANS0), (1, codecs.RANS1)):
                     batch_idx = [i for i, e in enumerate(pending)
-                                 if e[3] == cid and len(e[2]) >= bmin]
+                                 if e[3] == cid and len(e[2]) >= bmin
+                                 and e[7] is None]
                     if batch_idx:
                         blobs = codecs.compress_many_rans(
                             [pending[i][2] for i in batch_idx], order)
                         precomp.update(zip(batch_idx, blobs))
 
-        for i, (sec, name, payload, codec, ltype, flags, units) in \
+        for i, (sec, name, payload, codec, ltype, flags, units, blob) in \
                 enumerate(pending):
             pc = precomp.get(i)
+            if pc is None:
+                pc = blob
             ent = zw.write_section(
                 sec, payload, codec=codec, vb_i=vb_i, comp_i=comp_i,
                 dict_id=name, ltype=ltype, flags=flags,
-                precompressed=pc, uncomp_len=len(payload) if pc else None)
+                precompressed=pc,
+                uncomp_len=len(payload) if pc is not None else None)
             stats.add_section(name, units, zw.offset - ent.offset)
 
         zw.write_section(fmt.SEC_VB_HEADER, fmt.json_payload(built["vb_hdr"]),
@@ -392,7 +430,13 @@ def zip_file(in_path: str, out_path: str, dt_name: str | None = None,
     with ThreadPoolExecutor(max_workers=workers) as pool:
         def seg_one(data):
             with profiler.timer("zip:seg"):
-                return dt.seg_vb(data)
+                res = dt.seg_vb(data)
+            with profiler.timer("zip:compress-local"):
+                # local-section compression in the compute thread
+                # (reference zip.c:566); VB 1 drains alone first, so the
+                # codecs it commits are visible to every later VB
+                pre = job.precompress_locals(res)
+            return res, pre
 
         inflight = deque()  # (data, future, (prim pos, depn pos)) in VB order
         def submit(data):
@@ -416,7 +460,7 @@ def zip_file(in_path: str, out_path: str, dt_name: str | None = None,
             pdata, pfut, gcpos = pending
             vb_i += 1
             with profiler.timer("zip:seg-wait"):
-                pres = pfut.result()
+                pres, pre_locals = pfut.result()
             if gcpos is not None:
                 ppos, dpos = gcpos
                 for nm, pos in (("GPPOS", ppos), ("GCPOS", dpos)):
@@ -427,7 +471,8 @@ def zip_file(in_path: str, out_path: str, dt_name: str | None = None,
                             cat="int", param=1)
             with profiler.timer("zip:merge+write"):
                 if sharded is None:
-                    job.write_vb(pres, pdata, vb_i, 0)
+                    job.write_vb(pres, pdata, vb_i, 0,
+                                 pre_locals=pre_locals)
                 else:
                     batch_built.append(job.build_vb(pres, pdata, vb_i, 0))
                     if len(batch_built) >= sharded.D:

@@ -12,7 +12,7 @@ SRC=genozip_tpu/native/gxz_native.cpp
 LIB=genozip_tpu/native/libgxz.so
 if [ ! -f "$LIB" ] || [ "$SRC" -nt "$LIB" ]; then
     echo "building $LIB ..."
-    g++ -O3 -march=native -shared -fPIC "$SRC" -o "$LIB.tmp" -lz \
+    g++ -O3 -march=native -shared -fPIC "$SRC" -o "$LIB.tmp" -lz -ldeflate \
         || { echo "FATAL: native runtime failed to compile" >&2; exit 2; }
     mv "$LIB.tmp" "$LIB"
 fi
