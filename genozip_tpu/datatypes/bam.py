@@ -15,6 +15,7 @@ python. Alignment-record layout (SAMv1 spec §4.2):
 import numpy as np
 
 from . import DataType, VBSegResult, register
+from . import sam_tags
 from .sam import SamDT
 from .. import native
 from ..utils import ragged
@@ -219,7 +220,8 @@ class BamDT(SamDT):
         keep = ~bad[fr]
         return fr[keep], fs[keep], fv[keep], bad
 
-    def _seg_aux_bam(self, ctxs, aux: Col, predict=None):
+    def _seg_aux_bam(self, ctxs, aux: Col, predict=None,
+                     l_seq=None):
         """One context per binary aux tag; layout word = 3-byte TAG+type
         units per record (AUXL dict); typed value streams: fixed ints ->
         numeric (NM delta-vs-predicted, param=4), f -> raw f32, Z/H ->
@@ -255,6 +257,7 @@ class BamDT(SamDT):
         nm_pred = md_col = has_md = None
         if predict is not None:
             nm_pred, md_col, has_md = predict
+        as_by_row = None
         for t in np.unique(key):
             sel = np.nonzero(key == t)[0]
             b0, b1, b3 = (int(t) >> 16) & 0xFF, (int(t) >> 8) & 0xFF, int(t) & 0xFF
@@ -275,11 +278,32 @@ class BamDT(SamDT):
                     v = v.astype(np.int16).astype(np.int64)
                 elif ty == ord("i"):
                     v = v.astype(np.int32).astype(np.int64)
-                if nm_pred is not None and (b0, b1) == (ord("N"), ord("M")) \
+                tag2 = bytes([b0, b1])
+                if nm_pred is not None and tag2 == b"NM" \
                         and ty != ord("A"):
                     ctxs[name] = VBCtx(name, MODE_NUM,
                                        local=v - nm_pred[rows_t],
                                        cat="int", param=4)
+                elif tag2 == b"AS" and ty != ord("A") and l_seq is not None:
+                    # score model per VB: BWA-class AS ~ read length vs
+                    # bowtie2-class AS near 0 (src/sam_bwa.c /
+                    # src/sam_bowtie2.c) — pick the smaller residual
+                    d = v - l_seq[rows_t]
+                    if np.abs(d).sum() <= np.abs(v).sum():
+                        ctxs[name] = VBCtx(name, MODE_NUM, local=d,
+                                           cat="int",
+                                           param=sam_tags.PARAM_AS_VS_SEQLEN)
+                    else:
+                        ctxs[name] = VBCtx(name, MODE_NUM, local=v,
+                                           cat="int")
+                    as_by_row = np.zeros(n, np.int64)
+                    as_by_row[rows_t] = v
+                elif tag2 in sam_tags.AS_DELTA_TAGS and ty != ord("A") and \
+                        as_by_row is not None:
+                    ctxs[name] = VBCtx(name, MODE_NUM,
+                                       local=v - as_by_row[rows_t],
+                                       cat="int",
+                                       param=sam_tags.PARAM_VS_AS)
                 else:
                     ctxs[name] = VBCtx(name, MODE_NUM, local=v, cat="int")
             elif ty in (ord("Z"), ord("H")):
@@ -315,7 +339,7 @@ class BamDT(SamDT):
                     ctxs[name + "L"] = VBCtx(name + "L", MODE_NUM, local=vl,
                                              cat="int")
 
-    def _recon_aux_bam(self, pctxs, n, predict=None):
+    def _recon_aux_bam(self, pctxs, n, predict=None, l_seq=None):
         layout = pctxs["AUXL"].dict_take()
         ld = layout.data
         llen = layout.lens
@@ -334,6 +358,7 @@ class BamDT(SamDT):
                 | (ld[pstart + 1].astype(np.uint32) << 8) \
                 | ld[pstart + 2].astype(np.uint32)
             parts = []
+            as_by_row = None
             for t in np.unique(key):
                 sel = np.nonzero(key == t)[0]
                 b0, b1, ty = (int(t) >> 16) & 0xFF, (int(t) >> 8) & 0xFF, \
@@ -345,6 +370,13 @@ class BamDT(SamDT):
                     v = pc.nums()
                     if pc.param == 4:
                         v = pc.local.astype(np.int64) + nm_pred[rows_t]
+                    elif pc.param == sam_tags.PARAM_AS_VS_SEQLEN:
+                        v = pc.local.astype(np.int64) + l_seq[rows_t]
+                    elif pc.param == sam_tags.PARAM_VS_AS:
+                        v = pc.local.astype(np.int64) + as_by_row[rows_t]
+                    if (b0, b1) == (ord("A"), ord("S")) and ty != ord("A"):
+                        as_by_row = np.zeros(n, np.int64)
+                        as_by_row[rows_t] = v
                     w = self._FIXSZ[ty]
                     m = np.zeros((sel.shape[0], w), np.uint8)
                     uv = v.astype(np.uint64) & ((1 << (8 * w)) - 1)
@@ -496,7 +528,7 @@ class BamDT(SamDT):
         # ascii SEQ recomputed identically at PIZ from reconstructed nibbles
         qa, _ = self._seq_ascii(seq, l_seq)
         ctxs["QUAL"] = self._seg_qual_core(qual, qa, flag)
-        self._seg_aux_bam(ctxs, aux, predict)
+        self._seg_aux_bam(ctxs, aux, predict, l_seq)
         return VBSegResult(ctxs, n, {})
 
     def recon_vb(self, pctxs: dict, meta: dict) -> bytes:
@@ -543,7 +575,7 @@ class BamDT(SamDT):
                     pctxs["SEQNM"].nums(), pctxs["SEQMISP"].nums(),
                     self._cigar_text(cigar, n_cig), ragged.itoa(pos + 1),
                     self._rname_text(refid), self.ref)
-            aux = self._recon_aux_bam(pctxs, n, predict)
+            aux = self._recon_aux_bam(pctxs, n, predict, l_seq)
         else:
             aux = pctxs["AUX"].txt_col(pctxs["AUXLEN"].nums())
         aux_lens = aux.lens

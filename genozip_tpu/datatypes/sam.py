@@ -992,18 +992,37 @@ class SamDT(DataType):
                                            local=iv - nm_pred[rows_t],
                                            cat="int", param=4)
                     elif tag2 == b"AS" and seq is not None:
-                        # BWA-class score ~ read length (src/sam_bwa.c)
-                        ctxs[name] = VBCtx(
-                            name, MODE_NUM, local=iv - seq.lens[rows_t],
-                            cat="int", param=sam_tags.PARAM_AS_VS_SEQLEN)
+                        # score model per VB: BWA-class AS ~ read length
+                        # (src/sam_bwa.c) vs bowtie2/hisat2-class AS <= 0
+                        # near zero (src/sam_bowtie2.c) — pick the smaller
+                        # residual
+                        d = iv - seq.lens[rows_t]
+                        if np.abs(d).sum() <= np.abs(iv).sum():
+                            ctxs[name] = VBCtx(
+                                name, MODE_NUM, local=d, cat="int",
+                                param=sam_tags.PARAM_AS_VS_SEQLEN)
+                        else:
+                            ctxs[name] = VBCtx(name, MODE_NUM, local=iv,
+                                               cat="int")
                         as_by_row = np.zeros(n, np.int64)
                         as_by_row[rows_t] = iv
                     elif tag2 in sam_tags.AS_DELTA_TAGS and \
                             as_by_row is not None:
-                        # sub-optimal scores track AS (sam_bwa/minimap2)
+                        # sub-optimal scores track AS (sam_bwa/minimap2/
+                        # hisat2 ZS)
                         ctxs[name] = VBCtx(
                             name, MODE_NUM, local=iv - as_by_row[rows_t],
                             cat="int", param=sam_tags.PARAM_VS_AS)
+                    elif tag2 == b"YS" and as_by_row is not None and \
+                            mate is not None:
+                        # bowtie2/hisat2 YS:i = mate's AS
+                        # (src/sam_bowtie2.c mate-score)
+                        midx = mate[rows_t]
+                        base = np.where(midx >= 0,
+                                        as_by_row[np.maximum(midx, 0)], 0)
+                        ctxs[name] = VBCtx(
+                            name, MODE_NUM, local=iv - base, cat="int",
+                            param=sam_tags.PARAM_VS_MATE_AS)
                     else:
                         d = np.diff(iv, prepend=np.int64(0))
                         if iv.shape[0] > 4 and (d[1:] >= 0).mean() > 0.9:
@@ -1035,6 +1054,20 @@ class SamDT(DataType):
                         cb_col = ragged.merge_rows(n, [(rows_t, vals)])
                     elif tag2 == b"UB":
                         ub_col = ragged.merge_rows(n, [(rows_t, vals)])
+                if handled is not None:
+                    ctxs.update(handled)
+                    continue
+            if b3 == ord("B"):
+                # numeric array tags (Ultima tp:B:c, ONT ML:B:C —
+                # src/sam_ultima.c / array handling in src/sam_fields.c)
+                handled = sam_tags.barr_seg(name, vals)
+                if handled is not None:
+                    ctxs.update(handled)
+                    continue
+            if b3 == ord("f"):
+                # float tags (PacBio rq/ec, minimap2 de —
+                # src/sam_pacbio.c / seg_float role)
+                handled = sam_tags.float_seg(name, vals)
                 if handled is not None:
                     ctxs.update(handled)
                     continue
@@ -1209,6 +1242,14 @@ class SamDT(DataType):
                     if col_z is not None:
                         parts.append((idx, col_z))
                         continue
+                if b3 == ord("B") and name + "W" in pctxs and \
+                        name + "V" in pctxs:
+                    parts.append((idx, sam_tags.barr_recon(name, pctxs)))
+                    continue
+                if b3 == ord("f") and name + "W" in pctxs and \
+                        name + "I" in pctxs:
+                    parts.append((idx, sam_tags.float_recon(name, pctxs)))
+                    continue
                 if name + "M" in pctxs and cigar is not None and \
                         mate is not None:
                     # MC:Z from the mate's reconstructed CIGAR
@@ -1281,8 +1322,14 @@ class SamDT(DataType):
                         v = pc.local.astype(np.int64) + seq.lens[rows_t]
                     elif pc.param == sam_tags.PARAM_VS_AS:
                         v = pc.local.astype(np.int64) + as_by_row[rows_t]
-                    if tag2 == b"AS" and \
-                            pc.param == sam_tags.PARAM_AS_VS_SEQLEN:
+                    elif pc.param == sam_tags.PARAM_VS_MATE_AS:
+                        midx = mate[rows_t]
+                        base = np.where(midx >= 0,
+                                        as_by_row[np.maximum(midx, 0)], 0)
+                        v = pc.local.astype(np.int64) + base
+                    if tag2 == b"AS":
+                        # track AS for VS_AS / VS_MATE_AS consumers
+                        # (tags iterate in sorted order: AS first)
                         as_by_row = np.zeros(n, np.int64)
                         as_by_row[rows_t] = v
                     col = ragged.itoa(v)

@@ -43,6 +43,7 @@ AS_DELTA_TAGS = {b"XS", b"ZS", b"ms", b"s1"}
 
 PARAM_AS_VS_SEQLEN = 6   # AS:i = local + seq_len(row)
 PARAM_VS_AS = 7          # tag:i = local + AS(row)
+PARAM_VS_MATE_AS = 10    # tag:i = local + AS(mate row) (bowtie2 YS)
 
 
 def dict_seg(name: str, vals: Col) -> dict:
@@ -143,6 +144,163 @@ def seqlen_str_recon(name: str, pctxs, seq: Col, rows_t: np.ndarray) -> Col:
         exc = tokenizer_recon_col(name + "X", pctxs, int((~fit).sum()))
         sub.append((np.nonzero(~fit)[0], exc))
     return ragged.merge_rows(fit.shape[0], sub)
+
+
+def barr_seg(name: str, vals: Col) -> dict | None:
+    """B-array tag "X,i1,i2,..." (Ultima tp:B:c, ONT ML:B:C, 10x fz:B:S —
+    reference src/sam_ultima.c / src/sam_fields.c array handling): subtype
+    dict + per-row count stream + ONE value stream, instead of per-row
+    templates whose shapes never repeat. Numeric subtypes only (f stays on
+    the tokenizer). Fit bitmap + tokenized exceptions."""
+    n = len(vals)
+    data = vals.data
+    if n == 0 or data.shape[0] == 0:
+        return None
+    first = data[np.minimum(vals.offsets[:-1], data.shape[0] - 1)]
+    sub_ok = np.isin(first, np.frombuffer(b"cCsSiI", np.uint8))
+    second = data[np.minimum(vals.offsets[:-1] + 1,
+                             data.shape[0] - 1)]
+    sub_ok &= (vals.lens >= 3) & (second == ord(","))
+    # count + split the int list after "X,"
+    body = ragged.gather_ranges(data, vals.offsets[:-1] + 2,
+                                np.where(sub_ok, vals.lens - 2, 0))
+    ncom = ragged.count_sep_per_row(body, ord(","))
+    cnt = np.where(sub_ok, ncom + 1, 0)
+    T = int(cnt.sum())
+    if T == 0:
+        return None
+    t_row = np.repeat(ragged.arange(n), cnt)
+    cp = np.nonzero(body.data == ord(","))[0]
+    base = np.concatenate([[0], np.cumsum(np.maximum(cnt - 1, 0))])[:-1]
+    tidx = ragged.arange(T) - np.concatenate([[0], np.cumsum(cnt)])[:-1][t_row]
+    ts = np.where(tidx == 0, body.offsets[:-1][t_row], 0)
+    nz = np.nonzero(tidx > 0)[0]
+    if nz.shape[0]:
+        ts[nz] = cp[base[t_row[nz]] + tidx[nz] - 1] + 1
+    te = np.empty(T, np.int64)
+    lastt = tidx == cnt[t_row] - 1
+    te[lastt] = body.offsets[1:][t_row[lastt]]
+    nz = np.nonzero(~lastt)[0]
+    if nz.shape[0]:
+        te[nz] = cp[base[t_row[nz]] + tidx[nz]]
+    segs = ragged.gather_ranges(body.data, ts, te - ts)
+    iv, iok = ragged.atoi(segs)
+    iok &= segs.lens > 0
+    fit = sub_ok.copy()
+    np.logical_and.at(fit, t_row, iok)
+    if fit.mean() <= 0.5:
+        return None
+    keep = fit[t_row]
+    ctxs = {
+        name + "W": VBCtx(name + "W", MODE_NUM, local=fit.astype(np.int64),
+                          cat="int"),
+        name + "A": VBCtx(name + "A", MODE_NUM,
+                          local=first[fit].astype(np.int64), cat="int"),
+        name + "N": VBCtx(name + "N", MODE_NUM, local=cnt[fit], cat="int"),
+        name + "V": VBCtx(name + "V", MODE_NUM, local=iv[keep], cat="int"),
+    }
+    if (~fit).any():
+        exc = ragged.take(vals, np.nonzero(~fit)[0])
+        ctxs.update(tokenizer_seg_col(name + "X", exc, single_stream=True))
+    return ctxs
+
+
+def barr_recon(name: str, pctxs) -> Col:
+    fit = pctxs[name + "W"].nums().astype(bool)
+    sub = pctxs[name + "A"].nums().astype(np.uint8)
+    cnt = pctxs[name + "N"].nums()
+    iv = pctxs[name + "V"].nums()
+    K = int(fit.sum())
+    nums = ragged.itoa(iv)
+    # per-item rendering ",<int>"; a row's items are then CONTIGUOUS
+    items = ragged.interleave(
+        [Col(np.full(iv.shape[0], ord(","), np.uint8),
+             np.arange(iv.shape[0] + 1, dtype=np.int64)), nums],
+        sep_after=[None, None])
+    cbnd = np.concatenate([[0], np.cumsum(cnt)])
+    row_start = items.offsets[cbnd[:-1]]
+    row_end = items.offsets[cbnd[1:]]
+    body = ragged.gather_ranges(items.data, row_start, row_end - row_start)
+    subcol = Col(sub, np.arange(K + 1, dtype=np.int64))
+    okcol = ragged.interleave([subcol, body], sep_after=[None, None])
+    subps = [(np.nonzero(fit)[0], okcol)]
+    if (~fit).any():
+        exc = tokenizer_recon_col(name + "X", pctxs, int((~fit).sum()))
+        subps.append((np.nonzero(~fit)[0], exc))
+    return ragged.merge_rows(fit.shape[0], subps)
+
+
+def float_seg(name: str, vals: Col) -> dict | None:
+    """f-type text tag (PacBio rq:f/ec:f, minimap2 de:f — reference
+    src/sam_pacbio.c / seg_float role): strict "[-]?INT.FRAC" decomposes
+    into an int stream + zero-padded-fraction int stream + fraction-length
+    stream, preserving leading fraction zeros the tokenizer can't."""
+    n = len(vals)
+    data = vals.data
+    if n == 0 or data.shape[0] == 0:
+        return None
+    ndots = ragged.count_sep_per_row(vals, ord("."))
+    first = data[np.minimum(vals.offsets[:-1], data.shape[0] - 1)]
+    neg = first == ord("-")
+    dot1 = ndots == 1
+    dp = np.zeros(n, np.int64)
+    dpos = np.nonzero(data == ord("."))[0]
+    if dpos.shape[0]:
+        drow = np.searchsorted(vals.offsets[1:], dpos, side="right")
+        sel = dot1[drow]
+        dp[drow[sel]] = dpos[sel]
+    istart = vals.offsets[:-1] + neg
+    ilen = np.where(dot1, dp - istart, 0)
+    flen = np.where(dot1, vals.offsets[1:] - dp - 1, 0)
+    ipart = ragged.gather_ranges(data, istart, np.maximum(ilen, 0))
+    fpart = ragged.gather_ranges(data, dp + 1, np.maximum(flen, 0))
+    iv, iok = ragged.atoi(ipart)
+    fv, fok = ragged.atoi(fpart)
+    # no leading zero in the int part (unless exactly "0"), frac <= 18
+    lead0 = (ilen > 1) & (ipart.data[np.minimum(
+        ipart.offsets[:-1], max(ipart.data.shape[0] - 1, 0))] == ord("0")) \
+        if ipart.data.shape[0] else np.zeros(n, bool)
+    fit = dot1 & iok & fok & (ilen > 0) & (flen > 0) & (flen <= 18) & ~lead0
+    if fit.mean() <= 0.5:
+        return None
+    sgn = np.where(neg[fit], -1, 1)
+    ctxs = {
+        name + "W": VBCtx(name + "W", MODE_NUM, local=fit.astype(np.int64),
+                          cat="int"),
+        name + "I": VBCtx(name + "I", MODE_NUM, local=iv[fit] * sgn,
+                          cat="int"),
+        name + "D": VBCtx(name + "D", MODE_NUM, local=fv[fit], cat="int"),
+        name + "L": VBCtx(name + "L", MODE_NUM, local=flen[fit], cat="int"),
+    }
+    if (~fit).any():
+        exc = ragged.take(vals, np.nonzero(~fit)[0])
+        ctxs.update(tokenizer_seg_col(name + "X", exc, single_stream=True))
+    return ctxs
+
+
+def float_recon(name: str, pctxs) -> Col:
+    fit = pctxs[name + "W"].nums().astype(bool)
+    iv = pctxs[name + "I"].nums()
+    fv = pctxs[name + "D"].nums()
+    fl = pctxs[name + "L"].nums()
+    ints = ragged.itoa(iv)
+    fr = ragged.itoa(fv)
+    # zero-pad fractions to their recorded length
+    pad = fl - fr.lens
+    padded_lens = fl
+    off = np.concatenate([[0], np.cumsum(padded_lens)])
+    fdata = np.full(int(off[-1]), ord("0"), np.uint8)
+    total = int(fr.lens.sum())
+    if total:
+        pos = ragged.arange(total) - np.repeat(fr.offsets[:-1], fr.lens)
+        fdata[np.repeat(off[:-1] + pad, fr.lens) + pos] = fr.data
+    frac = Col(fdata, off)
+    okcol = ragged.interleave([ints, frac], sep_after=[b".", None])
+    subps = [(np.nonzero(fit)[0], okcol)]
+    if (~fit).any():
+        exc = tokenizer_recon_col(name + "X", pctxs, int((~fit).sum()))
+        subps.append((np.nonzero(~fit)[0], exc))
+    return ragged.merge_rows(fit.shape[0], subps)
 
 
 # ---------------------------------------------------------------- XA:Z ----

@@ -14,7 +14,8 @@ import numpy as np
 from . import DataType, VBSegResult, register
 from ..utils import ragged
 from ..utils.ragged import Col
-from ..contexts import VBCtx, MODE_DICT, MODE_NUM, dedup_col
+from ..contexts import (VBCtx, MODE_DICT, MODE_NUM, dedup_col,
+                        est_ctxs_size)
 from ..seg import tokenizer_seg_col, tokenizer_recon_col
 
 FIELD_CTXS = ["CHROM", None, "ID", "REF", "ALT", None, "FILTER", None]  # dict ones
@@ -261,6 +262,33 @@ class VcfDT(DataType):
                 sel = v[kinv == w]
                 vals = ragged.gather_ranges(data, kend[sel] + 1,
                                             fe[sel] - kend[sel] - 1)
+                if kw.row(w) in (b"CSQ", b"ANN", b"BCSQ"):
+                    # trial both ONCE per file (VB 1 segs alone, so the
+                    # committed choice is visible to later VBs — the
+                    # codec-assignment first-sight pattern, src/codec.c):
+                    # per-position splitting wins on diverse annotations,
+                    # the whole-value template dict on repetitive ones —
+                    # measure, don't guess
+                    memo = getattr(self, "_csq_choice", None)
+                    if memo is None:
+                        memo = self._csq_choice = {}
+                    choice = memo.get(name)
+                    cand = self._seg_csq(name, vals) \
+                        if choice in (None, "csq") else None
+                    if cand is not None and choice is None:
+                        tok = tokenizer_seg_col(name, vals,
+                                                single_stream=True)
+                        if est_ctxs_size(cand) < est_ctxs_size(tok):
+                            memo[name] = choice = "csq"
+                        else:
+                            memo[name] = choice = "tok"
+                            new_ctxs.update(tok)
+                            continue
+                    elif choice is None:
+                        memo[name] = choice = "tok"
+                    if cand is not None and choice == "csq":
+                        new_ctxs.update(cand)
+                        continue
                 iv, iok = ragged.atoi(vals)
                 if vals.data.shape[0] and iok.all():
                     new_ctxs[name] = VBCtx(name, MODE_NUM, local=iv,
@@ -272,6 +300,96 @@ class VcfDT(DataType):
             return False  # name clash with fixed-field contexts
         ctxs.update(new_ctxs)
         return True
+
+    def _seg_csq(self, name, vals):
+        """VEP CSQ= / snpEff ANN= / bcftools BCSQ= structured segging
+        (reference src/vcf_vep.c / vcf_snpeff.c role): value =
+        "f0|f1|...|fP(,f0|...)*" — transcripts split on ',', fields on '|',
+        one sub-context per field position (annotations repeat heavily per
+        position: gene symbols, consequences, impacts). Rows whose
+        transcripts don't all share the dominant pipe count P ride a
+        tokenized exception stream behind a fit bitmap."""
+        from ..seg import TOK_MARK
+        n = len(vals)
+        data = vals.data
+        if n < 4 or data.shape[0] == 0 or (data == TOK_MARK).any():
+            return None
+        ctxs = {}
+        # transcripts: split on ','
+        ntr = ragged.count_sep_per_row(vals, ord(",")) + 1
+        T = int(ntr.sum())
+        tr_row = np.repeat(ragged.arange(n), ntr)
+        cp = np.nonzero(data == ord(","))[0]
+        base = np.concatenate([[0], np.cumsum(ntr - 1)])[:-1]
+        tidx = ragged.arange(T) - np.concatenate([[0], np.cumsum(ntr)])[:-1][tr_row]
+        ts = np.where(tidx == 0, vals.offsets[:-1][tr_row], 0)
+        nz = np.nonzero(tidx > 0)[0]
+        if nz.shape[0]:
+            ts[nz] = cp[base[tr_row[nz]] + tidx[nz] - 1] + 1
+        te = np.empty(T, np.int64)
+        lastt = tidx == ntr[tr_row] - 1
+        te[lastt] = vals.offsets[1:][tr_row[lastt]]
+        nz = np.nonzero(~lastt)[0]
+        if nz.shape[0]:
+            te[nz] = cp[base[tr_row[nz]] + tidx[nz]]
+        trs = ragged.gather_ranges(data, ts, te - ts)
+        # dominant pipe count P
+        np_pipe = ragged.count_sep_per_row(trs, ord("|"))
+        cnts = np.bincount(np_pipe)
+        P = int(np.argmax(cnts)) if cnts.shape[0] else 0
+        if P == 0:
+            return None
+        tr_ok = np_pipe == P
+        fit = vals.lens > 0
+        np.logical_and.at(fit, tr_row, tr_ok)
+        if fit.mean() <= 0.5:
+            return None
+        keep = fit[tr_row]
+        ktrs = ragged.take(trs, np.nonzero(keep)[0])
+        K = len(ktrs)
+        # field bounds: pipe positions reshape (K, P)
+        pp = np.nonzero(ktrs.data == ord("|"))[0].reshape(K, P)
+        bounds = np.empty((K, P + 2), np.int64)
+        bounds[:, 0] = ktrs.offsets[:-1]
+        bounds[:, 1:P + 1] = pp + 1
+        bounds[:, P + 1] = ktrs.offsets[1:] + 1
+        ctxs[name + "_VB"] = VBCtx(name + "_VB", MODE_NUM,
+                                   local=fit.astype(np.int64), cat="int")
+        ctxs[name + "_VT"] = VBCtx(name + "_VT", MODE_NUM,
+                                   local=ntr[fit], cat="int")
+        ctxs[name + "_VP"] = VBCtx(name + "_VP", MODE_NUM,
+                                   local=np.full(1, P, np.int64), cat="int")
+        for p in range(P + 1):
+            colp = ragged.gather_ranges(
+                ktrs.data, bounds[:, p], bounds[:, p + 1] - 1 - bounds[:, p])
+            ctxs.update(tokenizer_seg_col(f"{name}_V{p}", colp,
+                                          single_stream=True))
+        if (~fit).any():
+            exc = ragged.take(vals, np.nonzero(~fit)[0])
+            ctxs.update(tokenizer_seg_col(name + "_VX", exc,
+                                          single_stream=True))
+        return ctxs
+
+    def _recon_csq(self, pctxs, name, n) -> Col:
+        fit = pctxs[name + "_VB"].nums().astype(bool)
+        ntr = pctxs[name + "_VT"].nums()
+        P = int(pctxs[name + "_VP"].nums()[0])
+        K = int(ntr.sum())
+        cols = [tokenizer_recon_col(f"{name}_V{p}", pctxs, K)
+                for p in range(P + 1)]
+        trs = ragged.interleave(cols, sep_after=[b"|"] * P + [b","])
+        # transcripts of a row are adjacent: row = bytes minus trailing ','
+        tr_of = np.repeat(np.arange(ntr.shape[0]), ntr)
+        row_lens = np.bincount(tr_of, weights=trs.lens,
+                               minlength=ntr.shape[0]).astype(np.int64) - 1
+        row_starts = trs.offsets[np.concatenate(
+            [[0], np.cumsum(ntr)])[:-1]]
+        fit_col = ragged.gather_ranges(trs.data, row_starts, row_lens)
+        sub = [(np.nonzero(fit)[0], fit_col)]
+        if (~fit).any():
+            exc = tokenizer_recon_col(name + "_VX", pctxs, int((~fit).sum()))
+            sub.append((np.nonzero(~fit)[0], exc))
+        return ragged.merge_rows(n, sub)
 
     def _recon_info(self, pctxs, ng) -> Col:
         from ..seg import TOK_MARK
@@ -300,7 +418,9 @@ class VcfDT(DataType):
             name = self._info_ctx_name(kw.row(w))
             sel = np.nonzero(kinv == w)[0]
             pc = pctxs.get(name)
-            if pc is not None and pc.mode == MODE_NUM and pc.b250 is None:
+            if name + "_VB" in pctxs and name + "_VT" in pctxs:
+                vcol = self._recon_csq(pctxs, name, sel.shape[0])
+            elif pc is not None and pc.mode == MODE_NUM and pc.b250 is None:
                 vcol = ragged.itoa(pc.nums())
             else:
                 vcol = tokenizer_recon_col(name, pctxs, sel.shape[0])
@@ -326,36 +446,34 @@ class VcfDT(DataType):
 
     @staticmethod
     def _comma_ints(col):
-        """Parse each row as a comma-separated int list. Returns
-        (flat_vals, seg_row, nseg, ok_row); ok_row marks rows where every
-        segment is a clean non-empty integer."""
+        """Parse each row as a comma-separated int list (one tokenizer
+        scan — no per-segment index math). Returns (flat_vals, seg_row,
+        vals_per_row, ok_row); ok_row marks rows whose template is exactly
+        int(,int)* — only their values are meaningful, and for them
+        vals_per_row equals the comma count + 1."""
+        from ..seg import tokenize_col, TOK_MARK
         n = len(col)
-        data = col.data
-        cp = np.nonzero(data == ord(","))[0]
-        crow = np.searchsorted(col.offsets[1:], cp, side="right")
-        nseg = np.bincount(crow, minlength=n) + 1
-        F = int(nseg.sum())
-        f_of = np.repeat(ragged.arange(n), nseg)
-        first = np.concatenate([[0], np.cumsum(nseg)])[:-1]
-        fidx = ragged.arange(F) - first[f_of]
-        cp_base = np.concatenate([[0], np.cumsum(nseg - 1)])[:-1]
-        fs = np.where(fidx == 0, col.offsets[:-1][f_of], 0)
-        nz = np.nonzero(fidx > 0)[0]
-        if nz.shape[0]:
-            fs[nz] = cp[cp_base[f_of[nz]] + fidx[nz] - 1] + 1
-        fe = np.empty(F, np.int64)
-        last = fidx == nseg[f_of] - 1
-        fe[last] = col.offsets[1:][f_of[last]]
-        nz = np.nonzero(~last)[0]
-        if nz.shape[0]:
-            fe[nz] = cp[cp_base[f_of[nz]] + fidx[nz]]
-        segs = ragged.gather_ranges(data, fs, fe - fs)
-        vals, ok = ragged.atoi(segs)
-        ok &= segs.lens > 0
-        ok_row = np.ones(n, bool)
-        np.logical_and.at(ok_row, f_of, ok)
-        ok_row &= col.lens > 0
-        return vals, f_of, nseg, ok_row
+        nseg = ragged.count_sep_per_row(col, ord(",")) + 1
+        tmpl_data, tmpl_lens, vals, _tok = tokenize_col(
+            col.data, col.offsets, 1 << 62)
+        toff = np.concatenate([[0], np.cumsum(tmpl_lens)])
+        tmpl_col = Col(tmpl_data, toff)
+        kept = ragged.count_sep_per_row(tmpl_col, TOK_MARK)
+        ok_row = (kept == nseg) & (tmpl_lens == 2 * nseg - 1) & \
+            (col.lens > 0)
+        # byte-pattern check ("\x01(,\x01)*") on the UNIQUE templates only —
+        # cells share a handful of shapes, so this is a tiny python loop
+        # instead of a per-byte pass over millions of cells
+        uw, inv = dedup_col(tmpl_col)
+        pat_ok = np.zeros(len(uw), bool)
+        for w in range(len(uw)):
+            r = uw.row(w)
+            pat_ok[w] = (len(r) % 2 == 1 and
+                         all(b == TOK_MARK for b in r[0::2]) and
+                         all(b == ord(",") for b in r[1::2]))
+        ok_row &= pat_ok[inv]
+        f_of = np.repeat(ragged.arange(n), kept)
+        return vals, f_of, kept, ok_row
 
     @classmethod
     def _ad_sums(cls, col):
@@ -369,18 +487,28 @@ class VcfDT(DataType):
     @classmethod
     def _pl_gq(cls, col):
         """GATK GQ prediction: second-lowest PL minus lowest, capped at 99
-        (reference src/vcf_gatk.c GQ-from-PL)."""
+        (reference src/vcf_gatk.c GQ-from-PL). Per-row mins via reduceat —
+        no global sort."""
         n = len(col)
         vals, f_of, nseg, ok = cls._comma_ints(col)
         ok &= nseg >= 2
         pred = np.zeros(n, np.int64)
-        if vals.shape[0]:
-            order = np.lexsort((vals, f_of))
-            first = np.concatenate([[0], np.cumsum(nseg)])[:-1]
-            i2 = np.minimum(first + 1, max(vals.shape[0] - 1, 0))
-            v1 = vals[order[np.minimum(first, max(vals.shape[0] - 1, 0))]]
-            v2 = vals[order[i2]]
-            pred = np.where(ok, np.minimum(v2 - v1, 99), 0)
+        if vals.shape[0] == 0 or not ok.any():
+            return pred, ok
+        BIG = np.int64(1) << 60
+        first = np.concatenate([[0], np.cumsum(nseg)])[:-1]
+        vp = np.concatenate([vals, [BIG]])
+        idx = np.minimum(first, vals.shape[0])
+        m1 = np.minimum.reduceat(vp, idx)
+        # second-lowest: min with the FIRST occurrence of the row min masked
+        ismin = vals == m1[f_of]
+        prior = np.cumsum(ismin) - ismin
+        base = prior[np.minimum(first, max(vals.shape[0] - 1, 0))] \
+            if vals.shape[0] else prior
+        firstmin = ismin & (prior - base[f_of] == 0)
+        v2 = np.concatenate([np.where(firstmin, BIG, vals), [BIG]])
+        m2 = np.minimum.reduceat(v2, idx)
+        pred = np.where(ok, np.minimum(m2 - m1, 99), 0)
         return pred, ok
 
     def _seg_samples(self, ctxs, fmt_col, cells, S):
@@ -439,27 +567,79 @@ class VcfDT(DataType):
             p_, ok_ = self._pl_gq(vals_by_t[tp])
             gq_pred = np.zeros(C, np.int64)
             gq_pred[sel_by_t[tp]] = np.where(ok_, p_, 0)
+        # mux by dosage (reference src/vcf_samples.c seg_mux_init
+        # VCF_SPECIAL_MUX_BY_DOSAGE, applied to PL/GL/DS/GP/AD/...):
+        # each non-GT tag's cells are stored grouped by the cell's GT
+        # dosage (0 / 1 / 2 / other) — within a dosage channel the value
+        # distribution is far tighter (hom-ref PL starts with 0, het AD is
+        # balanced, ...). The permutation costs NO side data: PIZ
+        # recomputes the dosage from the reconstructed GT.
+        tg = tags.index(b"GT") if b"GT" in tags else None
+        dosage = np.full(C, 3, np.int8)
+        if tg is not None and tg in vals_by_t:
+            dosage[sel_by_t[tg]] = self._gt_dosage(vals_by_t[tg])
+        # per-cell DP value for the dosage x DP mux of likelihood vectors
+        # (reference VCF_SPECIAL_MUX_BY_DOSAGExDP for PL under --best)
+        td = tags.index(b"DP") if b"DP" in tags else None
+        dpv_cell = None
+        if td is not None and td in vals_by_t:
+            ivd, iokd = ragged.atoi(vals_by_t[td])
+            dpv_cell = np.zeros(C, np.int64)
+            dpv_cell[sel_by_t[td]] = np.where(iokd, ivd, 0)
         for t, vals in vals_by_t.items():
             sel = sel_by_t[t]
             name = f"FS{t}"
             if tags[t] == b"GT" and sel.shape[0] == C and \
                     self._seg_gt_pbwt(ctxs, vals, C // S, S, name):
                 continue
+            mux = None
+            if tg is not None and t != tg:
+                key = dosage[sel].astype(np.int64)
+                if tags[t] in (b"PL", b"GL", b"GP") and \
+                        dpv_cell is not None:
+                    key = key * (1 << 32) + dpv_cell[sel]
+                if key.shape[0] > 2 and (key != key[0]).any():
+                    mux = np.argsort(key, kind="stable")
+                    vals = ragged.take(vals, mux)
             iv, iok = ragged.atoi(vals)
             if vals.data.shape[0] and iok.all():
                 if tags[t] == b"DP" and dp_pred is not None:
+                    pred = dp_pred[sel]
                     ctxs[name] = VBCtx(name, MODE_NUM,
-                                       local=iv - dp_pred[sel],
+                                       local=iv - (pred[mux] if mux is not None
+                                                   else pred),
                                        cat="int", param=8)
                 elif tags[t] == b"GQ" and gq_pred is not None:
+                    pred = gq_pred[sel]
                     ctxs[name] = VBCtx(name, MODE_NUM,
-                                       local=iv - gq_pred[sel],
+                                       local=iv - (pred[mux] if mux is not None
+                                                   else pred),
                                        cat="int", param=9)
                 else:
                     ctxs[name] = VBCtx(name, MODE_NUM, local=iv, cat="int")
             else:
                 ctxs.update(tokenizer_seg_col(name, vals, single_stream=True))
         return True
+
+    @staticmethod
+    def _gt_dosage(col) -> np.ndarray:
+        """Per-cell GT dosage channel: 0/1/2 alt alleles for clean diploid
+        single-char genotypes, 3 otherwise (missing, multiallelic text,
+        haploid). Computed identically at ZIP (original GT text) and PIZ
+        (reconstructed GT text) — the mux permutation needs no side data."""
+        mat, lens = ragged.to_matrix(col)
+        n = len(col)
+        w = mat.shape[1]
+        z = np.zeros(n, np.uint8)
+        a1 = mat[:, 0] if w > 0 else z
+        sep = mat[:, 1] if w > 1 else z
+        a2 = mat[:, 2] if w > 2 else z
+        num1 = (a1 >= ord("0")) & (a1 <= ord("9"))
+        num2 = (a2 >= ord("0")) & (a2 <= ord("9"))
+        ok = (lens == 3) & num1 & num2 & \
+            ((sep == ord("/")) | (sep == ord("|")))
+        d = (a1 != ord("0")).astype(np.int8) + (a2 != ord("0")).astype(np.int8)
+        return np.where(ok, d, 3).astype(np.int8)
 
     def _seg_gt_pbwt(self, ctxs, vals, n, S, name):
         """PBWT the GT subfields when they're diploid single-char alleles
@@ -516,41 +696,74 @@ class VcfDT(DataType):
         sub_off = np.concatenate([[0], np.cumsum(nsub)])
         total_subs = int(sub_off[-1])
         parts = []
-        cols_by_t, cells_by_t, deferred = {}, {}, []
-        for t in range(T):
+        cols_by_t, cells_by_t = {}, {}
+        # dependency order (src/vcf_samples.c MUX_BY_DOSAGE /
+        # MUX_BY_DOSAGExDP + the GATK cross-tag predictions): GT's text
+        # drives every de-mux; DP's delta needs AD; PL's mux needs DP;
+        # GQ's delta needs PL
+        tg = tags.index(b"GT") if b"GT" in tags else None
+        order = list(range(T))
+        for dep in (b"PL", b"DP", b"AD"):
+            if dep in tags:
+                order.remove(tags.index(dep))
+                order = [tags.index(dep)] + order
+        if tg is not None:
+            order.remove(tg)
+            order = [tg] + order
+        dosage = np.full(C, 3, np.int8)
+        td = tags.index(b"DP") if b"DP" in tags else None
+        dpv_cell = None
+        dp_pred = gq_pred = None
+        for t in order:
             cells_t = np.nonzero(ncnt > t)[0]
             if cells_t.shape[0] == 0:
                 continue
             cells_by_t[t] = cells_t
             name = f"FS{t}"
             pc = pctxs.get(name)
+            mux = None
+            if tg is not None and t != tg:
+                key = dosage[cells_t].astype(np.int64)
+                if tags[t] in (b"PL", b"GL", b"GP") and td is not None \
+                        and td in cols_by_t:
+                    if dpv_cell is None:
+                        ivd, iokd = ragged.atoi(cols_by_t[td])
+                        dpv_cell = np.zeros(C, np.int64)
+                        dpv_cell[cells_by_t[td]] = np.where(iokd, ivd, 0)
+                    key = key * (1 << 32) + dpv_cell[cells_t]
+                if key.shape[0] > 2 and (key != key[0]).any():
+                    mux = np.argsort(key, kind="stable")
             if tags[t] == b"GT" and "PBWT" in pctxs:
                 col = self._recon_gt_cells(pctxs, ng, S, name)
             elif pc is not None and pc.mode == MODE_NUM:
-                if pc.param in (8, 9):   # GATK DP/GQ: needs AD/PL first
-                    deferred.append(t)
-                    continue
-                col = ragged.itoa(pc.nums())
+                local = pc.local.astype(np.int64)
+                if mux is not None:
+                    local = local[np.argsort(mux, kind="stable")]
+                    mux = None
+                if pc.param == 8:     # DP = delta + sum(AD)
+                    if dp_pred is None:
+                        ta = tags.index(b"AD")
+                        s_, ok_ = self._ad_sums(cols_by_t[ta])
+                        dp_pred = np.zeros(C, np.int64)
+                        dp_pred[cells_by_t[ta]] = np.where(ok_, s_, 0)
+                    local = local + dp_pred[cells_t]
+                elif pc.param == 9:   # GQ = delta + GQ-from-PL
+                    if gq_pred is None:
+                        tp = tags.index(b"PL")
+                        p_, ok_ = self._pl_gq(cols_by_t[tp])
+                        gq_pred = np.zeros(C, np.int64)
+                        gq_pred[cells_by_t[tp]] = np.where(ok_, p_, 0)
+                    local = local + gq_pred[cells_t]
+                elif pc.param == 1:
+                    local = np.cumsum(local)
+                col = ragged.itoa(local)
             else:
                 col = tokenizer_recon_col(name, pctxs, cells_t.shape[0])
+            if mux is not None:
+                col = ragged.take(col, np.argsort(mux, kind="stable"))
             cols_by_t[t] = col
-        if deferred:
-            dp_pred = gq_pred = None
-            if b"AD" in tags and tags.index(b"AD") in cols_by_t:
-                ta = tags.index(b"AD")
-                s_, ok_ = self._ad_sums(cols_by_t[ta])
-                dp_pred = np.zeros(C, np.int64)
-                dp_pred[cells_by_t[ta]] = np.where(ok_, s_, 0)
-            if b"PL" in tags and tags.index(b"PL") in cols_by_t:
-                tp = tags.index(b"PL")
-                p_, ok_ = self._pl_gq(cols_by_t[tp])
-                gq_pred = np.zeros(C, np.int64)
-                gq_pred[cells_by_t[tp]] = np.where(ok_, p_, 0)
-            for t in deferred:
-                pc = pctxs[f"FS{t}"]
-                pred = dp_pred if pc.param == 8 else gq_pred
-                v = pc.local.astype(np.int64) + pred[cells_by_t[t]]
-                cols_by_t[t] = ragged.itoa(v)
+            if t == tg:
+                dosage[cells_t] = self._gt_dosage(col)
         for t, col in cols_by_t.items():
             parts.append((sub_off[:-1][cells_by_t[t]] + t, col))
         subs = ragged.merge_rows(total_subs, parts)

@@ -1,36 +1,22 @@
-"""gxcat output filters: --head/--tail/--grep/--downsample.
+"""gxcat output filters: --head/--tail/--grep/--downsample/--regions/...
 
 Reference parity: src/writer.c:544-663 recon-plan editing + per-line drops
-(vb->drop_curr_line). Here filters operate on reconstructed VB text with
-vectorized line selection; region filters (--regions) arrive with the
-random-access milestone.
+(vb->drop_curr_line). Positional filters (--lines/--tail/--downsample and
+the --regions VB skip) are PLAN EDITS over the recon-plan IR
+(writer_plan.py) — out-of-range VBs are never reconstructed; per-record
+predicates (--grep/--qnames/--bases) are applied by the plan executor.
 """
 
 import numpy as np
 
 from .piz_pipeline import PizReader
-
-
-def _lines_of(buf: bytes):
-    a = np.frombuffer(buf, np.uint8)
-    nl = np.nonzero(a == ord("\n"))[0]
-    starts = np.concatenate([[0], nl[:-1] + 1]) if nl.shape[0] else np.zeros(1 if buf else 0, np.int64)
-    ends = nl + 1
-    if buf and (nl.shape[0] == 0 or nl[-1] != len(buf) - 1):
-        starts = np.concatenate([starts, [nl[-1] + 1 if nl.shape[0] else 0]])
-        ends = np.concatenate([ends, [len(buf)]])
-    return starts[:ends.shape[0]], ends
+from . import writer_plan as wp
 
 
 def cat_filtered(args, out):
     pr = PizReader(args.input, reference=getattr(args, "reference", None))
     dt_name = pr.file_hdr["dt"]
     lines_per_rec = 4 if dt_name == "fastq" else 1
-    hdr = pr.txt_header()
-    if hdr and not getattr(args, "no_header", False):
-        out.write(hdr)
-    emitted = 0
-    rec_i = 0
     grep = args.grep.encode() if getattr(args, "grep", None) else None
     head = getattr(args, "head", None)
     downsample = getattr(args, "downsample", None)
@@ -65,6 +51,7 @@ def cat_filtered(args, out):
         bases_pos = (allowed, neg)
     regions = None
     ra = None
+    line_filter = None
     if getattr(args, "regions", None):
         from . import regions as regions_mod
         from .format import sections as fmt
@@ -72,72 +59,64 @@ def cat_filtered(args, out):
         payload, _ = pr.zr.read_one(fmt.SEC_RANDOM_ACCESS)
         if payload is not None:
             ra = fmt.json_parse(payload)
-    tail_buf = []
-    for vb_i in range(1, pr.num_vbs() + 1):
-        if regions is not None and ra is not None:
-            ents = ra.get(f"0:{vb_i}")
-            if ents is not None:
-                from . import regions as regions_mod
-                if not any(regions_mod.regions_overlap(regions, c, lo, hi)
-                           for (c, lo, hi) in ents):
-                    if pr.ensure_gencomp():
-                        # keep the PRIM/DEPN queues in VB order
-                        pr.drain_vb_gencomp(vb_i)
-                    continue  # random-access VB skip
-        buf = pr.read_vb(vb_i)
-        if regions is not None:
-            from . import regions as regions_mod
-            buf = regions_mod.filter_lines(buf, dt_name, regions)
-        if grep is None and head is None and downsample is None and \
-                tail is None and bases_pos is None and not count_only and \
-                lines_rng is None and qnames is None:
-            out.write(buf)
-            continue
-        starts, ends = _lines_of(buf)
-        nrec = starts.shape[0] // lines_per_rec
-        for r in range(nrec):
-            s = starts[r * lines_per_rec]
-            e = ends[(r + 1) * lines_per_rec - 1]
-            rec = buf[s:e]
-            rec_i += 1
-            if lines_rng and not (lines_rng[0] <= rec_i <= lines_rng[1]):
-                if rec_i > lines_rng[1]:
-                    break
-                continue
-            if downsample and (rec_i - 1) % downsample != 0:
-                continue
-            if grep and grep not in rec:
-                continue
-            if qnames is not None and _rec_qname(rec, dt_name) not in qnames:
-                continue
-            if bases_pos is not None:
-                seq = _rec_seq(rec, dt_name)
-                allowed, neg = bases_pos
-                a = np.frombuffer(seq, np.uint8)
-                all_in = bool(allowed[a].all()) if a.shape[0] else True
-                if (not neg and not all_in) or (neg and all_in):
-                    continue
-            if tail:
-                tail_buf.append(rec)
-                if len(tail_buf) > tail:
-                    tail_buf.pop(0)
-                continue
-            if count_only:
-                emitted += 1
-                if head and emitted >= head:
-                    out.write(b"%d\n" % emitted)
-                    pr.close()
-                    return
-                continue
-            out.write(rec)
-            emitted += 1
-            if head and emitted >= head:
-                pr.close()
-                return
-    for rec in tail_buf:
-        out.write(rec)
-    if count_only:
-        out.write(b"%d\n" % (len(tail_buf) if tail else emitted))
+        line_filter = lambda buf: regions_mod.filter_lines(buf, dt_name,
+                                                           regions)
+
+    # the recon plan: full file minus region-skipped VBs
+    plan = wp.build_plan(pr, 0, regions=regions, ra=ra)
+
+    # content predicate (the vb->drop_curr_line role)
+    def content_pred(rec: bytes) -> bool:
+        if grep and grep not in rec:
+            return False
+        if qnames is not None and _rec_qname(rec, dt_name) not in qnames:
+            return False
+        if bases_pos is not None:
+            seq = _rec_seq(rec, dt_name)
+            allowed, neg = bases_pos
+            a = np.frombuffer(seq, np.uint8)
+            all_in = bool(allowed[a].all()) if a.shape[0] else True
+            if (not neg and not all_in) or (neg and all_in):
+                return False
+        return True
+
+    has_content_pred = (grep is not None or qnames is not None
+                        or bases_pos is not None)
+    pure_positional = not has_content_pred and line_filter is None
+
+    predicate = content_pred if has_content_pred else None
+    if pure_positional and (lines_rng or downsample or
+                            (tail and not downsample)):
+        # positional filters as PLAN EDITS: VBs fully outside the range are
+        # never reconstructed (the reference's recon-plan trimming)
+        counts = wp.vb_record_counts(pr, plan)
+        if downsample:
+            plan = wp.edit_downsample(plan, downsample, counts)
+        if lines_rng:
+            plan = wp.edit_lines_range(plan, lines_rng[0], lines_rng[1],
+                                       counts)
+        if tail and not downsample and not lines_rng:
+            plan = wp.edit_tail(plan, tail, counts)
+            tail = None
+    elif lines_rng or downsample:
+        # dynamic fallback: positional filters on the post-line-filter
+        # ordinal stream (regions/grep change counts)
+        state = {"i": 0}
+        base_pred = predicate
+
+        def predicate(rec: bytes) -> bool:
+            state["i"] += 1
+            i = state["i"]
+            if lines_rng and not (lines_rng[0] <= i <= lines_rng[1]):
+                return False
+            if downsample and (i - 1) % downsample != 0:
+                return False
+            return base_pred(rec) if base_pred is not None else True
+
+    wp.execute_plan(pr, plan, out, lines_per_rec=lines_per_rec,
+                    predicate=predicate, head=head, tail=tail,
+                    count_only=count_only, line_filter=line_filter,
+                    no_header=getattr(args, "no_header", False))
     pr.close()
 
 
@@ -251,29 +230,14 @@ def cat_translated_bam(args, out_path):
 
 def cat_interleaved(args, out):
     """Paired archive -> interleaved R1/R2 records (reference parity:
-    genocat --interleave)."""
-    import numpy as np
-    from .utils import ragged
+    genocat --interleave as the PLAN_INTERLEAVE flavor)."""
     pr = PizReader(args.input, reference=getattr(args, "reference", None),
                    password=getattr(args, "password", None))
     comps = pr.file_hdr.get("components")
     assert comps and len(comps) == 2, "--interleave needs a paired archive"
     lpr = 4 if pr.file_hdr["dt"] == "fastq" else 1
-    for vb_i in range(1, pr.num_vbs() + 1):
-        bufs = [pr.read_vb(vb_i, 0), pr.read_vb(vb_i, 1)]
-        cols = []
-        for b in bufs:
-            a = np.frombuffer(b, np.uint8)
-            nl = np.nonzero(a == ord("\n"))[0]
-            starts = np.concatenate([[0], nl[:-1] + 1])
-            lines = ragged.gather_ranges(a, starts, nl - starts + 1)
-            # group lines into records
-            nrec = len(lines) // lpr
-            rec_lens = lines.lens.reshape(nrec, lpr).sum(axis=1)
-            cols.append(ragged.Col(lines.data,
-                                   np.concatenate([[0], np.cumsum(rec_lens)])))
-        merged = ragged.interleave(cols)
-        out.write(merged.data.tobytes())
+    plan = wp.build_interleave_plan(pr)
+    wp.execute_plan(pr, plan, out, lines_per_rec=lpr, no_header=True)
     pr.close()
 
 

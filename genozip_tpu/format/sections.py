@@ -3,7 +3,7 @@
 Reference parity: src/sections.h (section headers), src/zfile.c:288-366
 (zfile_compress_*), src/zfile.c:899 (backward footer read). Re-designed
 minimally for the TPU build (our own format — no genozip interop): every
-section is [56-byte header | compressed payload]; the file ends with a
+section is [64-byte header | compressed payload]; the file ends with a
 compressed section index + fixed 40-byte tail that is read backwards at PIZ.
 
 Layout of a single-component file:
@@ -66,22 +66,25 @@ def lt_for_dtype(dt) -> int:
 
 
 # header: magic, sec_type, codec, flags, ltype, vb_i, comp_i, dict_id,
-#         uncomp_len, comp_len, param, adler  -> 56 bytes
-_HDR = struct.Struct("<IBBBBIi8sQQQI4x")
+#         uncomp_len, comp_len, param, adler  -> 64 bytes
+# (dict_id is 16 bytes — the reference's 8-byte DictId truncates long
+# sub-context names, which silently aliases sections; 16 covers every
+# generated name: tag + family suffix + position index)
+_HDR = struct.Struct("<IBBBBIi16sQQQI4x")
 HDR_SIZE = _HDR.size
-assert HDR_SIZE == 56
+assert HDR_SIZE == 64
 
 _TAIL = struct.Struct("<QQQ8s")  # index_offset, index_comp_len, file_size, magic
 TAIL_SIZE = _TAIL.size
 
 # section index entry: sec_type, vb_i, comp_i, dict_id, offset
-_IDX = struct.Struct("<BxxxIi8sQ")
+_IDX = struct.Struct("<BxxxIi16sQ")
 
 
 def norm_dict_id(dict_id) -> bytes:
     if isinstance(dict_id, str):
         dict_id = dict_id.encode()
-    return (dict_id or b"")[:8].ljust(8, b"\0")
+    return (dict_id or b"")[:16].ljust(16, b"\0")
 
 
 class SectionEnt:

@@ -278,8 +278,10 @@ def tokenize(data: np.ndarray, offsets: np.ndarray, max_tokens: int):
                           tmpl.ctypes.data, tmpl_lens.ctypes.data,
                           values.ctypes.data, tok_idx.ctypes.data,
                           ctypes.byref(tmpl_total))
-    return (tmpl[:tmpl_total.value].copy(), tmpl_lens[:n],
-            values[:nv].copy(), tok_idx[:nv].copy())
+    # views, not copies: the backing buffers live as long as the slices,
+    # and copying multi-MB value streams costs real wall time per VB
+    return (tmpl[:tmpl_total.value], tmpl_lens[:n],
+            values[:nv], tok_idx[:nv])
 
 
 def acgt_pack(seq: np.ndarray):

@@ -131,3 +131,94 @@ def test_vcf_info_per_tag(tmp_path):
     res = dt.seg_vb(np.frombuffer(body, np.uint8))
     assert "INFOL" in res.ctxs
     assert "IDP" in res.ctxs and res.ctxs["IDP"].mode == "num"
+
+
+def synth_csq_vcf(n=6000, diverse=True):
+    """VEP-style CSQ annotations (reference src/vcf_vep.c role): diverse
+    per-transcript fields (HGVS, domains, AF) where per-position splitting
+    wins; diverse=False makes whole-value templates repeat instead."""
+    genes = [b"GENE%04d" % i for i in range(800 if diverse else 5)]
+    cons = [b"missense_variant", b"synonymous_variant", b"stop_gained",
+            b"intron_variant"]
+    aas = [b"Ala", b"Val", b"Gly", b"Ser", b"Leu", b"Thr", b"Pro", b"Arg"]
+    hdr = (b"##fileformat=VCFv4.2\n##contig=<ID=chr1,length=248956422>\n"
+           b'##INFO=<ID=CSQ,Number=.,Type=String,Description="VEP">\n'
+           b"#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n")
+    out = [hdr]
+    pos = 10000
+    bases = [b"A", b"C", b"G", b"T"]
+    for i in range(n):
+        pos += int(RNG.integers(1, 500))
+        ref, alt = bases[int(RNG.integers(0, 4))], bases[int(RNG.integers(0, 4))]
+        trs = []
+        for _ in range(int(RNG.integers(1, 5))):
+            cdna = int(RNG.integers(1, 9000))
+            if diverse:
+                dom = (b"Pfam:PF%05d&PROSITE:PS%05d"
+                       % (RNG.integers(1, 2e4), RNG.integers(1, 2e4))) \
+                    if RNG.random() < 0.5 else b""
+                trs.append(b"|".join([
+                    alt, cons[int(RNG.integers(0, 4))],
+                    genes[int(RNG.integers(0, len(genes)))],
+                    b"ENST%011d.%d" % (RNG.integers(1, 3e5),
+                                       RNG.integers(1, 9)),
+                    b"c.%d%s>%s" % (cdna, ref, alt),
+                    b"p.%s%d%s" % (aas[int(RNG.integers(0, 8))], cdna // 3,
+                                   aas[int(RNG.integers(0, 8))]),
+                    b"%d/%d" % (cdna, cdna + int(RNG.integers(0, 2000))),
+                    dom,
+                    b"0.%04d" % RNG.integers(0, 9999)]))
+            else:
+                # enum-product values: whole-value templates repeat
+                trs.append(b"|".join([
+                    alt, cons[int(RNG.integers(0, 4))],
+                    genes[int(RNG.integers(0, len(genes)))],
+                    b"Transcript", b"", b"HIGH",
+                    b"%d" % cdna, b"", b"%d" % (cdna // 3)]))
+        csq = b",".join(trs)
+        if i % 53 == 0:
+            csq = b"not|the|right||shape"    # exception path
+        out.append(b"chr1\t%d\t.\t%s\t%s\t50\tPASS\tCSQ=%s;DP=%d\n"
+                   % (pos, ref, alt, csq, RNG.integers(10, 400)))
+    return b"".join(out)
+
+
+def test_vcf_csq_structured_roundtrip(tmp_path):
+    """CSQ per-position splitting round-trips byte-exact incl. malformed
+    rows, and engages on diverse annotations."""
+    data = synth_csq_vcf()
+    roundtrip(str(tmp_path), "csq.vcf", data)
+    body = data.split(b"#CHROM", 1)[1].split(b"\n", 1)[1]
+    dt = get("vcf")()
+    res = dt.seg_vb(np.frombuffer(body, np.uint8))
+    assert "ICSQ_VB" in res.ctxs       # fit bitmap => structured path chosen
+    assert "ICSQ_VX" in res.ctxs       # malformed rows in the exception lane
+
+
+def test_vcf_csq_trial_prefers_tokenizer_on_repetitive(tmp_path):
+    """With few distinct annotation combinations, the whole-value template
+    dict wins the trial — the structured path must NOT engage."""
+    data = synth_csq_vcf(diverse=False)
+    roundtrip(str(tmp_path), "csqr.vcf", data)
+    body = data.split(b"#CHROM", 1)[1].split(b"\n", 1)[1]
+    dt = get("vcf")()
+    res = dt.seg_vb(np.frombuffer(body, np.uint8))
+    assert "ICSQ_VB" not in res.ctxs
+
+
+def test_vcf_csq_beats_tokenizer_on_diverse(tmp_path):
+    """Per-position sub-contexts must beat the single-stream tokenizer on
+    diverse annotations (the per-platform fixture pattern)."""
+    import genozip_tpu.datatypes.vcf as vcf_mod
+    from genozip_tpu.zip_pipeline import zip_file
+    data = synth_csq_vcf()
+    p = os.path.join(str(tmp_path), "csq.vcf")
+    open(p, "wb").write(data)
+    zip_file(p, p + ".gxz")
+    orig = vcf_mod.VcfDT._seg_csq
+    vcf_mod.VcfDT._seg_csq = lambda self, name, vals: None
+    try:
+        zip_file(p, p + ".tok.gxz")
+    finally:
+        vcf_mod.VcfDT._seg_csq = orig
+    assert os.path.getsize(p + ".gxz") < os.path.getsize(p + ".tok.gxz")
