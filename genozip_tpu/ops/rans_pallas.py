@@ -89,6 +89,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .rans_np import SCALE_BITS, SCALE, RANS_L, lane_layout
 
+# device-section wall time of the last *_many_*_v6 call (transfers +
+# kernel, excludes host framing) — read by scripts/bench_kernels.py
+perf = {"device_s": 0.0}
+
 LANE_COLS = 128
 
 
@@ -1447,10 +1451,14 @@ def decode_many_v6(bufs, S: int = 8, R: int = 8, interpret: bool = False):
     G = _bucket_up(max((K + S - 1) // S for K, _ in shapes))
     word_parts.append(np.zeros((LR + 24) * LANE_COLS, np.int32))
     words = np.concatenate(word_parts)
+    import time as _time
+    _t0 = _time.perf_counter()
     out = decode_many_device_v6(
         jnp.asarray(np.asarray(metas, np.int32).T.copy()),
         jnp.asarray(words), jnp.asarray(np.concatenate(tabs, axis=0)),
         jnp.asarray(x0s), N, S, R, G, interpret)
+    jax.block_until_ready(out)
+    perf["device_s"] = _time.perf_counter() - _t0
     plane = np.asarray(out)
     res = []
     for r, (K, n) in enumerate(shapes):
@@ -1979,12 +1987,16 @@ def encode_many_o1_v6(datas, n_lanes: int = 1024, S: int = 8, R: int = 8,
         ftabA.append(np.zeros((AP, AP), np.float32))
         ctabA.append(np.zeros((AP, AP), np.float32))
         metas.append((0, 0))
+    import time as _time
+    _t0 = _time.perf_counter()
     blocks, sts = encode_many_o1_device_v6(
         jnp.asarray(np.asarray(metas, np.int32).T.copy()),
         jnp.asarray(syms), jnp.asarray(ctxs),
         jnp.asarray(np.concatenate(ftabA, axis=0)),
         jnp.asarray(np.concatenate(ctabA, axis=0)),
         N, S, R, AP, G, interpret)
+    jax.block_until_ready(blocks)
+    perf["device_s"] = _time.perf_counter() - _t0
     blocks = np.asarray(blocks).reshape(G, S * LR + 8, R, LANE_COLS)
     sts = np.asarray(sts).astype(np.uint32)
     outs = []
@@ -2048,10 +2060,14 @@ def encode_many_v6(datas, n_lanes: int = 1024, S: int = 8, R: int = 8,
     while len(tabs) < R:
         tabs.append(np.zeros((8, 256), np.float32))
         metas.append((0, 0))
+    import time as _time
+    _t0 = _time.perf_counter()
     blocks, sts = encode_many_device_v6(
         jnp.asarray(np.asarray(metas, np.int32).T.copy()),
         jnp.asarray(syms), jnp.asarray(np.concatenate(tabs, axis=0)),
         N, S, R, G, interpret)
+    jax.block_until_ready(blocks)
+    perf["device_s"] = _time.perf_counter() - _t0
     blocks = np.asarray(blocks).reshape(G, S * LR + 8, R, LANE_COLS)
     sts = np.asarray(sts).astype(np.uint32)
     outs = []
@@ -2149,11 +2165,15 @@ def decode_many_o1_v6(bufs, S: int = 8, R: int = 8,
     G = _bucket_up(max((K + S - 1) // S for K, _ in shapes))
     word_parts.append(np.zeros((LR + 24) * LANE_COLS, np.int32))
     words = np.concatenate(word_parts)
+    import time as _time
+    _t0 = _time.perf_counter()
     out = decode_many_o1_device_v6(
         jnp.asarray(np.asarray(metas, np.int32).T.copy()),
         jnp.asarray(words), jnp.asarray(np.concatenate(ftabA, axis=0)),
         jnp.asarray(np.concatenate(ctabA, axis=0)),
         jnp.asarray(x0s), N, S, R, AP, G, interpret)
+    jax.block_until_ready(out)
+    perf["device_s"] = _time.perf_counter() - _t0
     plane = np.asarray(out)
     res = []
     for r, (K, n) in enumerate(shapes):

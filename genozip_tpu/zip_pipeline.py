@@ -555,8 +555,17 @@ def zip_file(in_path: str, out_path: str, dt_name: str | None = None,
 
 def zip_pair(in1: str, in2: str, out_path: str,
              vb_size: int = DEFAULT_VB_SIZE, show_stats: bool = False,
-             reference: str | None = None):
-    """R1/R2 paired FASTQ co-compression into one two-component archive."""
+             reference: str | None = None, threads: int | None = None):
+    """R1/R2 paired FASTQ co-compression into one two-component archive.
+    Two-stage dispatcher (the zip_file fan-out applied to pairing): workers
+    seg R1 VBs; the ordered drain reads the matching R2 reads and hands
+    them to a second worker stage (seg R2 + pair-GPOS delta + local
+    compression); the final ordered drain writes both components."""
+    import copy as _copy
+    import os as _os
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
+
     r1, dt1, _ = _open_component(in1, "fastq", reference)
     r2, dt2, _ = _open_component(in2, "fastq", reference)
     job = ZipJob(out_path)
@@ -565,44 +574,93 @@ def zip_pair(in1: str, in2: str, out_path: str,
     nvbs = 0
     lines = [0, 0]
     tlens = [0, 0]
-    for data1 in r1.vblocks(dt1, vb_size):
-        nvbs += 1
-        res1 = dt1.seg_vb(data1)
-        # R2 VB = same number of reads (reference fastq_txtfile_sync_to_R1)
-        data2 = r2.read_fastq_records(res1.num_lines)
-        # R2 pair-GPOS hint: candidates near R1's placement win ties
-        # (reference aligner.c:210-216 NON_PAIR_PENALTY)
-        hint = np.full(res1.num_lines, -1, np.int64)
-        if "SQBITMAP" in res1.ctxs:
-            a1m = res1.ctxs["SQBITMAP"].local.astype(bool)
-            hint[a1m] = res1.ctxs["GPOS"].local
-        dt2.pair_gpos_hint = hint
-        res2 = dt2.seg_vb(data2)
-        assert res2.num_lines == res1.num_lines, \
-            f"R2 out of sync: {res2.num_lines} reads vs R1 {res1.num_lines}"
+    workers = threads or min(max(_os.cpu_count() or 2, 1), 8)
 
-        # pair-assisted GPOS: R2 gpos as delta vs R1's (same read index)
-        if "GPOS" in res1.ctxs and "GPOS" in res2.ctxs:
-            a1 = res1.ctxs["SQBITMAP"].local.astype(bool)
+    def seg1(data1):
+        with profiler.timer("zip:seg"):
+            res1 = dt1.seg_vb(data1)
+        pre1 = job.precompress_locals(res1)
+        return res1, pre1
+
+    def seg2(data2, hint, first):
+        # later VBs run on a shallow copy so the shared dt2's per-file
+        # lazy state (qual class, segconf) is read, never raced; VB 1 runs
+        # on the original (alone) and COMMITS that state
+        d2 = dt2 if first else _copy.copy(dt2)
+        d2.pair_gpos_hint = hint
+        with profiler.timer("zip:seg"):
+            res2 = d2.seg_vb(data2)
+        # pair-assisted GPOS: R2 gpos as delta vs R1's (same read index,
+        # reference fastq_seq.c:187); hint carries R1's per-read gpos
+        if hint is not None and "GPOS" in res2.ctxs:
+            a1 = hint >= 0
             a2 = res2.ctxs["SQBITMAP"].local.astype(bool)
-            g1 = np.zeros(res1.num_lines, np.int64)
-            g1[a1] = res1.ctxs["GPOS"].local
+            g1 = np.where(a1, hint, 0)
             both = a2 & a1
             g2 = res2.ctxs["GPOS"].local.copy()
             delta = g2 - g1[a2]
-            g2_assisted = np.where(both[a2], delta, g2)
-            res2.ctxs["GPOS"].local = g2_assisted
+            res2.ctxs["GPOS"].local = np.where(both[a2], delta, g2)
             res2.ctxs["GPOS"].param = 0
             res2.meta["gpos_pair_delta"] = True
+        pre2 = job.precompress_locals(res2)
+        return res2, pre2
 
-        p1 = job.write_vb(res1, data1, nvbs, 0, collect=True)
-        job.write_vb(res2, data2, nvbs, 1, pair_payloads=p1)
+    def write_pair(vb_i, data1, res1, pre1, data2, res2, pre2):
+        assert res2.num_lines == res1.num_lines, \
+            f"R2 out of sync: {res2.num_lines} reads vs R1 {res1.num_lines}"
+        with profiler.timer("zip:merge+write"):
+            p1 = job.write_vb(res1, data1, vb_i, 0, collect=True,
+                              pre_locals=pre1)
+            job.write_vb(res2, data2, vb_i, 1, pair_payloads=p1,
+                         pre_locals=pre2)
         adler[0] = zlib.adler32(data1, adler[0])
         adler[1] = zlib.adler32(data2, adler[1])
-        for ci, d in ((0, data1), (1, data2)):
-            tlens[ci] += d.shape[0]
+        tlens[0] += data1.shape[0]
+        tlens[1] += data2.shape[0]
         lines[0] += res1.num_lines
         lines[1] += res2.num_lines
+
+    with ThreadPoolExecutor(max_workers=workers) as pool:
+        stage1 = deque()   # (data1, future(res1, pre1))
+        stage2 = deque()   # (vb_i, data1, res1, pre1, data2, future2)
+
+        def advance1():
+            """Drain one R1 seg in order -> read R2 -> submit stage 2."""
+            nonlocal nvbs
+            data1, fut1 = stage1.popleft()
+            res1, pre1 = fut1.result()
+            nvbs += 1
+            data2 = r2.read_fastq_records(res1.num_lines)
+            hint = None
+            if "SQBITMAP" in res1.ctxs:
+                hint = np.full(res1.num_lines, -1, np.int64)
+                a1m = res1.ctxs["SQBITMAP"].local.astype(bool)
+                hint[a1m] = res1.ctxs["GPOS"].local
+            fut2 = pool.submit(seg2, data2, hint, nvbs == 1)
+            stage2.append((nvbs, data1, res1, pre1, data2, fut2))
+
+        def advance2():
+            vb_i, data1, res1, pre1, data2, fut2 = stage2.popleft()
+            res2, pre2 = fut2.result()
+            write_pair(vb_i, data1, res1, pre1, data2, res2, pre2)
+
+        first = True
+        for data1 in r1.vblocks(dt1, vb_size):
+            stage1.append((data1, pool.submit(seg1, data1)))
+            if first:
+                # VB 1 fully alone: codec commits + per-file lazy seg state
+                advance1()
+                advance2()
+                first = False
+                continue
+            while len(stage1) > workers:
+                advance1()
+            while len(stage2) > workers:
+                advance2()
+        while stage1:
+            advance1()
+        while stage2:
+            advance2()
     leftover = r2.read_fastq_records(1)
     assert leftover.shape[0] == 0, "R2 has more reads than R1"
 
@@ -628,6 +686,54 @@ def zip_pair(in1: str, in2: str, out_path: str,
     return job.stats
 
 
+def _fanout_component(job, reader, dt, vb_size, comp_i, on_data=None,
+                      workers=None, adler0=None):
+    """zip_file's N-way seg fan-out with ordered drain for one archive
+    component (dispatcher.c:544 analog). `on_data` runs in the ordered
+    drain (e.g. deep-index ingestion, which is order-sensitive). Returns
+    (txt_len, num_lines, adler, num_vbs); the running adler chains from
+    `adler0` (e.g. the already-hashed txt header)."""
+    import os as _os
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
+    workers = workers or min(max(_os.cpu_count() or 2, 1), 8)
+    adler = zlib.adler32(b"") if adler0 is None else adler0
+    vb_i = 0
+    tlen = 0
+    nlines = 0
+
+    def seg_one(data):
+        with profiler.timer("zip:seg"):
+            res = dt.seg_vb(data)
+        return res, job.precompress_locals(res)
+
+    with ThreadPoolExecutor(max_workers=workers) as pool:
+        inflight = deque()
+
+        def drain():
+            nonlocal vb_i, adler, tlen, nlines
+            data, fut = inflight.popleft()
+            res, pre = fut.result()
+            vb_i += 1
+            adler = zlib.adler32(data, adler)
+            if on_data is not None:
+                on_data(data)
+            with profiler.timer("zip:merge+write"):
+                job.write_vb(res, data, vb_i, comp_i, pre_locals=pre)
+            tlen += data.shape[0]
+            nlines += res.num_lines
+
+        for data in reader.vblocks(dt, vb_size):
+            inflight.append((data, pool.submit(seg_one, data)))
+            if vb_i == 0:
+                drain()     # VB 1 alone: codec commits + lazy seg state
+            elif len(inflight) > workers:
+                drain()
+        while inflight:
+            drain()
+    return tlen, nlines, adler, vb_i
+
+
 def zip_deep(bam_path: str, fastq_paths: list[str], out_path: str,
              vb_size: int = DEFAULT_VB_SIZE, show_stats: bool = False,
              reference: str | None = None):
@@ -641,47 +747,32 @@ def zip_deep(bam_path: str, fastq_paths: list[str], out_path: str,
     comps = []
     nvbs_max = 0
 
-    # component 0: BAM (feeding the deep index with raw records)
+    # component 0: BAM (feeding the deep index IN VB ORDER from the drain)
     reader, dt, _ = _open_component(bam_path, "bam", None)
     bam_dt = dt
     hdr = dt.read_txt_header(reader)
-    adler = zlib.adler32(b"")
+    hadler = zlib.adler32(b"")
     if hdr:
-        adler = zlib.adler32(hdr, adler)
+        hadler = zlib.adler32(hdr, hadler)
         job.zw.write_section(fmt.SEC_TXT_HEADER, hdr,
                              codec=codec_assign.assign_best(hdr, "text"),
                              comp_i=0)
-    vb_i = 0
-    tlen = len(hdr)
-    nlines = 0
-    for data in reader.vblocks(dt, vb_size):
-        vb_i += 1
-        adler = zlib.adler32(data, adler)
-        index.add_bam_records(data.tobytes())
-        res = dt.seg_vb(data)
-        job.write_vb(res, data, vb_i, 0)
-        tlen += data.shape[0]
-        nlines += res.num_lines
+    tlen, nlines, adler, vb_i = _fanout_component(
+        job, reader, dt, vb_size, 0,
+        on_data=lambda d: index.add_bam_records(d.tobytes()),
+        adler0=hadler)
     reader.close()
     comps.append({"name": bam_path.rsplit("/", 1)[-1], "dt": "bam",
-                  "txt_len": tlen, "adler": adler, "num_lines": nlines,
-                  "num_vbs": vb_i, "segconf": dt.segconf})
+                  "txt_len": tlen + len(hdr), "adler": adler,
+                  "num_lines": nlines, "num_vbs": vb_i,
+                  "segconf": dt.segconf})
     nvbs_max = max(nvbs_max, vb_i)
 
     for ci, fq in enumerate(fastq_paths, start=1):
         reader, dt, _ = _open_component(fq, "fastq", reference)
         dt.deep_index = index
-        adler = zlib.adler32(b"")
-        vb_i = 0
-        tlen = 0
-        nlines = 0
-        for data in reader.vblocks(dt, vb_size):
-            vb_i += 1
-            adler = zlib.adler32(data, adler)
-            res = dt.seg_vb(data)
-            job.write_vb(res, data, vb_i, ci)
-            tlen += data.shape[0]
-            nlines += res.num_lines
+        tlen, nlines, adler, vb_i = _fanout_component(
+            job, reader, dt, vb_size, ci)
         reader.close()
         comps.append({"name": fq.rsplit("/", 1)[-1], "dt": "fastq",
                       "txt_len": tlen, "adler": adler, "num_lines": nlines,
