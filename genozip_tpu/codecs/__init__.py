@@ -145,10 +145,17 @@ def _arith_decode(blob) -> bytes:
     return arith_np.decode(blob)
 
 
+def _byte_hist(a: np.ndarray) -> np.ndarray:
+    from .. import native
+    if native.available():
+        return native.byte_hist(a)
+    return np.bincount(a, minlength=256)
+
+
 def _pack_encode(data: bytes, order: int) -> bytes:
     from .. import native
     a = np.frombuffer(data, np.uint8)
-    syms = np.nonzero(np.bincount(a, minlength=256))[0].astype(np.uint8)
+    syms = np.nonzero(_byte_hist(a))[0].astype(np.uint8)
     ns = syms.shape[0]
     if ns <= 2:
         width = 1
@@ -262,7 +269,7 @@ def _domq_encode(data: bytes) -> bytes:
     a = np.frombuffer(data, np.uint8)
     if a.shape[0] == 0:
         return bytes([0]) + (0).to_bytes(8, "little")
-    counts = np.bincount(a, minlength=256)
+    counts = _byte_hist(a)
     dom = int(np.argmax(counts))
     mask = (a == dom).astype(np.uint8)
     exc = a[mask == 0]
@@ -321,6 +328,9 @@ def compress(data: bytes, codec: int) -> bytes:
     if codec == PACK1:
         return _pack_encode(data, 1)
     if codec == ZLIB:
+        from .. import native
+        if native.available() and len(data) > 0:
+            return native.zlib_compress(data, 6)
         return _zlib.compress(bytes(data), 6)
     if codec == BZ2:
         return _bz2.compress(bytes(data), 9)
@@ -354,7 +364,11 @@ def decompress(blob, codec: int, uncomp_len: int) -> bytes:
     elif codec in (PACK0, PACK1):
         out = _pack_decode(blob)
     elif codec == ZLIB:
-        out = _zlib.decompress(bytes(blob))
+        from .. import native
+        if native.available() and uncomp_len > 0:
+            out = native.zlib_decompress(blob, uncomp_len)
+        else:
+            out = _zlib.decompress(bytes(blob))
     elif codec == BZ2:
         out = _bz2.decompress(bytes(blob))
     elif codec == LZMA:

@@ -95,6 +95,18 @@ def get():
             lib.gxz_pbwt_decode.restype = None
             lib.gxz_pbwt_decode.argtypes = [ctypes.c_void_p, ctypes.c_int64,
                                             ctypes.c_int64, ctypes.c_void_p]
+            lib.gxz_zlib_compress.restype = ctypes.c_int64
+            lib.gxz_zlib_compress.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                                              ctypes.c_int32, ctypes.c_void_p,
+                                              ctypes.c_int64]
+            lib.gxz_zlib_decompress.restype = ctypes.c_int64
+            lib.gxz_zlib_decompress.argtypes = [ctypes.c_void_p,
+                                                ctypes.c_int64,
+                                                ctypes.c_void_p,
+                                                ctypes.c_int64]
+            lib.gxz_byte_hist.restype = None
+            lib.gxz_byte_hist.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                                          ctypes.c_void_p]
             lib.gxz_copy_ranges.restype = None
             lib.gxz_copy_ranges.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
                                             ctypes.c_void_p, ctypes.c_void_p,
@@ -172,7 +184,11 @@ def get():
                 ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
                 ctypes.c_int64, ctypes.c_int, ctypes.c_void_p,
                 ctypes.c_int, ctypes.c_int, ctypes.c_void_p,
-                ctypes.c_int64]
+                ctypes.c_int64, ctypes.c_int]
+            lib.gxz_raw_deflate.restype = ctypes.c_int64
+            lib.gxz_raw_deflate.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                                            ctypes.c_int, ctypes.c_void_p,
+                                            ctypes.c_int64]
             _lib = lib
         except Exception:
             if os.environ.get("GXZ_REQUIRE_NATIVE"):
@@ -185,6 +201,41 @@ def get():
 
 def available() -> bool:
     return get() is not None
+
+
+def zlib_compress(data, level: int = 6) -> bytes:
+    """zlib-format compress via libdeflate (~2-3x stdlib zlib)."""
+    lib = get()
+    a = np.frombuffer(data, np.uint8) if not isinstance(data, np.ndarray) \
+        else data
+    n = a.shape[0]
+    cap = n + n // 16 + 1024
+    out = np.empty(cap, np.uint8)
+    r = lib.gxz_zlib_compress(a.ctypes.data if n else 0, n, level,
+                              out.ctypes.data, cap)
+    assert r > 0, "libdeflate zlib compress failed"
+    return out[:r].tobytes()
+
+
+def zlib_decompress(blob, out_len: int) -> bytes:
+    lib = get()
+    a = np.frombuffer(blob, np.uint8) if not isinstance(blob, np.ndarray) \
+        else blob
+    out = np.empty(max(out_len, 1), np.uint8)
+    r = lib.gxz_zlib_decompress(a.ctypes.data, a.shape[0], out.ctypes.data,
+                                out_len)
+    assert r == out_len, f"libdeflate zlib decompress failed ({r})"
+    return out[:out_len].tobytes()
+
+
+def byte_hist(a: np.ndarray) -> np.ndarray:
+    """256-bin histogram of a uint8 array (np.bincount without the
+    intp-promotion temp that makes it ~10-50x slower on large arrays)."""
+    lib = get()
+    a = np.ascontiguousarray(a, np.uint8)
+    out = np.empty(256, np.int64)
+    lib.gxz_byte_hist(a.ctypes.data, a.shape[0], out.ctypes.data)
+    return out
 
 
 def rans_encode(data: bytes, order: int = 0) -> bytes:
@@ -537,10 +588,25 @@ def bgzf_deflate(data, block: int = 65280, level: int = 6) -> bytes:
     return out[:max(r, 0)].tobytes()
 
 
+def raw_deflate(data, level: int) -> bytes:
+    """Raw-deflate one payload with libdeflate (level discovery trials)."""
+    lib = get()
+    a = np.frombuffer(data, np.uint8) if not isinstance(data, np.ndarray) \
+        else data
+    n = a.shape[0]
+    cap = n + n // 16 + 1024
+    out = np.empty(cap, np.uint8)
+    r = lib.gxz_raw_deflate(a.ctypes.data, n, level, out.ctypes.data, cap)
+    assert r > 0, "raw deflate failed"
+    return out[:r].tobytes()
+
+
 def bgzf_deflate_exact(data, isizes: np.ndarray, level: int,
-                       header: bytes, nthreads: int = 0) -> bytes:
-    """Byte-exact BGZF re-emission: zlib at the discovered level, recorded
-    per-block isizes, original 12-byte header template. Threaded."""
+                       header: bytes, nthreads: int = 0,
+                       lib_kind: str = "zlib") -> bytes:
+    """Byte-exact BGZF re-emission: zlib or libdeflate at the discovered
+    level, recorded per-block isizes, original 12-byte header template.
+    Threaded (reference --bgzf=exact, mgzip.c library matrix)."""
     import os as _os
     lib = get()
     a = np.frombuffer(data, np.uint8) if not isinstance(data, np.ndarray) \
@@ -554,7 +620,8 @@ def bgzf_deflate_exact(data, isizes: np.ndarray, level: int,
         nthreads = max(_os.cpu_count() or 1, 1)
     r = lib.gxz_bgzf_deflate_exact(
         a.ctypes.data, n, isz.ctypes.data, isz.shape[0], level,
-        hdr.ctypes.data, hdr.shape[0], nthreads, out.ctypes.data, cap)
+        hdr.ctypes.data, hdr.shape[0], nthreads, out.ctypes.data, cap,
+        1 if lib_kind == "libdeflate" else 0)
     assert r >= 0, f"exact BGZF deflate failed ({r})"
     return out[:r].tobytes()
 

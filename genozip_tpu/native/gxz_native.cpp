@@ -107,6 +107,22 @@ LaneLayout layout(int64_t n) {
     return {K, N};
 }
 
+// (K, N) step-row plane -> (N, K) lane-chunk output, cache-blocked
+void rans_transpose_out(const uint8_t* plane, int64_t n, int64_t K, int N,
+                        uint8_t* out) {
+    constexpr int64_t B = 64;
+    for (int64_t t0 = 0; t0 < K; t0 += B)
+        for (int64_t l0 = 0; l0 < N; l0 += B) {
+            int64_t t1 = std::min(t0 + B, K), l1 = std::min(l0 + B, (int64_t)N);
+            for (int64_t l = l0; l < l1; l++) {
+                int64_t lane_end = std::min((int64_t)(l + 1) * K, n);
+                int64_t tmax = std::min(t1, lane_end - l * K);
+                for (int64_t t = t0; t < tmax; t++)
+                    out[l * K + t] = plane[(size_t)t * N + l];
+            }
+        }
+}
+
 }  // namespace
 
 extern "C" {
@@ -141,6 +157,198 @@ inline uint32_t magic_div(uint32_t x, const Magic& m, uint32_t d) {
 }  // namespace
 
 // ---------------------------------------------------------------------------
+// AVX-512 rANS core.  The W32x16 stream format interleaves N (16..8192)
+// lanes of 32-bit rANS states; 16 lanes fit exactly one zmm of u32, so both
+// passes run one zmm per lane-group with zero scalar per-symbol work:
+//   encode: ryg-style reciprocal multiply replaces the division, renorm
+//           words are emitted backward with vpcompressd + 16-bit truncate
+//           (byte-identical stream to the scalar coder: same lane layout,
+//           same renorm rule (x>>20 >= f), same (t asc, lane asc) order);
+//   decode: one fused u32 gather per step [sym(8) | freq-1(12) | cum(12)],
+//           renorm words injected with vpexpandd.
+// Input is transposed once into a (K, N) plane so each step touches 16
+// contiguous bytes; the order-1 context row is simply the previous plane row.
+// ---------------------------------------------------------------------------
+#if defined(__AVX512F__) && defined(__AVX512BW__) && defined(__AVX512VL__)
+#define GXZ_AVX512 1
+#include <immintrin.h>
+
+namespace {
+
+inline __m512i mulhi_epu32(__m512i a, __m512i b) {
+    __m512i lo = _mm512_mul_epu32(a, b);                      // even lanes
+    __m512i hi = _mm512_mul_epu32(_mm512_srli_epi64(a, 32),
+                                  _mm512_srli_epi64(b, 32));  // odd lanes
+    lo = _mm512_srli_epi64(lo, 32);
+    return _mm512_mask_blend_epi32(0xAAAA, lo, hi);
+}
+
+// (N, K)-lane-chunk layout -> (K, N) step-row plane, cache-blocked
+void rans_transpose_in(const uint8_t* data, int64_t n, int64_t K, int N,
+                       uint8_t* plane) {
+    constexpr int64_t B = 64;
+    for (int64_t l0 = 0; l0 < N; l0 += B)
+        for (int64_t t0 = 0; t0 < K; t0 += B) {
+            int64_t l1 = std::min(l0 + B, (int64_t)N), t1 = std::min(t0 + B, K);
+            for (int64_t l = l0; l < l1; l++) {
+                int64_t lane_end = std::min((int64_t)(l + 1) * K, n);
+                int64_t tmax = std::min(t1, lane_end - l * K);
+                for (int64_t t = t0; t < tmax; t++)
+                    plane[(size_t)t * N + l] = data[l * K + t];
+            }
+        }
+}
+
+// per-symbol encode tables.  Division by freq uses the Granlund-Montgomery
+// 33-bit round-up magic M = ceil(2^(32+l)/f), l = ceil(log2 f) — exact for
+// ALL x < 2^32 (GM Thm 4.2; M always fits 33 bits).  SIMD evaluation with
+// m = M - 2^32:  hi = mulhi(x, m);  q = (hi + ((x-hi)>>1)) >> (l-1).
+// For freq==1: m=~0 gives hi = x-1, sh=0 gives q = x-1, and bias absorbs
+// the off-by-one (bias = cum + SCALE - 1, so x' = x*SCALE + cum).
+//   t0 = freq(13) | bias(13)<<13 | sh(4)<<26,  t1 = m.
+void build_enc_tables(const uint32_t* freq, const uint32_t* cum, size_t ntab,
+                      uint32_t* t0, uint32_t* t1) {
+    for (size_t i = 0; i < ntab; i++) {
+        uint32_t f = freq[i];
+        if (!f) { t0[i] = 0; t1[i] = 0; continue; }
+        uint32_t m, sh, bias;
+        if (f < 2) {
+            m = ~0u; sh = 0; bias = cum[i] + SCALE - 1;
+        } else {
+            uint32_t l = 0;
+            while (f > (1u << l)) l++;
+            uint64_t M = ((((uint64_t)1 << (32 + l)) + f - 1) / f);
+            m = (uint32_t)(M - ((uint64_t)1 << 32));
+            sh = l - 1; bias = cum[i];
+        }
+        t0[i] = f | (bias << 13) | (sh << 26);
+        t1[i] = m;
+    }
+}
+
+// encode core: fills words[] backward from words+cap, returns start index p
+// and final states in x[].  freq/cum sized 256 (o0) or 65536 (o1).
+int64_t rans_encode_core_avx512(const uint8_t* plane, int64_t n, int64_t K,
+                                int N, int order, const uint32_t* t0,
+                                const uint32_t* t1, uint32_t* x,
+                                uint16_t* words, int64_t cap) {
+    int64_t p = cap;
+    int64_t L_full = K ? n / K : 0, rem = K ? n - L_full * K : 0;
+    const __m512i m13 = _mm512_set1_epi32(0x1FFF);
+    const __m512i mscale = _mm512_set1_epi32((int)SCALE);
+    for (int64_t t = K - 1; t >= 0; t--) {
+        int64_t active = L_full + (t < rem ? 1 : 0);
+        const uint8_t* row = plane + (size_t)t * N;
+        const uint8_t* prow = (order && t) ? row - N : nullptr;
+        for (int g = N - 16; g >= 0; g -= 16) {
+            if (g >= active) continue;
+            __mmask16 am = (active - g >= 16)
+                ? (__mmask16)0xFFFF : (__mmask16)((1u << (active - g)) - 1);
+            __m512i ix = _mm512_cvtepu8_epi32(
+                _mm_loadu_si128((const __m128i*)(row + g)));
+            if (order) {
+                __m512i ctx = prow
+                    ? _mm512_cvtepu8_epi32(
+                          _mm_loadu_si128((const __m128i*)(prow + g)))
+                    : _mm512_setzero_si512();
+                ix = _mm512_add_epi32(_mm512_slli_epi32(ctx, 8), ix);
+            }
+            __m512i e0 = _mm512_mask_i32gather_epi32(
+                _mm512_setzero_si512(), am, ix, t0, 4);
+            __m512i f = _mm512_and_si512(e0, m13);
+            __m512i bias = _mm512_and_si512(_mm512_srli_epi32(e0, 13), m13);
+            __m512i sh = _mm512_srli_epi32(e0, 26);
+            __m512i xv = _mm512_loadu_si512(x + g);
+            __mmask16 rm = _mm512_mask_cmpge_epu32_mask(
+                am, _mm512_srli_epi32(xv, 20), f);
+            int cnt = __builtin_popcount((unsigned)rm);
+            if (cnt) {
+                __m512i packed = _mm512_maskz_compress_epi32(rm, xv);
+                __m256i w16 = _mm512_cvtepi32_epi16(packed);
+                p -= cnt;
+                _mm256_mask_storeu_epi16(words + p,
+                                         (__mmask16)((1u << cnt) - 1), w16);
+                xv = _mm512_mask_srli_epi32(xv, rm, xv, 16);
+            }
+            __m512i m = _mm512_mask_i32gather_epi32(
+                _mm512_setzero_si512(), am, ix, t1, 4);
+            __m512i hi = mulhi_epu32(xv, m);
+            __m512i tq = _mm512_add_epi32(
+                hi, _mm512_srli_epi32(_mm512_sub_epi32(xv, hi), 1));
+            __m512i q = _mm512_srlv_epi32(tq, sh);
+            __m512i cmpl = _mm512_sub_epi32(mscale, f);
+            __m512i xn = _mm512_add_epi32(
+                _mm512_add_epi32(xv, bias), _mm512_mullo_epi32(q, cmpl));
+            xv = _mm512_mask_blend_epi32(am, xv, xn);
+            _mm512_storeu_si512(x + g, xv);
+        }
+    }
+    return p;
+}
+
+// decode core: consumes words[] forward from index p (2N after states),
+// writes the (K, N) plane.  tab = fused per-slot table (o0: SCALE entries;
+// o1: 256*SCALE).  Returns final p, or -1 on overconsumption.
+int64_t rans_decode_core_avx512(uint8_t* plane, int64_t n, int64_t K, int N,
+                                int order, const uint32_t* tab, uint32_t* x,
+                                const uint16_t* words, int64_t nwords,
+                                int64_t p) {
+    int64_t L_full = K ? n / K : 0, rem = K ? n - L_full * K : 0;
+    const __m512i mslot = _mm512_set1_epi32((int)(SCALE - 1));
+    const __m512i m12 = _mm512_set1_epi32(0xFFF);
+    const __m512i m8 = _mm512_set1_epi32(0xFF);
+    const __m512i one = _mm512_set1_epi32(1);
+    const __m512i lbound = _mm512_set1_epi32((int)RANS_L);
+    for (int64_t t = 0; t < K; t++) {
+        int64_t active = L_full + (t < rem ? 1 : 0);
+        uint8_t* row = plane + (size_t)t * N;
+        const uint8_t* prow = (order && t) ? row - N : nullptr;
+        for (int g = 0; g < N; g += 16) {
+            if (g >= active) break;
+            __mmask16 am = (active - g >= 16)
+                ? (__mmask16)0xFFFF : (__mmask16)((1u << (active - g)) - 1);
+            __m512i xv = _mm512_loadu_si512(x + g);
+            __m512i slot = _mm512_and_si512(xv, mslot);
+            __m512i ix = slot;
+            if (order) {
+                __m512i ctx = prow
+                    ? _mm512_cvtepu8_epi32(
+                          _mm_loadu_si128((const __m128i*)(prow + g)))
+                    : _mm512_setzero_si512();
+                ix = _mm512_add_epi32(_mm512_slli_epi32(ctx, SCALE_BITS), slot);
+            }
+            __m512i e = _mm512_mask_i32gather_epi32(
+                _mm512_setzero_si512(), am, ix, tab, 4);
+            __m512i sym = _mm512_and_si512(e, m8);
+            __m512i f = _mm512_add_epi32(
+                _mm512_and_si512(_mm512_srli_epi32(e, 8), m12), one);
+            __m512i c = _mm512_srli_epi32(e, 20);
+            __m512i xn = _mm512_add_epi32(
+                _mm512_mullo_epi32(f, _mm512_srli_epi32(xv, SCALE_BITS)),
+                _mm512_sub_epi32(slot, c));
+            xv = _mm512_mask_blend_epi32(am, xv, xn);
+            __mmask16 rm = _mm512_mask_cmplt_epu32_mask(am, xv, lbound);
+            int cnt = __builtin_popcount((unsigned)rm);
+            if (cnt) {
+                __m512i wv = _mm512_cvtepu16_epi32(
+                    _mm256_loadu_si256((const __m256i*)(words + p)));
+                wv = _mm512_maskz_expand_epi32(rm, wv);
+                __m512i xr = _mm512_or_si512(_mm512_slli_epi32(xv, 16), wv);
+                xv = _mm512_mask_blend_epi32(rm, xv, xr);
+                p += cnt;
+            }
+            _mm512_storeu_si512(x + g, xv);
+            _mm_storeu_si128((__m128i*)(row + g), _mm512_cvtepi32_epi8(sym));
+        }
+        if (p > nwords) return -1;
+    }
+    return p;
+}
+
+}  // namespace
+#endif  // GXZ_AVX512
+
+// ---------------------------------------------------------------------------
 // rANS order-0 / order-1 encode.  Two cache-friendly passes: (A) per-lane
 // sequential encode into per-lane word buffers + emit bitsets (lane chunks
 // are contiguous input ranges); (B) bitset-driven merge into the single
@@ -156,8 +364,17 @@ int64_t gxz_rans_encode(const uint8_t* data, int64_t n, int order,
     std::vector<uint8_t> ftab;
 
     if (order == 0) {
-        int64_t hist[256] = {0};
-        for (int64_t i = 0; i < n; i++) hist[data[i]]++;
+        // 4-way split histogram: breaks the store-forward dependency chain
+        int64_t h4[4][256] = {{0}};
+        int64_t i = 0;
+        for (; i + 4 <= n; i += 4) {
+            h4[0][data[i]]++; h4[1][data[i + 1]]++;
+            h4[2][data[i + 2]]++; h4[3][data[i + 3]]++;
+        }
+        for (; i < n; i++) h4[0][data[i]]++;
+        int64_t hist[256];
+        for (int s = 0; s < 256; s++)
+            hist[s] = h4[0][s] + h4[1][s] + h4[2][s] + h4[3][s];
         freq.resize(256); cum.resize(256);
         normalize_freqs(hist, freq.data());
         uint32_t c = 0;
@@ -211,6 +428,29 @@ int64_t gxz_rans_encode(const uint8_t* data, int64_t n, int order,
     uint32_t n32 = (uint32_t)n;
     memcpy(out + 2, &n32, 4);
     memcpy(out + 6, ftab.data(), ftab.size());
+
+#ifdef GXZ_AVX512
+    if (n >= 1024) {
+        size_t ntab = order == 0 ? 256 : (size_t)256 * 256;
+        std::vector<uint32_t> t0(ntab), t1(ntab);
+        build_enc_tables(freq.data(), cum.data(), ntab, t0.data(), t1.data());
+        // no init: cells past n are only read through am-masked gathers
+        std::unique_ptr<uint8_t[]> plane(new uint8_t[(size_t)K * N]);
+        rans_transpose_in(data, n, K, N, plane.get());
+        std::vector<uint32_t> xs(N, RANS_L);
+        std::unique_ptr<uint16_t[]> vwords(new uint16_t[max_words]);
+        int64_t p = rans_encode_core_avx512(plane.get(), n, K, N, order,
+                                            t0.data(), t1.data(), xs.data(),
+                                            vwords.get(), max_words);
+        for (int l = N - 1; l >= 0; l--) {
+            vwords[--p] = (uint16_t)(xs[l] & 0xFFFF);
+            vwords[--p] = (uint16_t)(xs[l] >> 16);
+        }
+        int64_t nw = max_words - p;
+        memcpy(out + hdr_len, &vwords[p], (size_t)nw * 2);
+        return hdr_len + nw * 2;
+    }
+#endif
 
     // magic-division tables (one per distinct freq value)
     size_t ntab = order == 0 ? 256 : 256 * 256;
@@ -312,6 +552,65 @@ int64_t gxz_rans_decode(const uint8_t* in, int64_t in_len, uint8_t* out,
     if (out_cap < n) return -1;
     size_t off = 6;
 
+#ifdef GXZ_AVX512
+    if (n >= 1024) {
+        // fused per-slot table: sym(8) | freq-1(12) | cum(12)
+        std::vector<uint32_t> tab;
+        size_t o2 = off;
+        if (order == 0) {
+            std::vector<uint32_t> f(256);
+            o2 += freqs_deserialize(in + o2, f.data());
+            tab.assign(SCALE, 0);
+            uint32_t c = 0;
+            for (int s = 0; s < 256; s++) {
+                for (uint32_t j = 0; j < f[s]; j++)
+                    tab[c + j] = (uint32_t)s | ((f[s] - 1) << 8) | (c << 20);
+                c += f[s];
+            }
+        } else {
+            uint32_t rawlen, clen;
+            memcpy(&rawlen, in + o2, 4);
+            memcpy(&clen, in + o2 + 4, 4);
+            o2 += 8;
+            std::vector<uint8_t> raw(rawlen);
+            uLongf rl = rawlen;
+            if (uncompress(raw.data(), &rl, in + o2, clen) != Z_OK) return -1;
+            o2 += clen;
+            tab.assign((size_t)256 * SCALE, 0);
+            std::vector<uint32_t> f(256);
+            size_t ro = 32;
+            for (int c0 = 0; c0 < 256; c0++) {
+                if (!(raw[c0 >> 3] & (1u << (c0 & 7)))) continue;
+                ro += freqs_deserialize(raw.data() + ro, f.data());
+                uint32_t cc = 0;
+                uint32_t* trow = &tab[(size_t)c0 * SCALE];
+                for (int s = 0; s < 256; s++) {
+                    for (uint32_t j = 0; j < f[s]; j++)
+                        trow[cc + j] =
+                            (uint32_t)s | ((f[s] - 1) << 8) | (cc << 20);
+                    cc += f[s];
+                }
+            }
+        }
+        int64_t nwords = (in_len - (int64_t)o2) / 2;
+        if (nwords < 2 * N) return -2;
+        // padded copy: the vpexpand renorm load reads 32B past the cursor
+        std::vector<uint16_t> wpad((size_t)nwords + 32, 0);
+        memcpy(wpad.data(), in + o2, (size_t)nwords * 2);
+        int64_t K = (n + N - 1) / N;
+        std::vector<uint32_t> x(N);
+        for (int l = 0; l < N; l++)
+            x[l] = ((uint32_t)wpad[2 * l] << 16) | wpad[2 * l + 1];
+        std::vector<uint8_t> plane((size_t)K * N, 0);
+        int64_t p = rans_decode_core_avx512(plane.data(), n, K, N, order,
+                                            tab.data(), x.data(), wpad.data(),
+                                            nwords, 2 * N);
+        if (p < 0) return -2;
+        rans_transpose_out(plane.data(), n, K, N, out);
+        return n;
+    }
+#endif
+
     std::vector<uint32_t> freq, cum;
     std::vector<uint8_t> slot2sym;
 
@@ -410,6 +709,47 @@ int64_t gxz_rans_decode(const uint8_t* in, int64_t in_len, uint8_t* out,
             }
         }
     return n;
+}
+
+// ---------------------------------------------------------------------------
+// zlib-format one-shot compress/decompress via libdeflate (~2-3x stdlib
+// zlib; output is a standard zlib stream readable by zlib.decompress).
+// ---------------------------------------------------------------------------
+int64_t gxz_zlib_compress(const uint8_t* in, int64_t n, int level,
+                          uint8_t* out, int64_t cap) {
+    struct libdeflate_compressor* c =
+        libdeflate_alloc_compressor(level < 1 ? 1 : (level > 12 ? 12 : level));
+    if (!c) return -1;
+    size_t w = libdeflate_zlib_compress(c, in, (size_t)n, out, (size_t)cap);
+    libdeflate_free_compressor(c);
+    return w ? (int64_t)w : -2;
+}
+
+int64_t gxz_zlib_decompress(const uint8_t* in, int64_t n, uint8_t* out,
+                            int64_t out_len) {
+    struct libdeflate_decompressor* d = libdeflate_alloc_decompressor();
+    if (!d) return -1;
+    size_t actual = 0;
+    int rc = libdeflate_zlib_decompress(d, in, (size_t)n, out,
+                                        (size_t)out_len, &actual);
+    libdeflate_free_decompressor(d);
+    return rc == LIBDEFLATE_SUCCESS ? (int64_t)actual : -2;
+}
+
+// ---------------------------------------------------------------------------
+// Byte histogram (np.bincount replacement: no intp promotion / 8x temp).
+// 4-way split tables break the store-forward dependency chain.
+// ---------------------------------------------------------------------------
+void gxz_byte_hist(const uint8_t* data, int64_t n, int64_t* out) {
+    int64_t h4[4][256] = {{0}};
+    int64_t i = 0;
+    for (; i + 4 <= n; i += 4) {
+        h4[0][data[i]]++; h4[1][data[i + 1]]++;
+        h4[2][data[i + 2]]++; h4[3][data[i + 3]]++;
+    }
+    for (; i < n; i++) h4[0][data[i]]++;
+    for (int s = 0; s < 256; s++)
+        out[s] = h4[0][s] + h4[1][s] + h4[2][s] + h4[3][s];
 }
 
 // ---------------------------------------------------------------------------
@@ -1257,23 +1597,43 @@ int64_t gxz_bgzf_scan(const uint8_t* buf, int64_t len, int64_t max_blocks,
 int64_t gxz_bgzf_inflate(const uint8_t* buf, const int64_t* boff,
                          const int32_t* bsize, const int32_t* isize,
                          int64_t n, uint8_t* out) {
-    struct libdeflate_decompressor* d = libdeflate_alloc_decompressor();
-    if (!d) return -1;
-    int64_t total = 0;
-    for (int64_t i = 0; i < n; i++) {
-        int64_t comp_len = bsize[i] - 18 - 8;
-        if (isize[i] == 0) { if (comp_len <= 2) continue; }
-        size_t actual = 0;
-        if (libdeflate_deflate_decompress(
-                d, buf + boff[i] + 18, (size_t)comp_len, out + total,
-                (size_t)isize[i], &actual) != LIBDEFLATE_SUCCESS ||
-            actual != (size_t)isize[i]) {
-            libdeflate_free_decompressor(d);
-            return -(i + 1);
+    // blocks are independent; output offsets are the isize prefix sums
+    std::vector<int64_t> ooff(n + 1);
+    ooff[0] = 0;
+    for (int64_t i = 0; i < n; i++) ooff[i + 1] = ooff[i] + isize[i];
+    int64_t total = ooff[n];
+    unsigned hw = std::thread::hardware_concurrency();
+    int nt = (int)std::min<int64_t>(std::max(1u, hw), std::max<int64_t>(1, n));
+    if (total < (4 << 20)) nt = 1;  // not worth thread spawn
+    std::vector<int64_t> fail(nt, 0);
+    auto work = [&](int w) {
+        struct libdeflate_decompressor* d = libdeflate_alloc_decompressor();
+        if (!d) { fail[w] = -1; return; }
+        // contiguous block ranges balanced by compressed bytes
+        int64_t b0 = n * w / nt, b1 = n * (w + 1) / nt;
+        for (int64_t i = b0; i < b1; i++) {
+            int64_t comp_len = bsize[i] - 18 - 8;
+            if (isize[i] == 0) { if (comp_len <= 2) continue; }
+            size_t actual = 0;
+            if (libdeflate_deflate_decompress(
+                    d, buf + boff[i] + 18, (size_t)comp_len, out + ooff[i],
+                    (size_t)isize[i], &actual) != LIBDEFLATE_SUCCESS ||
+                actual != (size_t)isize[i]) {
+                fail[w] = -(i + 1);
+                break;
+            }
         }
-        total += isize[i];
+        libdeflate_free_decompressor(d);
+    };
+    if (nt == 1) {
+        work(0);
+    } else {
+        std::vector<std::thread> th;
+        for (int w = 0; w < nt; w++) th.emplace_back(work, w);
+        for (auto& t : th) t.join();
     }
-    libdeflate_free_decompressor(d);
+    for (int w = 0; w < nt; w++)
+        if (fail[w] < 0) return fail[w];
     return total;
 }
 
@@ -1320,23 +1680,48 @@ static void bgzf_exact_range(const uint8_t* data, const int64_t* doff,
                              const uint32_t* isizes, int64_t b0, int64_t b1,
                              int level, const uint8_t* hdr, int hdr_len,
                              uint8_t* scratch, int64_t scratch_stride,
-                             int32_t* out_lens) {
+                             int32_t* out_lens, int use_libdeflate) {
     z_stream zs;
-    memset(&zs, 0, sizeof zs);
-    if (deflateInit2(&zs, level, Z_DEFLATED, -15, 8,
-                     Z_DEFAULT_STRATEGY) != Z_OK) {
-        for (int64_t b = b0; b < b1; b++) out_lens[b] = -1;
-        return;
+    struct libdeflate_compressor* lc = nullptr;
+    if (use_libdeflate) {
+        lc = libdeflate_alloc_compressor(level);
+        if (!lc) {
+            for (int64_t b = b0; b < b1; b++) out_lens[b] = -1;
+            return;
+        }
+    } else {
+        memset(&zs, 0, sizeof zs);
+        if (deflateInit2(&zs, level, Z_DEFLATED, -15, 8,
+                         Z_DEFAULT_STRATEGY) != Z_OK) {
+            for (int64_t b = b0; b < b1; b++) out_lens[b] = -1;
+            return;
+        }
     }
     for (int64_t b = b0; b < b1; b++) {
         uint32_t pl = isizes[b];
         uint8_t* dst = scratch + (b - b0) * scratch_stride;
-        zs.next_in = const_cast<uint8_t*>(data + doff[b]);
-        zs.avail_in = pl;
-        zs.next_out = dst + hdr_len + 6;
-        zs.avail_out = (uInt)(scratch_stride - hdr_len - 14);
-        if (deflate(&zs, Z_FINISH) != Z_STREAM_END) { out_lens[b] = -1; break; }
-        int64_t comp = (int64_t)(scratch_stride - hdr_len - 14) - zs.avail_out;
+        int64_t comp;
+        if (pl == 0) {
+            // empty block (EOF marker): the canonical 2-byte zlib-style
+            // final block, constant across writer libraries (htslib bgzf.c)
+            dst[hdr_len + 6] = 0x03; dst[hdr_len + 7] = 0x00;
+            comp = 2;
+        } else if (use_libdeflate) {
+            comp = (int64_t)libdeflate_deflate_compress(
+                lc, data + doff[b], pl, dst + hdr_len + 6,
+                (size_t)(scratch_stride - hdr_len - 14));
+            if (!comp) { out_lens[b] = -1; break; }
+        } else {
+            zs.next_in = const_cast<uint8_t*>(data + doff[b]);
+            zs.avail_in = pl;
+            zs.next_out = dst + hdr_len + 6;
+            zs.avail_out = (uInt)(scratch_stride - hdr_len - 14);
+            if (deflate(&zs, Z_FINISH) != Z_STREAM_END) {
+                out_lens[b] = -1;
+                break;
+            }
+            comp = (int64_t)(scratch_stride - hdr_len - 14) - zs.avail_out;
+        }
         int64_t bs = comp + hdr_len + 6 + 8;
         memcpy(dst, hdr, (size_t)hdr_len);
         dst[hdr_len + 0] = 0x42; dst[hdr_len + 1] = 0x43;
@@ -1347,15 +1732,27 @@ static void bgzf_exact_range(const uint8_t* data, const int64_t* doff,
         memcpy(dst + hdr_len + 6 + comp, &crc, 4);
         memcpy(dst + hdr_len + 6 + comp + 4, &pl, 4);
         out_lens[b] = (int32_t)bs;
-        deflateReset(&zs);
+        if (!use_libdeflate) deflateReset(&zs);
     }
-    deflateEnd(&zs);
+    if (use_libdeflate) libdeflate_free_compressor(lc);
+    else deflateEnd(&zs);
+}
+
+// Raw-deflate one payload with libdeflate (level discovery trials).
+int64_t gxz_raw_deflate(const uint8_t* in, int64_t n, int level, uint8_t* out,
+                        int64_t cap) {
+    struct libdeflate_compressor* c = libdeflate_alloc_compressor(level);
+    if (!c) return -1;
+    size_t w = libdeflate_deflate_compress(c, in, (size_t)n, out, (size_t)cap);
+    libdeflate_free_compressor(c);
+    return (int64_t)w;
 }
 
 int64_t gxz_bgzf_deflate_exact(const uint8_t* data, int64_t len,
                                const uint32_t* isizes, int64_t nblocks,
                                int level, const uint8_t* hdr, int hdr_len,
-                               int nthreads, uint8_t* out, int64_t cap) {
+                               int nthreads, uint8_t* out, int64_t cap,
+                               int use_libdeflate) {
     std::vector<int64_t> doff(nblocks + 1);
     int64_t acc = 0;
     int64_t max_isz = 1;
@@ -1380,7 +1777,7 @@ int64_t gxz_bgzf_deflate_exact(const uint8_t* data, int64_t len,
         scratch[t].resize((size_t)((b1 - b0) * stride));
         ths.emplace_back(bgzf_exact_range, data, doff.data(), isizes, b0, b1,
                          level, hdr, hdr_len, scratch[t].data(), stride,
-                         lens.data());
+                         lens.data(), use_libdeflate);
     }
     for (auto& th : ths) th.join();
     int64_t w = 0;

@@ -418,14 +418,22 @@ def piz_file(z_path: str, out_path: str | None = None,
                                          MgzipExactWriter)
                 mg = pr.file_hdr.get("mgzip")
                 isz_payload, _ = pr.zr.read_one(fmt.SEC_GZ_ISIZES)
-                if mg and mg.get("exact") and isz_payload is not None:
-                    # byte-exact re-emission, any discovered gz dialect
-                    # (reference --bgzf=exact generalized, mgzip.h matrix)
+                from . import native
+                lib_kind = (mg or {}).get("lib", "zlib")
+                if mg and mg.get("exact") and isz_payload is not None and \
+                        (lib_kind == "zlib" or native.available()):
+                    # byte-exact re-emission, any discovered gz dialect +
+                    # writer library (reference --bgzf=exact, mgzip.h matrix)
                     isizes = np.frombuffer(isz_payload, "<u4")
-                    cls = ExactBgzfWriter if mg.get("kind", "bgzf") == "bgzf" \
-                        else MgzipExactWriter
-                    sink = cls(open(path, "wb"), isizes, mg["level"],
-                               bytes.fromhex(mg["header"]))
+                    if mg.get("kind", "bgzf") == "bgzf":
+                        sink = ExactBgzfWriter(open(path, "wb"), isizes,
+                                               mg["level"],
+                                               bytes.fromhex(mg["header"]),
+                                               lib=lib_kind)
+                    else:
+                        sink = MgzipExactWriter(open(path, "wb"), isizes,
+                                                mg["level"],
+                                                bytes.fromhex(mg["header"]))
                 else:
                     sink = open_bgzf(path)
             else:

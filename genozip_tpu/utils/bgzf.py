@@ -51,7 +51,14 @@ class BgzfWriter:
 
     def close(self):
         if self.buf:
-            self.f.write(_one_block(bytes(self.buf), self.level))
+            from .. import native
+            if native.available():
+                # same library as the full blocks (keeps the whole file
+                # uniformly libdeflate -> exact re-emission discoverable)
+                self.f.write(native.bgzf_deflate(bytes(self.buf), BLOCK,
+                                                 self.level))
+            else:
+                self.f.write(_one_block(bytes(self.buf), self.level))
             self.buf.clear()
         self.f.write(EOF_BLOCK)
         self.f.close()
@@ -166,25 +173,33 @@ class BgzfBlockReader:
             else bytes(parts[0])
 
     def discover_level(self):
-        """Trial levels 1..9 against the first block (reference
-        txtfile_discover_specific_gz)."""
+        """Trial zlib levels 1..9, then libdeflate 1..12, against the first
+        block (reference txtfile_discover_specific_gz + the mgzip.c writer-
+        library matrix).  Returns (lib, level) or None."""
         if self._probe is None:
             return None
         payload, comp = self._probe
         for lvl in range(1, 10):
             co = zlib.compressobj(lvl, zlib.DEFLATED, -15)
             if co.compress(payload) + co.flush() == comp:
-                self.exact_level = lvl
-                return lvl
+                self.exact_level = ("zlib", lvl)
+                return self.exact_level
+        from .. import native
+        if native.available():
+            for lvl in range(1, 13):
+                if native.raw_deflate(payload, lvl) == comp:
+                    self.exact_level = ("libdeflate", lvl)
+                    return self.exact_level
         return None
 
     def mgzip_info(self):
-        lvl = self.discover_level()
-        if lvl is None or not self.uniform_headers or \
+        disc = self.discover_level()
+        if disc is None or not self.uniform_headers or \
                 self.header_template is None or \
                 self.header_template[10:12] != b"\x06\x00":  # XLEN == 6 (BC only)
             return {"kind": "bgzf", "exact": False}
-        return {"kind": "bgzf", "exact": True, "level": lvl,
+        lib, lvl = disc
+        return {"kind": "bgzf", "exact": True, "level": lvl, "lib": lib,
                 "header": self.header_template.hex()}
 
     def close(self):
@@ -195,17 +210,27 @@ class ExactBgzfWriter:
     """Re-emit a BGZF file byte-exactly from recorded isizes + level +
     header template (only when discover_level matched)."""
 
-    def __init__(self, fileobj, isizes, level: int, header: bytes):
+    def __init__(self, fileobj, isizes, level: int, header: bytes,
+                 lib: str = "zlib"):
         self.f = fileobj
         self.isizes = list(isizes)
         self.level = level
         self.header = header
+        self.lib = lib
         self.buf = bytearray()
         self.block_i = 0
 
     def _emit(self, payload: bytes):
-        co = zlib.compressobj(self.level, zlib.DEFLATED, -15)
-        comp = co.compress(payload) + co.flush()
+        if not payload:
+            # empty block (EOF marker): canonical 2-byte zlib-style final
+            # block, constant across writer libraries (htslib bgzf.c)
+            comp = b"\x03\x00"
+        elif self.lib == "libdeflate":
+            from .. import native
+            comp = native.raw_deflate(payload, self.level)
+        else:
+            co = zlib.compressobj(self.level, zlib.DEFLATED, -15)
+            comp = co.compress(payload) + co.flush()
         # template = 12 fixed bytes (magic..XLEN); BC subfield + BSIZE follow
         bsize = len(comp) + len(self.header) + 6 + 8
         self.f.write(self.header)
@@ -230,7 +255,7 @@ class ExactBgzfWriter:
             if b1 > b0:
                 blob = native.bgzf_deflate_exact(
                     bytes(self.buf[:acc]), np.asarray(isz[b0:b1], np.uint32),
-                    self.level, self.header)
+                    self.level, self.header, lib_kind=self.lib)
                 self.f.write(blob)
                 del self.buf[:acc]
                 self.block_i = b1
@@ -253,7 +278,8 @@ class ExactBgzfWriter:
             need = int(isz.sum())
             assert len(self.buf) == need, "BGZF-exact: plaintext/isize mismatch"
             blob = native.bgzf_deflate_exact(bytes(self.buf), isz,
-                                             self.level, self.header)
+                                             self.level, self.header,
+                                             lib_kind=self.lib)
             self.f.write(blob)
             self.buf.clear()
             self.block_i = len(self.isizes)
