@@ -479,6 +479,11 @@ class VcfDT(DataType):
     def _ad_sums(cls, col):
         """Per-row sum of a comma-int list (AD); pred for DP
         (reference src/vcf_gatk.c: DP == sum of AD in GATK output)."""
+        from .. import native as _nat
+        if _nat.available():
+            sums, _m1, _m2, _nv, ok = _nat.int_list_stats(col.data,
+                                                          col.offsets)
+            return sums, ok
         vals, f_of, _nseg, ok = cls._comma_ints(col)
         sums = np.bincount(f_of, weights=np.where(ok[f_of], vals, 0),
                            minlength=len(col)).astype(np.int64)
@@ -489,6 +494,12 @@ class VcfDT(DataType):
         """GATK GQ prediction: second-lowest PL minus lowest, capped at 99
         (reference src/vcf_gatk.c GQ-from-PL). Per-row mins via reduceat —
         no global sort."""
+        from .. import native as _nat
+        if _nat.available():
+            _s, m1, m2, nv, ok = _nat.int_list_stats(col.data, col.offsets)
+            ok = ok & (nv >= 2)
+            pred = np.where(ok, np.minimum(m2 - m1, 99), 0)
+            return pred, ok
         n = len(col)
         vals, f_of, nseg, ok = cls._comma_ints(col)
         ok &= nseg >= 2
@@ -528,9 +539,16 @@ class VcfDT(DataType):
             return False
         C = len(cells)
         data = cells.data
-        cp = np.nonzero(data == ord(":"))[0]
-        ncol = ragged.count_sep_per_row(cells, ord(":"))
-        ncnt = ncol + 1
+        from .. import native as _nat
+        f_start = f_len = None
+        if _nat.available():
+            # one-pass native split (no colon-position nonzero/cumsum pass)
+            f_start, f_len, nf = _nat.split_fields(data, cells.offsets,
+                                                   ord(":"), T)
+            ncnt = nf.astype(np.int64)
+        else:
+            ncol = ragged.count_sep_per_row(cells, ord(":"))
+            ncnt = ncol + 1
         bad = (ncnt > T) | (cells.lens == 0)
         ncnt = np.where(bad, 0, ncnt)
         if bad.any():
@@ -540,18 +558,24 @@ class VcfDT(DataType):
         if bad.any() or (ncnt != T).any():
             ctxs["SMPNC"] = VBCtx("SMPNC", MODE_NUM, local=ncnt.astype(np.int64),
                                   cat="int")
-        fc = np.concatenate([[0], np.cumsum(ncol)])  # first colon of cell
-        cpx = np.concatenate([cp, [0]])  # safe index
+        if f_start is None:
+            cp = np.nonzero(data == ord(":"))[0]
+            fc = np.concatenate([[0], np.cumsum(ncol)])  # first colon of cell
+            cpx = np.concatenate([cp, [0]])  # safe index
         vals_by_t, sel_by_t = {}, {}
         for t in range(T):
             sel = np.nonzero(ncnt > t)[0]
             if sel.shape[0] == 0:
                 continue
-            st = np.where(t == 0, cells.offsets[:-1][sel],
-                          cpx[fc[sel] + t - 1] + 1)
-            en = np.where(ncnt[sel] - 1 == t, cells.offsets[1:][sel],
-                          cpx[np.minimum(fc[sel] + t, cp.shape[0] - 1 if cp.shape[0] else 0)])
-            vals_by_t[t] = ragged.gather_ranges(data, st, en - st)
+            if f_start is not None:
+                vals_by_t[t] = ragged.gather_ranges(
+                    data, f_start[t][sel], f_len[t][sel].astype(np.int64))
+            else:
+                st = np.where(t == 0, cells.offsets[:-1][sel],
+                              cpx[fc[sel] + t - 1] + 1)
+                en = np.where(ncnt[sel] - 1 == t, cells.offsets[1:][sel],
+                              cpx[np.minimum(fc[sel] + t, cp.shape[0] - 1 if cp.shape[0] else 0)])
+                vals_by_t[t] = ragged.gather_ranges(data, st, en - st)
             sel_by_t[t] = sel
         # GATK cross-tag predictions (src/vcf_gatk.c:915 analog): per-cell
         # DP pred = sum(AD), GQ pred = 2nd-lowest PL - lowest, capped 99.
@@ -594,10 +618,12 @@ class VcfDT(DataType):
                 continue
             mux = None
             if tg is not None and t != tg:
-                key = dosage[sel].astype(np.int64)
+                # int8 key keeps numpy's stable argsort on the O(n) radix
+                # path; the DP-mux key needs the wide int64 form
+                key = dosage[sel]
                 if tags[t] in (b"PL", b"GL", b"GP") and \
                         dpv_cell is not None:
-                    key = key * (1 << 32) + dpv_cell[sel]
+                    key = key.astype(np.int64) * (1 << 32) + dpv_cell[sel]
                 if key.shape[0] > 2 and (key != key[0]).any():
                     mux = np.argsort(key, kind="stable")
                     vals = ragged.take(vals, mux)

@@ -110,7 +110,20 @@ def get():
             lib.gxz_copy_ranges.restype = None
             lib.gxz_copy_ranges.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
                                             ctypes.c_void_p, ctypes.c_void_p,
-                                            ctypes.c_void_p, ctypes.c_int64]
+                                            ctypes.c_void_p, ctypes.c_int64,
+                                            ctypes.c_int64, ctypes.c_int64,
+                                            ctypes.c_int]
+            lib.gxz_int_list_stats.restype = None
+            lib.gxz_int_list_stats.argtypes = [ctypes.c_void_p,
+                                               ctypes.c_void_p,
+                                               ctypes.c_int64, ctypes.c_void_p,
+                                               ctypes.c_void_p, ctypes.c_void_p,
+                                               ctypes.c_void_p, ctypes.c_void_p]
+            lib.gxz_split_fields.restype = None
+            lib.gxz_split_fields.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                             ctypes.c_int64, ctypes.c_uint8,
+                                             ctypes.c_int, ctypes.c_void_p,
+                                             ctypes.c_void_p, ctypes.c_void_p]
             lib.gxz_row_hash.restype = None
             lib.gxz_row_hash.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
                                          ctypes.c_int64, ctypes.c_void_p]
@@ -376,7 +389,11 @@ def pbwt_decode(Y: np.ndarray) -> np.ndarray:
 
 
 def copy_ranges(src: np.ndarray, src_starts: np.ndarray, dst: np.ndarray,
-                dst_starts: np.ndarray, lens: np.ndarray):
+                dst_starts: np.ndarray, lens: np.ndarray,
+                packed: bool = False):
+    """packed=True enables the fixed-16-byte fast path for tiny rows —
+    safe only when dst rows are written packed ascending (gather), NOT for
+    scatter (interleave)."""
     lib = get()
     n = lens.shape[0]
     src_starts = np.ascontiguousarray(src_starts, dtype=np.int64)
@@ -384,7 +401,42 @@ def copy_ranges(src: np.ndarray, src_starts: np.ndarray, dst: np.ndarray,
     lens = np.ascontiguousarray(lens, dtype=np.int64)
     lib.gxz_copy_ranges(src.ctypes.data, src_starts.ctypes.data,
                         dst.ctypes.data, dst_starts.ctypes.data,
-                        lens.ctypes.data, n)
+                        lens.ctypes.data, n, src.shape[0], dst.shape[0],
+                        1 if packed else 0)
+
+
+def int_list_stats(data: np.ndarray, offsets: np.ndarray):
+    """Per-row (sum, min1, min2, nvals, ok) of strict comma-int lists
+    (VCF AD/PL; tokenizer keep-rules)."""
+    lib = get()
+    C = offsets.shape[0] - 1
+    data = np.ascontiguousarray(data)
+    offsets = np.ascontiguousarray(offsets, np.int64)
+    sums = np.empty(C, np.int64)
+    m1 = np.empty(C, np.int64)
+    m2 = np.empty(C, np.int64)
+    nv = np.empty(C, np.int32)
+    ok = np.empty(C, np.uint8)
+    lib.gxz_int_list_stats(data.ctypes.data, offsets.ctypes.data, C,
+                           sums.ctypes.data, m1.ctypes.data, m2.ctypes.data,
+                           nv.ctypes.data, ok.ctypes.data)
+    return sums, m1, m2, nv, ok.astype(bool)
+
+
+def split_fields(data: np.ndarray, offsets: np.ndarray, sep: int, T: int):
+    """One-pass ragged field split: returns (f_start (T,C) i64,
+    f_len (T,C) i32, nfields (C,) i32 — T+1 signals overflow)."""
+    lib = get()
+    C = offsets.shape[0] - 1
+    data = np.ascontiguousarray(data)
+    offsets = np.ascontiguousarray(offsets, np.int64)
+    f_start = np.empty((T, C), np.int64)
+    f_len = np.empty((T, C), np.int32)
+    nfields = np.empty(C, np.int32)
+    lib.gxz_split_fields(data.ctypes.data, offsets.ctypes.data, C, sep, T,
+                         f_start.ctypes.data, f_len.ctypes.data,
+                         nfields.ctypes.data)
+    return f_start, f_len, nfields
 
 
 def bam_scan(data: np.ndarray, max_records: int):

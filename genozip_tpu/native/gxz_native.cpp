@@ -816,9 +816,115 @@ void gxz_pbwt_decode(const uint8_t* Y, int64_t n, int64_t H, uint8_t* A) {
 // ---------------------------------------------------------------------------
 void gxz_copy_ranges(const uint8_t* src, const int64_t* src_starts,
                      uint8_t* dst, const int64_t* dst_starts,
-                     const int64_t* lens, int64_t n) {
+                     const int64_t* lens, int64_t n,
+                     int64_t src_size, int64_t dst_size, int packed) {
+    if (packed) {
+        // ragged columns are mostly tiny rows (VCF cells, SAM fields); a
+        // fixed 16-byte copy beats memcpy's length dispatch. Safe ONLY for
+        // packed ascending gathers (dst row i+1 starts at dst row i's end):
+        // spill into the next row's span is overwritten by the next
+        // iteration. NOT safe for scatter (interleave) callers.
+        for (int64_t i = 0; i < n; i++) {
+            int64_t l = lens[i], ss = src_starts[i], ds = dst_starts[i];
+            if (l <= 16 && ss + 16 <= src_size && ds + 16 <= dst_size)
+                memcpy(dst + ds, src + ss, 16);
+            else
+                memcpy(dst + ds, src + ss, (size_t)l);
+        }
+        return;
+    }
     for (int64_t i = 0; i < n; i++)
         memcpy(dst + dst_starts[i], src + src_starts[i], (size_t)lens[i]);
+}
+
+// ---------------------------------------------------------------------------
+// Per-row stats of strict comma-int lists "int(,int)*" (VCF AD/PL cells;
+// reference src/vcf_gatk.c DP=sum(AD), GQ=PL2-PL1).  Keep-rules match the
+// tokenizer spec exactly (ZIP pred == PIZ recompute): each segment is 1..18
+// digits, no leading zero unless single digit.  ok=0 rows report all zeros
+// except min1/min2 = INT64_MAX.  min2 counts duplicates (two equal minima
+// -> min2 == min1), matching the mask-first-occurrence numpy formulation.
+// ---------------------------------------------------------------------------
+void gxz_int_list_stats(const uint8_t* data, const int64_t* offsets,
+                        int64_t C, int64_t* sums, int64_t* min1,
+                        int64_t* min2, int32_t* nvals, uint8_t* ok) {
+    for (int64_t i = 0; i < C; i++) {
+        int64_t p = offsets[i], end = offsets[i + 1];
+        int64_t s = 0, m1 = INT64_MAX, m2 = INT64_MAX;
+        int32_t k = 0;
+        bool good = p < end;
+        while (good && p < end) {
+            int64_t st = p;
+            int64_t v = 0;
+            while (p < end && data[p] >= '0' && data[p] <= '9') {
+                v = v * 10 + (data[p] - '0');
+                p++;
+            }
+            int64_t dl = p - st;
+            if (dl < 1 || dl > 18 || (dl > 1 && data[st] == '0')) {
+                good = false;
+                break;
+            }
+            k++;
+            s += v;
+            if (v < m1) { m2 = m1; m1 = v; }
+            else if (v < m2) m2 = v;
+            if (p < end) {
+                if (data[p] != ',') { good = false; break; }
+                p++;
+                if (p == end) { good = false; break; }  // trailing comma
+            }
+        }
+        if (good) {
+            sums[i] = s; min1[i] = m1; min2[i] = m2;
+            nvals[i] = k; ok[i] = 1;
+        } else {
+            sums[i] = 0; min1[i] = INT64_MAX; min2[i] = INT64_MAX;
+            nvals[i] = 0; ok[i] = 0;
+        }
+    }
+}
+
+// ---------------------------------------------------------------------------
+// One-pass ragged field split (VCF FORMAT cells, sub-field lists): for each
+// row, split on `sep` into at most T fields; field t of row i goes to
+// f_start[t*C+i] / f_len[t*C+i] (tag-major so each tag's ranges are a
+// contiguous slice).  nfields[i] = number of fields in row i (capped T+1 to
+// signal overflow).  Replaces the colon-position nonzero/cumsum/fancy-index
+// machinery (reference src/vcf_samples.c:1601 per-tag walk).
+// ---------------------------------------------------------------------------
+void gxz_split_fields(const uint8_t* data, const int64_t* offsets, int64_t C,
+                      uint8_t sep, int T, int64_t* f_start, int32_t* f_len,
+                      int32_t* nfields) {
+    for (int64_t t = 0; t < (int64_t)T; t++) {
+        int64_t* fs = f_start + t * C;
+        int32_t* fl = f_len + t * C;
+        memset(fl, 0, (size_t)C * 4);
+        // start defaults matter only where len>0; leave fs uninitialized
+        (void)fs;
+    }
+    for (int64_t i = 0; i < C; i++) {
+        int64_t p = offsets[i], end = offsets[i + 1];
+        if (p == end) { nfields[i] = 0; continue; }
+        int t = 0;
+        int64_t st = p;
+        while (p < end && t < T) {
+            if (data[p] == sep) {
+                f_start[(size_t)t * C + i] = st;
+                f_len[(size_t)t * C + i] = (int32_t)(p - st);
+                t++;
+                st = p + 1;
+            }
+            p++;
+        }
+        if (t < T) {
+            f_start[(size_t)t * C + i] = st;
+            f_len[(size_t)t * C + i] = (int32_t)(end - st);
+            nfields[i] = t + 1;
+        } else {
+            nfields[i] = T + 1;  // overflow: more fields than T
+        }
+    }
 }
 
 // ---------------------------------------------------------------------------

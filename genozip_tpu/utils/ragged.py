@@ -72,7 +72,7 @@ def gather_ranges(data: np.ndarray, starts: np.ndarray, lens: np.ndarray) -> Col
     if native.available() and starts.shape[0] > 64:
         out = np.empty(total, dtype=np.uint8)
         data = np.ascontiguousarray(data)
-        native.copy_ranges(data, starts, out, offsets[:-1], lens)
+        native.copy_ranges(data, starts, out, offsets[:-1], lens, packed=True)
         return Col(out, offsets)
     # single repeat: src[i] = starts[row] + (i - offsets[row])
     src = np.repeat(starts - offsets[:-1], lens)
