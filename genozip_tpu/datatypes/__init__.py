@@ -53,7 +53,22 @@ class DataType:
         self.segconf["avg_line_len"] = round(avg, 1)
 
     def suggested_vb_size(self) -> int | None:
-        return None
+        """File-size-aware VB sizing (reference segconf.c:101
+        segconf_set_vb_size): aim for enough VBs to keep the dispatcher fed
+        while amortizing per-VB dict/codec overhead on big files.
+        Deterministic — depends only on the recorded size estimate."""
+        est = self.segconf.get("txt_size_est")
+        if not est:
+            return None
+        import os
+        workers = max(os.cpu_count() or 1, 1)
+        target_vbs = max(4 * workers, 16)
+        vb = est // target_vbs
+        lo, hi = 4 << 20, 64 << 20
+        vb = max(lo, min(hi, vb))
+        # round down to a power of two for stable, cache-friendly sizes
+        p = 1 << (int(vb).bit_length() - 1)
+        return p
 
     def seg_vb(self, data: np.ndarray) -> VBSegResult:
         raise NotImplementedError

@@ -49,9 +49,10 @@ class FastqDT(DataType):
     def suggested_vb_size(self):
         # long reads want bigger VBs so per-VB dict/codec overheads amortize
         # (reference: vb sizing segconf.c:101,459)
+        base = super().suggested_vb_size()
         if self.segconf.get("is_long_reads"):
-            return 64 << 20
-        return None
+            return max(base or 0, 64 << 20)
+        return base
 
     def vb_boundary(self, data: np.ndarray, is_eof: bool) -> int:
         if is_eof:

@@ -37,6 +37,59 @@ class VcfDT(DataType):
     def read_txt_header(self, reader) -> bytes:
         return reader.read_header_lines(b"#")
 
+    def segconf_scan(self, sample: np.ndarray):
+        """VCF calibration (reference src/segconf.h:88-340 VCF subset +
+        src/vcf_header.c): sample count from the #CHROM line, annotator
+        detection from ##INFO definitions (VEP CSQ / snpEff ANN), FORMAT
+        tags + GT presence/ploidy from the first data rows."""
+        super().segconf_scan(sample)
+        sc = self.segconf
+        text = sample.tobytes()
+        data_rows = []
+        for ln in text.split(b"\n"):
+            if ln.startswith(b"##"):
+                if ln.startswith(b"##INFO=<ID=CSQ"):
+                    sc["annotator"] = "vep"
+                elif ln.startswith(b"##INFO=<ID=ANN"):
+                    sc["annotator"] = "snpeff"
+                elif b"source=" in ln[:40]:
+                    src = ln.split(b"source=", 1)[1][:32]
+                    for caller in (b"GATK", b"DRAGEN", b"manta",
+                                   b"DeepVariant", b"freebayes"):
+                        if caller.lower() in src.lower():
+                            sc["caller"] = caller.decode().lower()
+            elif ln.startswith(b"#CHROM"):
+                ncols = ln.count(b"\t") + 1
+                sc["n_samples"] = max(ncols - 9, 0)
+            elif ln and not ln.startswith(b"#"):
+                data_rows.append(ln)
+                if len(data_rows) >= 50:
+                    break
+        fmt_tags = set()
+        ploidy = None
+        for ln in data_rows:
+            cols = ln.split(b"\t")
+            if len(cols) > 9:
+                for t in cols[8].split(b":"):
+                    if t:
+                        fmt_tags.add(t.decode("latin1", "replace"))
+                if b"GT" in cols[8].split(b":"):
+                    gt = cols[9].split(b":")[0]
+                    ploidy = gt.count(b"/") + gt.count(b"|") + 1
+        if fmt_tags:
+            sc["format_tags"] = sorted(fmt_tags)
+            sc["has_gt"] = "GT" in fmt_tags
+        if ploidy is not None:
+            sc["ploidy"] = ploidy
+
+    def suggested_vb_size(self):
+        # many-sample VCFs amortize dict/codec overhead (and the PBWT
+        # haplotype matrix gains context depth) with bigger VBs
+        base = super().suggested_vb_size()
+        if self.segconf.get("n_samples", 0) >= 64:
+            return max(base or 0, 32 << 20)
+        return base
+
     def seg_vb(self, data: np.ndarray) -> VBSegResult:
         lines, no_final_nl = _lines_of(data)
         n = len(lines)

@@ -52,6 +52,18 @@ class TxtReader:
         self.f = open_input(path)
         self.buf = b""
         self.eof = False
+        # on-disk size + compressed-ness for segconf vb_size auto-tuning
+        # (reference segconf.c:101 segconf_set_vb_size)
+        import os
+        self.disk_size = None
+        self.is_compressed = path.endswith(
+            (".gz", ".bgz", ".bam", ".bz2", ".xz", ".cram", ".bcf", ".ora"))
+        if path != "-" and not path.startswith(("http://", "https://",
+                                                "ftp://")):
+            try:
+                self.disk_size = os.path.getsize(path)
+            except OSError:
+                pass
         # --truncate (reference zip.c:774): tolerate inputs cut mid-record /
         # mid-gz-member — compress the whole-record prefix
         self.truncate = truncate

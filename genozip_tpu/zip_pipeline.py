@@ -317,6 +317,11 @@ def _open_component(in_path, dt_name, reference, truncate=False):
         from .ref.refstore import load_ref_file
         dt.ref = load_ref_file(reference)
     dt.segconf_scan(np.frombuffer(head, dtype=np.uint8))
+    # plaintext size estimate for vb_size auto-tuning (segconf.c:101):
+    # compressed inputs assume the typical ~3x gz ratio of genomic text
+    if reader.disk_size:
+        est = reader.disk_size * (3 if reader.is_compressed else 1)
+        dt.segconf["txt_size_est"] = int(est)
     return reader, dt, dt_name
 
 
