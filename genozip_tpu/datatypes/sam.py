@@ -103,6 +103,19 @@ class SamDT(DataType):
                 if len(fld) >= 5 and fld[2:3] == b":":
                     tags.add(fld[:2].decode("latin1"))
         self.segconf["aux_tags"] = sorted(tags)
+        # SAG flavor (reference sections.h:32-38 SAG_BY_SA/NH/CC/SOLO/FLAG):
+        # which grouping evidence the sample carries. The store itself is
+        # flavor-agnostic (qname join); the flavor picks the predictors —
+        # BY_SA adds the composed-SA-entry prefix prediction (sam_tags.py
+        # sa_pred_seg), BY_NH/CC/FLAG fall back to SEQ/QUAL copy only.
+        if "SA" in tags:
+            self.segconf["sag_type"] = "SA"
+        elif "NH" in tags:
+            self.segconf["sag_type"] = "NH"
+        elif "CC" in tags:
+            self.segconf["sag_type"] = "CC"
+        elif self.segconf.get("has_depn"):
+            self.segconf["sag_type"] = "FLAG"
 
     def read_txt_header(self, reader) -> bytes:
         hdr = reader.read_header_lines(b"@")
@@ -381,9 +394,11 @@ class SamDT(DataType):
                 ctxs["SQBITMAP"].local.astype(bool), ctxs["SEQNM"].local,
                 ctxs["SEQMISP"].local, cigar, pos, rname, ref)
         mate = self.mate_rows(qname, pos, pnext) if len(qname) else None
+        sa_pred = self._sa_pred_col(sag_idx, len(qname))
         self._seg_aux(ctxs, aux, predict, qual=qual, seq=seq,
                       cigar=cigar, mate=mate,
-                      pos_v=pv_ if (len(pos) and pok_.all()) else None)
+                      pos_v=pv_ if (len(pos) and pok_.all()) else None,
+                      sa_pred=sa_pred)
 
         if bad_rows.shape[0]:
             uw, inv = dedup_col(ragged.take(lines, bad_rows))
@@ -926,8 +941,21 @@ class SamDT(DataType):
         runs_per_row = np.bincount(row[starts], minlength=len(seq_rows))
         return run_lens.astype(np.int64), runs_per_row.astype(np.int64)
 
+    def _sa_pred_col(self, sag_idx, n):
+        """Per-row predicted SA:Z leading entry (primary's composed
+        'rname,pos,strand,cigar,mapq,nm;'), empty rows where no SAG hit.
+        Identical at ZIP and PIZ (both rebuild the store from PRIM text)."""
+        sag = getattr(self, "sag_store", None)
+        if sag_idx is None or sag is None or sag.rname is None:
+            return None
+        hit = np.nonzero(sag_idx >= 0)[0]
+        if hit.shape[0] == 0:
+            return None
+        entries = sag.sa_entries(sag_idx[hit])
+        return ragged.merge_rows(n, [(hit, entries)])
+
     def _seg_aux(self, ctxs, aux, predict=None, qual=None, seq=None,
-                 cigar=None, mate=None, pos_v=None):
+                 cigar=None, mate=None, pos_v=None, sa_pred=None):
         """Per-tag AUX contexts (reference src/sam_fields.c: one context per
         aux tag keyed by DictId). Layout word per row = concatenated 4-byte
         'TG:t' prefixes (AUXL dict); per tag one value context AX<TG><t>.
@@ -1035,7 +1063,10 @@ class SamDT(DataType):
             if b3 == ord("Z"):
                 # mapper/platform-specific Z-tag predictors (sam_tags.py)
                 handled = None
-                if tag2 == b"XA" and pos_v is not None:
+                if tag2 == b"SA" and sa_pred is not None:
+                    handled = sam_tags.sa_pred_seg(name, vals, sa_pred,
+                                                   rows_t)
+                elif tag2 == b"XA" and pos_v is not None:
                     handled = sam_tags.xa_seg(name, vals, pos_v, rows_t)
                 elif tag2 == b"CR" and cb_col is not None:
                     handled = sam_tags.barcode_pred_seg(name, vals, cb_col,
@@ -1186,7 +1217,7 @@ class SamDT(DataType):
             ctxs.update(tokenizer_seg_col(name, vals, single_stream=True))
 
     def _recon_aux(self, pctxs, n, predict=None, qual=None, seq=None,
-                   cigar=None, mate=None, pos_v=None):
+                   cigar=None, mate=None, pos_v=None, sa_pred=None):
         """Rebuild the AUX remainder (leading-\\t convention) from AUXL
         layout + per-tag contexts."""
         layout = pctxs["AUXL"].dict_take()
@@ -1221,7 +1252,11 @@ class SamDT(DataType):
                 if b3 == ord("Z"):
                     # mapper/platform-specific Z-tag predictors (sam_tags.py)
                     col_z = None
-                    if tag2 == b"XA" and name + "F" in pctxs and \
+                    if tag2 == b"SA" and name + "P" in pctxs and \
+                            sa_pred is not None:
+                        col_z = sam_tags.sa_pred_recon(name, pctxs, sa_pred,
+                                                       rows_t)
+                    elif tag2 == b"XA" and name + "F" in pctxs and \
                             pos_v is not None:
                         col_z = sam_tags.xa_recon(name, pctxs, pos_v, rows_t)
                     elif tag2 == b"CR" and name + "P" in pctxs and \
@@ -1515,7 +1550,8 @@ class SamDT(DataType):
                 aux = self._recon_aux(pctxs, ng, predict, qual=qual,
                                       seq=seq, cigar=cigar, mate=mate,
                                       pos_v=pvr if (ng and pokr.all())
-                                      else None)
+                                      else None,
+                                      sa_pred=self._sa_pred_col(sag_idx, ng))
             else:
                 aux = tokenizer_recon_col("AUX", pctxs, ng)
             t = b"\t"

@@ -46,6 +46,38 @@ PARAM_VS_AS = 7          # tag:i = local + AS(row)
 PARAM_VS_MATE_AS = 10    # tag:i = local + AS(mate row) (bowtie2 YS)
 
 
+def sa_pred_seg(name: str, vals: Col, pred_by_row: Col,
+                rows_t: np.ndarray) -> dict:
+    """SA:Z of a DEPN row leads with its primary's composed entry
+    'rname,pos,strand,cigar,mapq,nm;' (reference src/sam_sag.c SAG_BY_SA):
+    store a per-row fit bitmap + only the remainder after the predicted
+    prefix. The prefix is recomputed at PIZ from the SAG store."""
+    from ..deep import cols_equal_rows
+    pred = ragged.take(pred_by_row, rows_t)
+    can = (pred.lens > 0) & (vals.lens >= pred.lens)
+    head = ragged.gather_ranges(vals.data, vals.offsets[:-1],
+                                np.where(can, pred.lens, 0))
+    # compare only rows where the prefix could fit (others have empty head)
+    eq = can & cols_equal_rows(head, pred)
+    rest_start = vals.offsets[:-1] + np.where(eq, pred.lens, 0)
+    rest = ragged.gather_ranges(vals.data, rest_start,
+                                vals.offsets[1:] - rest_start)
+    out = {name + "P": VBCtx(name + "P", MODE_NUM,
+                             local=eq.astype(np.int64), cat="int")}
+    out.update(tokenizer_seg_col(name, rest, single_stream=True))
+    return out
+
+
+def sa_pred_recon(name: str, pctxs, pred_by_row: Col,
+                  rows_t: np.ndarray) -> Col:
+    eq = pctxs[name + "P"].nums().astype(bool)
+    rest = tokenizer_recon_col(name, pctxs, rows_t.shape[0])
+    pred = ragged.take(pred_by_row, rows_t)
+    pm = ragged.gather_ranges(pred.data, pred.offsets[:-1],
+                              np.where(eq, pred.lens, 0))
+    return ragged.interleave([pm, rest])
+
+
 def dict_seg(name: str, vals: Col) -> dict:
     uw, inv = dedup_col(vals)
     return {name: VBCtx(name, MODE_DICT, b250=inv, vb_words=uw,

@@ -49,6 +49,42 @@ def qname_hash(col: Col) -> np.ndarray:
     return (h ^ (h >> np.uint64(31))) * np.uint64(0xBF58476D1CE4E5B9)
 
 
+def tag_int(aux: Col, tag: bytes) -> np.ndarray:
+    """Per-row int value of an aux tag (e.g. b'NM:i:'), -1 where absent.
+    Vectorized pattern scan over the whole aux text — no per-row python."""
+    n = len(aux)
+    out = np.full(n, -1, np.int64)
+    d = aux.data
+    tl = len(tag)
+    if d.shape[0] < tl or n == 0:
+        return out
+    m = np.ones(d.shape[0] - tl + 1, bool)
+    for j, b in enumerate(tag):
+        m &= d[j:d.shape[0] - tl + 1 + j] == b
+    hits = np.nonzero(m)[0]
+    if hits.shape[0] == 0:
+        return out
+    row = np.searchsorted(aux.offsets, hits, "right") - 1
+    at_start = (hits == aux.offsets[row]) | \
+        (d[np.maximum(hits - 1, 0)] == ord("\t"))
+    hits, row = hits[at_start], row[at_start]
+    # keep first occurrence per row
+    first = np.ones(hits.shape[0], bool)
+    first[1:] = row[1:] != row[:-1]
+    hits, row = hits[first], row[first]
+    vstart = hits + tl
+    vend = np.minimum(aux.offsets[row + 1], vstart + 19)
+    vals_col = ragged.gather_ranges(d, vstart, vend - vstart)
+    # trim at the first tab inside the gathered window
+    mat, lens = ragged.to_matrix(vals_col, fill=ord("\t"))
+    istab = mat == ord("\t")
+    wlen = np.where(istab.any(axis=1), istab.argmax(axis=1), lens)
+    vals_col = ragged.gather_ranges(d, vstart, wlen)
+    v, ok = ragged.atoi(vals_col)
+    out[row[ok]] = v[ok]
+    return out
+
+
 def _sam_lines(data: np.ndarray):
     nl = np.nonzero(data == ord("\n"))[0]
     if data.shape[0] and (nl.shape[0] == 0 or nl[-1] != data.shape[0] - 1):
@@ -71,9 +107,18 @@ class SagStore:
     a sorted-hash join (vectorized), with byte verification so a hash
     collision degrades to a miss (ratio), never a wrong match."""
 
-    def __init__(self, qname: Col, flag: np.ndarray, seq: Col, qual: Col):
+    def __init__(self, qname: Col, flag: np.ndarray, seq: Col, qual: Col,
+                 rname: Col | None = None, pos: np.ndarray | None = None,
+                 mapq: np.ndarray | None = None, cigar: Col | None = None,
+                 nm: np.ndarray | None = None):
         from .ops import pack as packops
         self.qname, self.flag = qname, flag
+        # SAG_BY_SA flavor columns (reference src/sam_sag.c SA-type groups):
+        # the primary's coordinates compose its SA entry
+        # "rname,pos,strand,cigar,mapq,nm" so a DEPN row's SA:Z prefix is
+        # predictable from the store alone (PIZ rebuilds the same store)
+        self.rname, self.pos, self.mapq = rname, pos, mapq
+        self.cigar, self.nm = cigar, nm
         self.seq_offsets = seq.offsets
         self.seq_packed, self.seq_exc_pos, self.seq_exc_bytes = \
             packops.seq_pack_2bit(seq.data)
@@ -100,10 +145,27 @@ class SagStore:
     @classmethod
     def from_text(cls, data: np.ndarray):
         lines = _sam_lines(data)
-        cols, _aux, good, bad = ragged.split_first_fields(lines, ord("\t"), 11)
+        cols, aux, good, bad = ragged.split_first_fields(lines, ord("\t"), 11)
         assert bad.shape[0] == 0, "PRIM component has malformed lines"
         flags, _ = ragged.atoi(cols[1])
-        return cls(cols[0], flags, cols[9], cols[10])
+        pos, _ = ragged.atoi(cols[3])
+        mapq, _ = ragged.atoi(cols[4])
+        nm = tag_int(aux, b"NM:i:")
+        return cls(cols[0], flags, cols[9], cols[10], rname=cols[2], pos=pos,
+                   mapq=mapq, cigar=cols[5], nm=nm)
+
+    def sa_entries(self, idx: np.ndarray) -> Col:
+        """Composed SA entry 'rname,pos,strand,cigar,mapq,nm;' of the
+        primaries at store rows idx (reference sam_sag.c: a DEPN's SA:Z
+        leads with its primary's entry)."""
+        strand = np.where(self.flag[idx] & FLAG_REV, ord("-"),
+                          ord("+")).astype(np.uint8)
+        strand_col = Col(strand, np.arange(idx.shape[0] + 1, dtype=np.int64))
+        return ragged.interleave(
+            [ragged.take(self.rname, idx), ragged.itoa(self.pos[idx]),
+             strand_col, ragged.take(self.cigar, idx),
+             ragged.itoa(self.mapq[idx]), ragged.itoa(self.nm[idx])],
+            sep_after=[b",", b",", b",", b",", b",", b";"])
 
     def _flat_positions(self, offsets: np.ndarray, idx: np.ndarray):
         lens = (offsets[1:] - offsets[:-1])[idx]

@@ -214,3 +214,82 @@ def test_sag_with_reference_interplay(tmp_path):
     o = src + ".out"
     piz_file(z, o, reference=ref_path)
     assert open(o, "rb").read() == data
+
+
+def synth_sa_sam(n=600, corrupt_frac=0.0):
+    """Primaries + supplementaries where each carries an SA:Z tag
+    (reference SAG_BY_SA): the supplementary's SA leads with the primary's
+    entry 'rname,pos,strand,cigar,mapq,nm;'."""
+    rng = np.random.default_rng(17)
+    rows = [b"@HD\tVN:1.6\n@SQ\tSN:c1\tLN:100000\n"]
+    for i in range(n):
+        seq = rng.choice(ACGT, 100).tobytes()
+        qual = rng.choice(np.frombuffer(b"FF:,#", np.uint8), 100).tobytes()
+        pos = 100 + i * 9
+        spos = pos + 700
+        # primary's SA lists the supplementary; supplementary's SA leads
+        # with the primary's entry
+        rows.append(
+            b"S%d\t0\tc1\t%d\t60\t100M\t*\t0\t0\t%s\t%s\tNM:i:0\t"
+            b"SA:Z:c1,%d,+,40M60H,30,1;\n" % (i, pos, seq, qual, spos))
+        sup = seq[:40]
+        supq = qual[:40]
+        sa = b"SA:Z:c1,%d,+,100M,60,0;" % pos
+        if corrupt_frac and rng.random() < corrupt_frac:
+            # same shape/entropy as the real entry but contradicts the
+            # store (pos off by one) -> prediction must miss, not corrupt
+            sa = b"SA:Z:c1,%d,-,100M,59,0;" % (pos + 1)
+        rows.append(b"S%d\t2048\tc1\t%d\t30\t40M60H\t*\t0\t0\t%s\t%s\t%s\n"
+                    % (i, spos, sup, supq, sa))
+    return b"".join(rows)
+
+
+def test_sag_by_sa_prediction(tmp_path):
+    """DEPN SA:Z prefix predicted from the SAG store (SAG_BY_SA flavor,
+    reference src/sam_sag.c): round-trip byte-exact and the SA residual
+    context nearly empty."""
+    data = synth_sa_sam()
+    src = os.path.join(str(tmp_path), "sa.sam")
+    open(src, "wb").write(data)
+    z = src + ".gxz"
+    zip_file(src, z, vb_size=256 * 1024)
+    o = src + ".out"
+    piz_file(z, o)
+    assert open(o, "rb").read() == data
+
+    # the depn component's SA contexts must be tiny: the whole value is the
+    # predicted prefix, so the residual stream is empty strings. Compare
+    # per-context SEC_STATS against a same-shape input whose SA values
+    # contradict the store (prediction must miss into the residual).
+    from genozip_tpu.format import sections as fmt
+
+    def sa_ctx_bytes(zpath):
+        pr = PizReader(zpath)
+        payload, _ = pr.zr.read_one(fmt.SEC_STATS)
+        per_ctx = fmt.json_parse(payload)
+        pr.close()
+        return sum(z_ for name, (_u, z_) in per_ctx.items()
+                   if name.startswith("AXSAZ"))
+
+    bad = synth_sa_sam(corrupt_frac=1.0)
+    src2 = os.path.join(str(tmp_path), "sa_bad.sam")
+    open(src2, "wb").write(bad)
+    z2 = src2 + ".gxz"
+    zip_file(src2, z2, vb_size=256 * 1024)
+    piz_file(z2, src2 + ".out")
+    assert open(src2 + ".out", "rb").read() == bad
+    good_sa, bad_sa = sa_ctx_bytes(z), sa_ctx_bytes(z2)
+    # predicted SA costs a fraction of the unpredicted residual
+    assert good_sa < bad_sa * 0.6, (good_sa, bad_sa)
+
+
+def test_sag_by_sa_mismatch_safe(tmp_path):
+    """SA values that contradict the store must fall into the residual
+    channel, never corrupt (fit-bitmap guard)."""
+    data = synth_sa_sam(corrupt_frac=0.3)
+    src = os.path.join(str(tmp_path), "sa_mix.sam")
+    open(src, "wb").write(data)
+    z = src + ".gxz"
+    zip_file(src, z, vb_size=256 * 1024)
+    piz_file(z, src + ".out")
+    assert open(src + ".out", "rb").read() == data
