@@ -426,6 +426,11 @@ class BamDT(SamDT):
     def _renibble(ascii_col: Col) -> Col:
         lens = ascii_col.lens
         nb = (lens + 1) // 2
+        if native.available():
+            out_off = np.concatenate([[0], np.cumsum(nb)])
+            nibbles = native.renibble(ascii_col.data, ascii_col.offsets,
+                                      NIB_OF, out_off)
+            return Col(nibbles, out_off)
         padded = np.zeros(ascii_col.data.shape[0] + len(ascii_col), np.uint8)
         # per-row 2-align: copy each row into 2*ceil(len/2) slots
         dst_off = np.concatenate([[0], np.cumsum(2 * nb)])

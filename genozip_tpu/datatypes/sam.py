@@ -1425,36 +1425,46 @@ class SamDT(DataType):
         assert nr_off[-1] == nonref.shape[0], "NONREF stream length mismatch"
 
         out_off = np.concatenate([[0], np.cumsum(lens.astype(np.int64))])
-        out = np.zeros(int(out_off[-1]), dtype=np.uint8)
-
-        # non-by-ref rows: one flat copy
-        un = np.nonzero(~by_ref)[0]
-        if un.shape[0]:
-            # one pseudo-op per non-by-ref row
-            opid, within = self._expand_ops(~by_ref, lens.astype(np.int64))
-            rows_u = opid
-            out[out_off[:-1][rows_u] + within] = \
-                nonref[nr_off[rows_u] + within]
-
-        # by-ref rows: match bytes from the genome, I/S bytes from NONREF
-        msel = self._MATCH_LUT[letters] & by_ref[oprow]
-        if msel.any():
-            opid, within = self._expand_ops(msel, oplen)
-            rows_m = oprow[opid]
-            dst = out_off[:-1][rows_m] + fo["roff"][opid] + within
-            gsrc = np.clip(gpos0[rows_m] + fo["goff"][opid] + within, 0,
-                           max(G - 1, 0))
-            out[dst] = packops.ACGT[ref.codes[gsrc]]
-        isel = self._INS_LUT[letters] & by_ref[oprow]
-        if isel.any():
-            # NONREF cursor before each I/S op = row base + prior I/S bytes
+        from .. import native as _nat
+        if _nat.available():
             ins_before = self._seg_excl_cumsum(
                 oplen * self._INS_LUT[letters], oprow, n)
-            opid, within = self._expand_ops(isel, oplen)
-            rows_i = oprow[opid]
-            dst = out_off[:-1][rows_i] + fo["roff"][opid] + within
-            src = nr_off[rows_i] + ins_before[opid] + within
-            out[dst] = nonref[src]
+            out = _nat.seq_recon(out_off, by_ref, gpos0, letters, oplen,
+                                 oprow, fo["roff"], fo["goff"], ins_before,
+                                 ref.codes, packops.ACGT, self._MATCH_LUT,
+                                 self._INS_LUT, nonref, nr_off)
+        else:
+            out = np.zeros(int(out_off[-1]), dtype=np.uint8)
+
+            # non-by-ref rows: one flat copy
+            un = np.nonzero(~by_ref)[0]
+            if un.shape[0]:
+                # one pseudo-op per non-by-ref row
+                opid, within = self._expand_ops(~by_ref,
+                                                lens.astype(np.int64))
+                rows_u = opid
+                out[out_off[:-1][rows_u] + within] = \
+                    nonref[nr_off[rows_u] + within]
+
+            # by-ref rows: match bytes from genome, I/S bytes from NONREF
+            msel = self._MATCH_LUT[letters] & by_ref[oprow]
+            if msel.any():
+                opid, within = self._expand_ops(msel, oplen)
+                rows_m = oprow[opid]
+                dst = out_off[:-1][rows_m] + fo["roff"][opid] + within
+                gsrc = np.clip(gpos0[rows_m] + fo["goff"][opid] + within, 0,
+                               max(G - 1, 0))
+                out[dst] = packops.ACGT[ref.codes[gsrc]]
+            isel = self._INS_LUT[letters] & by_ref[oprow]
+            if isel.any():
+                # NONREF cursor before each I/S op = row base + prior I/S
+                ins_before = self._seg_excl_cumsum(
+                    oplen * self._INS_LUT[letters], oprow, n)
+                opid, within = self._expand_ops(isel, oplen)
+                rows_i = oprow[opid]
+                dst = out_off[:-1][rows_i] + fo["roff"][opid] + within
+                src = nr_off[rows_i] + ins_before[opid] + within
+                out[dst] = nonref[src]
 
         # apply all mismatch patches at once (row-major order by build)
         mm_row_of = np.repeat(np.nonzero(by_ref)[0], nm)

@@ -113,6 +113,19 @@ def get():
                                             ctypes.c_void_p, ctypes.c_int64,
                                             ctypes.c_int64, ctypes.c_int64,
                                             ctypes.c_int]
+            lib.gxz_seq_recon.restype = None
+            lib.gxz_seq_recon.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+                ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_void_p]
+            lib.gxz_renibble.restype = None
+            lib.gxz_renibble.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                         ctypes.c_int64, ctypes.c_void_p,
+                                         ctypes.c_void_p, ctypes.c_void_p]
             lib.gxz_int_list_stats.restype = None
             lib.gxz_int_list_stats.argtypes = [ctypes.c_void_p,
                                                ctypes.c_void_p,
@@ -403,6 +416,52 @@ def copy_ranges(src: np.ndarray, src_starts: np.ndarray, dst: np.ndarray,
                         dst.ctypes.data, dst_starts.ctypes.data,
                         lens.ctypes.data, n, src.shape[0], dst.shape[0],
                         1 if packed else 0)
+
+
+def seq_recon(out_off, by_ref, gpos0, letters, oplen, oprow, roff, goff,
+              ins_before, ref_codes, acgt, match_lut, ins_lut, nonref,
+              nr_off) -> np.ndarray:
+    """One-pass CIGAR-driven SEQ rebuild (inverse of gxz_seq_diff);
+    mismatch patches applied by the caller."""
+    lib = get()
+    n = out_off.shape[0] - 1
+    out_off = np.ascontiguousarray(out_off, np.int64)
+    out = np.zeros(max(int(out_off[-1]), 1), np.uint8)
+    args = [np.ascontiguousarray(a, t) for a, t in (
+        (by_ref, np.uint8), (gpos0, np.int64), (letters, np.uint8),
+        (oplen, np.int64), (oprow, np.int64), (roff, np.int64),
+        (goff, np.int64), (ins_before, np.int64))]
+    ref_codes = np.ascontiguousarray(ref_codes)
+    acgt = np.ascontiguousarray(acgt, np.uint8)
+    m_lut = np.ascontiguousarray(match_lut, np.uint8)
+    i_lut = np.ascontiguousarray(ins_lut, np.uint8)
+    nonref = np.ascontiguousarray(nonref, np.uint8)
+    nr_off = np.ascontiguousarray(nr_off, np.int64)
+    lib.gxz_seq_recon(out.ctypes.data, out_off.ctypes.data, n,
+                      args[0].ctypes.data, args[1].ctypes.data,
+                      args[2].ctypes.data, args[3].ctypes.data,
+                      args[4].ctypes.data, args[5].ctypes.data,
+                      args[6].ctypes.data, args[7].ctypes.data,
+                      args[2].shape[0], ref_codes.ctypes.data,
+                      ref_codes.shape[0], acgt.ctypes.data,
+                      m_lut.ctypes.data, i_lut.ctypes.data,
+                      nonref.ctypes.data, nr_off.ctypes.data)
+    return out
+
+
+def renibble(data: np.ndarray, offsets: np.ndarray, nib_of: np.ndarray,
+             out_off: np.ndarray) -> np.ndarray:
+    """ASCII SEQ rows -> BAM 4-bit nibble rows (2-aligned per row)."""
+    lib = get()
+    n = offsets.shape[0] - 1
+    data = np.ascontiguousarray(data)
+    offsets = np.ascontiguousarray(offsets, np.int64)
+    out_off = np.ascontiguousarray(out_off, np.int64)
+    nib_of = np.ascontiguousarray(nib_of, np.uint8)
+    out = np.zeros(max(int(out_off[-1]), 1), np.uint8)
+    lib.gxz_renibble(data.ctypes.data, offsets.ctypes.data, n,
+                     nib_of.ctypes.data, out.ctypes.data, out_off.ctypes.data)
+    return out
 
 
 def int_list_stats(data: np.ndarray, offsets: np.ndarray):

@@ -1525,6 +1525,65 @@ int64_t gxz_seq_diff(
     return mm;
 }
 
+// Inverse of gxz_seq_diff: rebuild SEQ from the genome + NONREF stream in
+// one CIGAR-driven pass (PIZ side of src/sam_seg.c SEQ-vs-ref; mismatch
+// patches are applied by the caller — the patch list is tiny).
+// ins_before[k] = NONREF bytes consumed by earlier I/S ops of the same row.
+void gxz_seq_recon(
+    uint8_t* out, const int64_t* out_off, int64_t n,
+    const uint8_t* by_ref, const int64_t* gpos0,
+    const uint8_t* letters, const int64_t* oplen, const int64_t* oprow,
+    const int64_t* roff, const int64_t* goff, const int64_t* ins_before,
+    int64_t K, const uint8_t* ref_codes, int64_t G, const uint8_t* acgt,
+    const uint8_t* match_lut, const uint8_t* ins_lut,
+    const uint8_t* nonref, const int64_t* nr_off) {
+    int64_t k = 0;
+    for (int64_t row = 0; row < n; row++) {
+        uint8_t* dst0 = out + out_off[row];
+        if (!by_ref[row]) {
+            int64_t len = out_off[row + 1] - out_off[row];
+            memcpy(dst0, nonref + nr_off[row], (size_t)len);
+            while (k < K && oprow[k] == row) k++;
+            continue;
+        }
+        int64_t g0 = gpos0[row];
+        for (; k < K && oprow[k] == row; k++) {
+            uint8_t lt = letters[k];
+            int64_t len = oplen[k];
+            if (match_lut[lt]) {
+                uint8_t* d = dst0 + roff[k];
+                int64_t g = g0 + goff[k];
+                for (int64_t i = 0; i < len; i++) {
+                    int64_t gi = g + i;
+                    if (gi < 0) gi = 0;
+                    else if (gi >= G) gi = G - 1;
+                    d[i] = acgt[ref_codes[gi]];
+                }
+            } else if (ins_lut[lt]) {
+                memcpy(dst0 + roff[k], nonref + nr_off[row] + ins_before[k],
+                       (size_t)len);
+            }
+        }
+    }
+}
+
+// Pack per-row ASCII SEQ back into BAM 4-bit nibble rows (2-aligned per
+// row, high nibble first — PIZ half of bam_seg.c nibble handling).
+void gxz_renibble(const uint8_t* data, const int64_t* offsets, int64_t n,
+                  const uint8_t* nib_of, uint8_t* out,
+                  const int64_t* out_off) {
+    for (int64_t row = 0; row < n; row++) {
+        const uint8_t* s = data + offsets[row];
+        int64_t len = offsets[row + 1] - offsets[row];
+        uint8_t* d = out + out_off[row];
+        int64_t i = 0;
+        for (; i + 1 < len; i += 2)
+            d[i >> 1] = (uint8_t)((nib_of[s[i]] << 4) | nib_of[s[i + 1]]);
+        if (i < len)
+            d[i >> 1] = (uint8_t)(nib_of[s[i]] << 4);
+    }
+}
+
 // Scatter pure-match reads into still-unset genome positions (REF_INTERNAL
 // population, reference src/reference.c + ref_lock.c range writes). First
 // writer wins; blk_set saturation counters updated incrementally.

@@ -1452,11 +1452,15 @@ def decode_many_v6(bufs, S: int = 8, R: int = 8, interpret: bool = False):
     word_parts.append(np.zeros((LR + 24) * LANE_COLS, np.int32))
     words = np.concatenate(word_parts)
     import time as _time
+    _dargs = (jnp.asarray(np.asarray(metas, np.int32).T.copy()),
+              jnp.asarray(words), jnp.asarray(np.concatenate(tabs, axis=0)),
+              jnp.asarray(x0s))
+    if perf.get("capture"):
+        jax.block_until_ready(_dargs)
+        perf["resident"] = (decode_many_device_v6, _dargs,
+                            (N, S, R, G, interpret))
     _t0 = _time.perf_counter()
-    out = decode_many_device_v6(
-        jnp.asarray(np.asarray(metas, np.int32).T.copy()),
-        jnp.asarray(words), jnp.asarray(np.concatenate(tabs, axis=0)),
-        jnp.asarray(x0s), N, S, R, G, interpret)
+    out = decode_many_device_v6(*_dargs, N, S, R, G, interpret)
     jax.block_until_ready(out)
     perf["device_s"] = _time.perf_counter() - _t0
     plane = np.asarray(out)
@@ -1988,13 +1992,16 @@ def encode_many_o1_v6(datas, n_lanes: int = 1024, S: int = 8, R: int = 8,
         ctabA.append(np.zeros((AP, AP), np.float32))
         metas.append((0, 0))
     import time as _time
+    _dargs = (jnp.asarray(np.asarray(metas, np.int32).T.copy()),
+              jnp.asarray(syms), jnp.asarray(ctxs),
+              jnp.asarray(np.concatenate(ftabA, axis=0)),
+              jnp.asarray(np.concatenate(ctabA, axis=0)))
+    if perf.get("capture"):
+        jax.block_until_ready(_dargs)
+        perf["resident"] = (encode_many_o1_device_v6, _dargs,
+                            (N, S, R, AP, G, interpret))
     _t0 = _time.perf_counter()
-    blocks, sts = encode_many_o1_device_v6(
-        jnp.asarray(np.asarray(metas, np.int32).T.copy()),
-        jnp.asarray(syms), jnp.asarray(ctxs),
-        jnp.asarray(np.concatenate(ftabA, axis=0)),
-        jnp.asarray(np.concatenate(ctabA, axis=0)),
-        N, S, R, AP, G, interpret)
+    blocks, sts = encode_many_o1_device_v6(*_dargs, N, S, R, AP, G, interpret)
     jax.block_until_ready(blocks)
     perf["device_s"] = _time.perf_counter() - _t0
     blocks = np.asarray(blocks).reshape(G, S * LR + 8, R, LANE_COLS)
@@ -2061,11 +2068,14 @@ def encode_many_v6(datas, n_lanes: int = 1024, S: int = 8, R: int = 8,
         tabs.append(np.zeros((8, 256), np.float32))
         metas.append((0, 0))
     import time as _time
+    _dargs = (jnp.asarray(np.asarray(metas, np.int32).T.copy()),
+              jnp.asarray(syms), jnp.asarray(np.concatenate(tabs, axis=0)))
+    if perf.get("capture"):
+        jax.block_until_ready(_dargs)
+        perf["resident"] = (encode_many_device_v6, _dargs,
+                            (N, S, R, G, interpret))
     _t0 = _time.perf_counter()
-    blocks, sts = encode_many_device_v6(
-        jnp.asarray(np.asarray(metas, np.int32).T.copy()),
-        jnp.asarray(syms), jnp.asarray(np.concatenate(tabs, axis=0)),
-        N, S, R, G, interpret)
+    blocks, sts = encode_many_device_v6(*_dargs, N, S, R, G, interpret)
     jax.block_until_ready(blocks)
     perf["device_s"] = _time.perf_counter() - _t0
     blocks = np.asarray(blocks).reshape(G, S * LR + 8, R, LANE_COLS)
@@ -2166,12 +2176,16 @@ def decode_many_o1_v6(bufs, S: int = 8, R: int = 8,
     word_parts.append(np.zeros((LR + 24) * LANE_COLS, np.int32))
     words = np.concatenate(word_parts)
     import time as _time
+    _dargs = (jnp.asarray(np.asarray(metas, np.int32).T.copy()),
+              jnp.asarray(words), jnp.asarray(np.concatenate(ftabA, axis=0)),
+              jnp.asarray(np.concatenate(ctabA, axis=0)),
+              jnp.asarray(x0s))
+    if perf.get("capture"):
+        jax.block_until_ready(_dargs)
+        perf["resident"] = (decode_many_o1_device_v6, _dargs,
+                            (N, S, R, AP, G, interpret))
     _t0 = _time.perf_counter()
-    out = decode_many_o1_device_v6(
-        jnp.asarray(np.asarray(metas, np.int32).T.copy()),
-        jnp.asarray(words), jnp.asarray(np.concatenate(ftabA, axis=0)),
-        jnp.asarray(np.concatenate(ctabA, axis=0)),
-        jnp.asarray(x0s), N, S, R, AP, G, interpret)
+    out = decode_many_o1_device_v6(*_dargs, N, S, R, AP, G, interpret)
     jax.block_until_ready(out)
     perf["device_s"] = _time.perf_counter() - _t0
     plane = np.asarray(out)

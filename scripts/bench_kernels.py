@@ -71,11 +71,25 @@ def run_op(op, mb, r, n, s, verify=True):
         call()
         best_e2e = min(best_e2e, time.perf_counter() - t0)
         best_dev = min(best_dev, rans_pallas.perf["device_s"])
+    # kernel-only: re-invoke the jitted device fn with the SAME arrays,
+    # already resident (the axon relay h2d is ~20 MB/s and dominates
+    # device_s otherwise; production batches amortize transfers across a
+    # dp-batch, so the resident number is the kernel roofline figure)
+    rans_pallas.perf["capture"] = True
+    call()
+    rans_pallas.perf.pop("capture")
+    best_res = 1e9
+    dev_fn, dargs, statics = rans_pallas.perf.pop("resident")
     import jax
+    for _ in range(5):
+        t0 = time.perf_counter()
+        jax.block_until_ready(dev_fn(*dargs, *statics))
+        best_res = min(best_res, time.perf_counter() - t0)
     rec = {"op": op, "platform": jax.devices()[0].platform,
            "N": n, "S": s, "R": r, "MB": round(tot / 1e6, 1),
            "e2e_MBps": round(tot / 1e6 / best_e2e, 1),
            "device_MBps": round(tot / 1e6 / best_dev, 1),
+           "kernel_MBps": round(tot / 1e6 / best_res, 1),
            "bit_exact": bool(verify)}
     print(json.dumps(rec), flush=True)
     return rec
