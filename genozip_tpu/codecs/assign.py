@@ -89,7 +89,9 @@ def _strided_sample(a: np.ndarray, size: int) -> bytes:
 SPEED_MBPS = {NONE: 20000.0, RANS0: 140.0, RANS1: 90.0, PACK0: 120.0,
               PACK1: 85.0, ZLIB: 60.0, BZ2: 14.0, LZMA: 7.0, ACGT: 200.0,
               DELTA_RANS: 130.0, RLE0: 200.0, DOMQ: 130.0, STRIPE4: 80.0,
-              ARITH0: 55.0, ARITH1: 45.0}
+              # measured on the AVX-512 host (bucket-start decode search):
+              # the scalar adaptive coder must EARN its time over SIMD rANS
+              ARITH0: 32.0, ARITH1: 18.0}
 
 
 def _model_time(codec: int, nbytes: int) -> float:

@@ -1251,27 +1251,56 @@ struct Model {
     std::vector<uint32_t> total;   // nctx
     std::vector<uint32_t> pre;     // nctx*257 exclusive prefix (lazy)
     std::vector<uint8_t> dirty;    // per-context: pre[] is stale
+    std::vector<uint8_t> start;    // nctx*256 bucket->first-symbol (lazy)
+    std::vector<uint8_t> bsh;      // nctx: bucket shift (total-1)>>bsh<256
 
     explicit Model(int order) : nctx(order ? 256 : 1),
         freq((size_t)nctx * 256, 1), total(nctx, 256),
-        pre((size_t)nctx * 257, 0), dirty(nctx, 1) {}
+        pre((size_t)nctx * 257, 0), dirty(nctx, 3),
+        start((size_t)nctx * 256, 0), bsh(nctx, 0) {}
+    // dirty bit 0: pre[] stale (encode+decode); bit 1: start[] stale
+    // (decode-only — the encoder never searches, so it must not pay the
+    // bucket-table rebuild)
     inline const uint32_t* snap(int c) {
         uint32_t* p = &pre[(size_t)c * 257];
-        if (dirty[c]) {
+        if (dirty[c] & 1) {
             const uint32_t* f = &freq[(size_t)c * 256];
             uint32_t acc = 0;
             for (int i = 0; i < 256; i++) { p[i] = acc; acc += f[i]; }
             p[256] = acc;
-            dirty[c] = 0;
+            dirty[c] &= ~1;
         }
         return p;
     }
     inline void add(int c, int s, uint32_t d) {
         freq[(size_t)c * 256 + s] += d;
         total[c] += d;
-        dirty[c] = 1;
+        dirty[c] = 3;
     }
     // largest sym with prefix(sym) <= v; sets cum = prefix(sym).
+    // p = snap(c). Bucket table turns the per-symbol binary search into a
+    // short linear walk; rebuilt lazily per context.
+    inline int search_ctx(int c, const uint32_t* p, uint32_t v,
+                          uint32_t* cum) {
+        uint8_t* st = &start[(size_t)c * 256];
+        if (dirty[c] & 2) {
+            uint32_t tot = p[256];
+            int sh = 0;
+            while ((uint64_t)(tot - 1) >> sh >= 256) sh++;
+            bsh[c] = (uint8_t)sh;
+            int s = 0;
+            for (int b = 0; b < 256; b++) {
+                uint32_t v0 = (uint32_t)b << sh;
+                while (s < 255 && p[s + 1] <= v0) s++;
+                st[b] = (uint8_t)s;
+            }
+            dirty[c] &= ~2;
+        }
+        int s = st[v >> bsh[c]];
+        while (s < 255 && p[s + 1] <= v) s++;
+        *cum = p[s];
+        return s;
+    }
     // p = snap(c): strictly increasing, p[0]=0, p[256]=total.
     static inline int search(const uint32_t* p, uint32_t v, uint32_t* cum) {
         int lo = 0, hi = 255;            // invariant: p[lo] <= v < p[hi+1]
@@ -1289,7 +1318,7 @@ struct Model {
             for (int i = 0; i < 256; i++) { f[i] = (f[i] + 1) >> 1; tot += f[i]; }
             total[c] = tot;
         }
-        dirty[c] = 1;
+        dirty[c] = 3;
     }
 };
 
@@ -1429,7 +1458,7 @@ int64_t gxz_arith_decode(const uint8_t* in, int64_t in_len, uint8_t* out,
             uint32_t v = (code[l] - low[l]) / r;
             if (v > tot - 1) v = tot - 1;
             uint32_t c;
-            int s = arith::Model::search(model.snap(cx), v, &c);
+            int s = model.search_ctx(cx, model.snap(cx), v, &c);
             if (s > 255) s = 255;
             uint32_t f = model.freq[(size_t)cx * 256 + s];
             low[l] += c * r;
