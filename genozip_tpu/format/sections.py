@@ -40,7 +40,11 @@ SEC_REFERENCE = 9
 SEC_REF_HASH = 10
 SEC_REF_CONTIGS = 11
 SEC_RECON_PLAN = 12
-SEC_HUFFMAN = 13
+# 13 reserved: the reference's SEC_HUFFMAN (huffman.c canonical tables for
+# in-memory SAG/QNAME compaction) is deliberately superseded here — wide
+# rANS covers the on-disk role and the SAG store's fixed-width bit-packing
+# (sag.py) covers the random-access in-memory role, which is exactly where
+# byte-serial canonical huffman would fight the vectorized design.
 SEC_GENCOMP = 14
 SEC_REF_IUPACS = 15
 SEC_GZ_ISIZES = 16
