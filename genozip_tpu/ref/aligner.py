@@ -38,8 +38,9 @@ def _revcomp_codes(codes_mat: np.ndarray, lens: np.ndarray):
     """Reverse-complement each row of a (R, L) code matrix (rows padded)."""
     R, L = codes_mat.shape
     comp = codes_mat ^ 3
-    idx = lens[:, None] - 1 - np.arange(L)[None, :]
-    idx = np.clip(idx, 0, L - 1)
+    # idx <= L-1 by construction (lens <= L); only the pad-column lower
+    # bound needs clamping
+    idx = np.maximum(lens[:, None] - 1 - np.arange(L)[None, :], 0)
     return np.take_along_axis(comp, idx, axis=1)
 
 
@@ -75,10 +76,10 @@ def align_batch(ref: RefGenome, codes_mat: np.ndarray, lens: np.ndarray,
         # seed offsets spread over the read (clipped so kmer fits)
         for si in range(num_seeds):
             off = (lens - KMER) * si // max(num_seeds - 1, 1)
-            off = np.clip(off, 0, np.maximum(lens - KMER, 0))
+            off = np.minimum(np.maximum(off, 0), np.maximum(lens - KMER, 0))
             km = np.zeros(R, dtype=np.uint32)
+            # off in [0, lens-KMER] -> idx in [0, L-1] by construction
             idx = off[:, None] + np.arange(KMER)[None, :]
-            idx = np.clip(idx, 0, L - 1)
             window = np.take_along_axis(mat, idx, axis=1)
             for j in range(KMER):
                 km = (km << np.uint32(2)) | window[:, j].astype(np.uint32)
@@ -115,7 +116,7 @@ def align_batch(ref: RefGenome, codes_mat: np.ndarray, lens: np.ndarray,
         ok = (start >= 0) & (start + lens <= G)
         safe_start = np.where(ok, start, 0)
         gidx = safe_start[:, None] + pos_idx
-        gwin = ref.codes[np.clip(gidx, 0, G - 1)]
+        gwin = ref.codes[np.minimum(gidx, G - 1)]
         mat = codes_mat if direction == 1 else rc_mat
         mm = ((gwin != mat) & valid_mask_base).sum(axis=1)
         mm = np.where(ok, mm, BIG)
@@ -180,8 +181,8 @@ def _splice_pass(ref, codes_mat, rc_mat, lens, best_nmm, best_gpos, best_fwd,
     valid = pos < sub_lens[:, None]
     mat = np.where(best_fwd[rows, None], codes_mat[rows, :Ls],
                    rc_mat[rows, :Ls])
-    winA = ref.codes[np.clip(best_gpos[rows, None] + pos, 0, G - 1)]
-    winB = ref.codes[np.clip(sec_gpos[rows, None] + pos, 0, G - 1)]
+    winA = ref.codes[np.minimum(best_gpos[rows, None] + pos, G - 1)]
+    winB = ref.codes[np.minimum(sec_gpos[rows, None] + pos, G - 1)]
     eqA = ((mat == winA) & valid).astype(np.int64)
     eqB = ((mat == winB) & valid).astype(np.int64)
     base_matches = eqA.sum(axis=1)
@@ -235,7 +236,7 @@ def mismatch_lists(ref: RefGenome, seq_mat: np.ndarray, codes_mat: np.ndarray,
         safe2 = np.where(aligned, gpos2, 0)
         gstart = np.where(pos_idx < junction[:, None], gstart,
                           safe2[:, None])
-    gidx = np.clip(gstart + pos_idx, 0, max(G - 1, 0))
+    gidx = np.minimum(gstart + pos_idx, max(G - 1, 0))
     gwin = ref.codes[gidx]
     # stored orientation codes: fwd reads as-is; rev reads revcomp'd
     stored = np.where(is_fwd[:, None], codes_mat,
@@ -253,7 +254,7 @@ def mismatch_lists(ref: RefGenome, seq_mat: np.ndarray, codes_mat: np.ndarray,
 def _rev_seq(seq_mat: np.ndarray, lens: np.ndarray):
     """Reverse-complement ASCII rows (complement of non-ACGT = itself)."""
     R, L = seq_mat.shape
-    idx = np.clip(lens[:, None] - 1 - np.arange(L)[None, :], 0, L - 1)
+    idx = np.maximum(lens[:, None] - 1 - np.arange(L)[None, :], 0)
     rev = np.take_along_axis(seq_mat, idx, axis=1)
     comp = rev.copy()
     for a, b in ((b"A", b"T"), (b"C", b"G")):
@@ -279,7 +280,7 @@ def reconstruct_batch(ref: RefGenome, gpos: np.ndarray, lens: np.ndarray,
     if gpos2 is not None:
         gstart = np.where(pos_idx < junction[:, None], gstart,
                           gpos2[:, None])
-    gidx = np.clip(gstart + pos_idx, 0, max(G - 1, 0))
+    gidx = np.minimum(gstart + pos_idx, max(G - 1, 0))
     seq = packops.ACGT[ref.codes[gidx]]
     seq[mm_ridx, mm_pos] = mm_base
     # stored orientation is fwd-genome; reverse reads need revcomp back

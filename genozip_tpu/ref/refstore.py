@@ -302,9 +302,12 @@ def _load_ref_cache(path: str, cpath: str) -> RefGenome:
     meta = json.loads(bytes(mm[16:16 + mlen]).decode())
     o = 16 + mlen
     glen, nh, ni = meta["glen"], meta["nhash"], meta["niupac"]
-    codes = mm[o:o + glen]
+    # re-view as base ndarray: fancy-indexing a np.memmap subclass routes
+    # every gather through memmap.__getitem__ (measurably hot in the
+    # aligner); a plain ndarray view of the same mapping doesn't
+    codes = mm[o:o + glen].view(np.ndarray)
     o += glen + (-glen % 8)
-    refhash = mm[o:o + 4 * nh].view("<u4")
+    refhash = mm[o:o + 4 * nh].view("<u4").view(np.ndarray)
     o += 4 * nh
     iupac_pos = iupac_chars = None
     if ni:
