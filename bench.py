@@ -432,8 +432,11 @@ def main():
                          big_genome)
 
     from genozip_tpu import codecs
-    if os.environ.get("GXZ_DEVICE_RANS") == "1":
-        codecs.enable_device_rans(256 * 1024)
+    # device rANS: probed once per host and cached — enabled only where the
+    # device beats the native coder end-to-end (GXZ_DEVICE_RANS overrides)
+    tuned = codecs.autotune_device_rans()
+    print(f"# device rANS autotune: {'ON' if tuned else 'off (native wins)'}",
+          file=sys.stderr)
 
     # warmup (compile/alloc caches) on a slice
     from genozip_tpu.zip_pipeline import zip_file, zip_pair

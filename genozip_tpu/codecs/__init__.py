@@ -53,6 +53,82 @@ def enable_device_rans(min_size: int = 256 * 1024, batch: bool = True):
     _DEVICE_BATCH = batch
 
 
+def disable_device_rans():
+    global _JAX_MIN_SIZE, _DEVICE_BATCH
+    _JAX_MIN_SIZE = 1 << 62
+    _DEVICE_BATCH = False
+
+
+_DEVICE_TUNED = None
+
+
+def autotune_device_rans() -> bool:
+    """Enable the batched device (Pallas) rANS path iff it beats the native
+    coder END-TO-END on this host — i.e. including transfers (a tunneled
+    chip behind a ~20 MB/s relay loses to the AVX-512 host coder even
+    though the kernel alone does >1 GB/s; a locally-attached chip wins).
+    The probe costs one kernel compile, so the verdict is cached on disk
+    per (platform, device-kind). GXZ_DEVICE_RANS=1/0 overrides."""
+    global _DEVICE_TUNED
+    if _DEVICE_TUNED is not None:
+        return _DEVICE_TUNED
+    import os
+    force = os.environ.get("GXZ_DEVICE_RANS")
+    if force is not None:
+        _DEVICE_TUNED = force == "1"
+        if _DEVICE_TUNED:
+            enable_device_rans(256 * 1024)
+        return _DEVICE_TUNED
+    try:
+        import json
+        import time as _t
+        import jax
+        dev = jax.devices()[0]
+        if dev.platform == "cpu":
+            _DEVICE_TUNED = False
+            return False
+        key = f"{dev.platform}:{getattr(dev, 'device_kind', '?')}"
+        cpath = os.path.expanduser("~/.cache/gxz_device_tune.json")
+        cache = {}
+        try:
+            cache = json.load(open(cpath))
+        except Exception:
+            pass
+        if key in cache:
+            _DEVICE_TUNED = bool(cache[key])
+            if _DEVICE_TUNED:
+                enable_device_rans(256 * 1024)
+            return _DEVICE_TUNED
+        from .. import native
+        rng = np.random.default_rng(0)
+        data = rng.choice(np.frombuffer(b"!#-2<AFJ", np.uint8),
+                          2 << 20).tobytes()
+        datas = [data] * 8
+        enable_device_rans(256 * 1024)
+        compress_many_rans(datas, 0)                    # warm + compile
+        t0 = _t.perf_counter()
+        compress_many_rans(datas, 0)
+        td = _t.perf_counter() - t0
+        t0 = _t.perf_counter()
+        for d in datas:
+            (native.rans_encode(d, 0) if native.available()
+             else rans_np.encode(d, order=0))
+        tn = _t.perf_counter() - t0
+        _DEVICE_TUNED = td < tn * 0.9
+        if not _DEVICE_TUNED:
+            disable_device_rans()
+        try:
+            os.makedirs(os.path.dirname(cpath), exist_ok=True)
+            cache[key] = bool(_DEVICE_TUNED)
+            json.dump(cache, open(cpath, "w"))
+        except Exception:
+            pass
+    except Exception:
+        disable_device_rans()
+        _DEVICE_TUNED = False
+    return _DEVICE_TUNED
+
+
 def device_batch_min():
     """Payload size threshold for batched device encoding (0 = disabled)."""
     return _JAX_MIN_SIZE if _DEVICE_BATCH and _JAX_MIN_SIZE < (1 << 62) else 0

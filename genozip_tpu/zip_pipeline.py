@@ -10,6 +10,7 @@ VBs by read count, byte-identical R2 sections are dropped ("pair-identical",
 zip.c:223-234) and R2 GPOS is delta-coded against R1's ("pair-assisted").
 """
 
+import os
 import time
 import zlib
 
@@ -334,6 +335,13 @@ def zip_file(in_path: str, out_path: str, dt_name: str | None = None,
              threads: int | None = None):
     reader, dt, dt_name = _open_component(in_path, dt_name, reference,
                                           truncate=truncate)
+    # device rANS: default-on where an attached accelerator actually beats
+    # the native coder (probe cached per host; GXZ_DEVICE_RANS overrides).
+    # Only probe when a jax backend is already live or explicitly forced —
+    # initializing a backend just to reject it would claim the device.
+    import sys as _sys
+    if "jax" in _sys.modules or os.environ.get("GXZ_DEVICE_RANS"):
+        codecs.autotune_device_rans()
     if store_ref and getattr(dt, "ref", None) is not None:
         dt.ref.track_used = True  # REF_EXT_STORE usage tracking
     if mesh and getattr(dt, "ref", None) is not None:
