@@ -802,14 +802,18 @@ class VcfDT(DataType):
             pc = pctxs.get(name)
             mux = None
             if tg is not None and t != tg:
-                key = dosage[cells_t].astype(np.int64)
+                # int8 key keeps the stable argsort on numpy's O(n)
+                # radix path (same ORDER as the int64 form — only the
+                # sort algorithm differs, so ZIP/PIZ stay compatible)
+                key = dosage[cells_t]
                 if tags[t] in (b"PL", b"GL", b"GP") and td is not None \
                         and td in cols_by_t:
                     if dpv_cell is None:
                         ivd, iokd = ragged.atoi(cols_by_t[td])
                         dpv_cell = np.zeros(C, np.int64)
                         dpv_cell[cells_by_t[td]] = np.where(iokd, ivd, 0)
-                    key = key * (1 << 32) + dpv_cell[cells_t]
+                    key = key.astype(np.int64) * (1 << 32) + \
+                        dpv_cell[cells_t]
                 if key.shape[0] > 2 and (key != key[0]).any():
                     mux = np.argsort(key, kind="stable")
             if tags[t] == b"GT" and "PBWT" in pctxs:
@@ -817,7 +821,9 @@ class VcfDT(DataType):
             elif pc is not None and pc.mode == MODE_NUM:
                 local = pc.local.astype(np.int64)
                 if mux is not None:
-                    local = local[np.argsort(mux, kind="stable")]
+                    inv = np.empty_like(mux)
+                    inv[mux] = np.arange(mux.shape[0])
+                    local = local[inv]
                     mux = None
                 if pc.param == 8:     # DP = delta + sum(AD)
                     if dp_pred is None:
@@ -839,7 +845,9 @@ class VcfDT(DataType):
             else:
                 col = tokenizer_recon_col(name, pctxs, cells_t.shape[0])
             if mux is not None:
-                col = ragged.take(col, np.argsort(mux, kind="stable"))
+                inv = np.empty_like(mux)
+                inv[mux] = np.arange(mux.shape[0])
+                col = ragged.take(col, inv)
             cols_by_t[t] = col
             if t == tg:
                 dosage[cells_t] = self._gt_dosage(col)
