@@ -53,6 +53,10 @@ def build_parser():
                    help="compress a FASTA into a .ref.gxz reference")
     z.add_argument("--fast", action="store_true",
                    help="favor speed: fewer codec trials, 2-seed aligner")
+    z.add_argument("--optimize", action="store_true",
+                   help="LOSSY: bin QUAL to the Illumina 8-level scheme "
+                        "(genozip --optimize analog; the archive digest "
+                        "covers the modified data)")
     z.add_argument("--best", action="store_true",
                    help="favor ratio: wider codec trials, larger samples")
     z.add_argument("-@", "--threads", type=int, default=None,
@@ -185,7 +189,8 @@ def main(argv=None):
         if args.pair:
             assert args.input2, "--pair needs two FASTQ inputs"
             stats = zip_pair(args.input, args.input2[0], out, vb_size=vb,
-                             show_stats=args.stats, reference=args.reference)
+                             show_stats=args.stats, reference=args.reference,
+                             optimize=args.optimize)
         else:
             stats = zip_file(args.input, out, dt_name=args.dt, vb_size=vb,
                              show_stats=args.stats, reference=args.reference,
@@ -193,7 +198,7 @@ def main(argv=None):
                              bamass=args.bamass, truncate=args.truncate,
                              mesh=args.mesh, dp=args.dp,
                              store_ref=args.store_ref,
-                             threads=args.threads)
+                             threads=args.threads, optimize=args.optimize)
         if args.test:
             from .piz_pipeline import piz_file
             piz_file(out, None, reference=args.reference,

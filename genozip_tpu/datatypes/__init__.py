@@ -25,6 +25,7 @@ class DataType:
 
     def __init__(self, segconf=None):
         self.segconf = segconf or {}
+        self.optimize_enabled = False  # --optimize: lossy QUAL binning
 
     # --- ZIP side ---
     def read_txt_header(self, reader) -> bytes:
@@ -39,6 +40,11 @@ class DataType:
             return data.shape[0]
         nl = np.nonzero(data == ord("\n"))[0]
         return int(nl[-1]) + 1 if nl.shape[0] else 0
+
+    def optimize_vb(self, data: np.ndarray) -> np.ndarray:
+        """--optimize hook: lossy per-VB transform applied before seg
+        (reference sam_modify.c). Default: identity."""
+        return data
 
     def segconf_scan(self, sample: np.ndarray):
         """Inspect a sample to set segconf knobs (reference src/segconf.c:459

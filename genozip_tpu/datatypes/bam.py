@@ -446,6 +446,31 @@ class BamDT(SamDT):
         nibbles = (codes[0::2] << 4) | codes[1::2]
         return Col(nibbles, np.concatenate([[0], np.cumsum(nb)]))
 
+    def optimize_vb(self, data: np.ndarray) -> np.ndarray:
+        """--optimize: raw-Phred QUAL binning inside each BAM record
+        (reference sam_modify.c, is_bam path; 0xFF missing-qual bytes are
+        preserved by the raw LUT)."""
+        from ..optimize import PHRED_LUT_RAW
+        offsets, consumed = native.bam_scan(data, MAX_RECORDS_PER_VB)
+        if offsets.shape[0] == 0:
+            return data
+        off = offsets
+        l_rn = data[off + 12].astype(np.int64)
+        n_cig = _u16(data, off + 16).astype(np.int64)
+        l_seq = _u32(data, off + 20).astype(np.int64)
+        qs = off + 36 + l_rn + 4 * n_cig + (l_seq + 1) // 2
+        rows = np.nonzero(l_seq > 0)[0]
+        if rows.shape[0] == 0:
+            return data
+        ql = l_seq[rows]
+        total = int(ql.sum())
+        idx = ragged.arange(total) - np.repeat(
+            np.concatenate([[0], np.cumsum(ql)])[:-1], ql) + \
+            np.repeat(qs[rows], ql)
+        data = data.copy() if not data.flags.writeable else data
+        data[idx] = PHRED_LUT_RAW[data[idx]]
+        return data
+
     def vb_boundary(self, data: np.ndarray, is_eof: bool) -> int:
         offsets, consumed = native.bam_scan(data, MAX_RECORDS_PER_VB)
         if is_eof and consumed != data.shape[0]:

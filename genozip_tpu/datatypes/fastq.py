@@ -54,6 +54,27 @@ class FastqDT(DataType):
             return max(base or 0, 64 << 20)
         return base
 
+    def optimize_vb(self, data: np.ndarray) -> np.ndarray:
+        """--optimize: Illumina 8-level QUAL binning on line 4 of each
+        record (reference sam_modify.c optimize_phred_quality_string)."""
+        from ..optimize import PHRED_LUT
+        nl = np.nonzero(data == ord("\n"))[0]
+        if nl.shape[0] == 0:
+            return data
+        # qual lines are every 4th line (records are whole in a VB)
+        starts = np.concatenate([[0], nl[:-1] + 1])
+        q = np.arange(nl.shape[0]) % 4 == 3
+        qs, qe = starts[q], nl[q]
+        total = int((qe - qs).sum())
+        if total == 0:
+            return data
+        idx = ragged.arange(total) - np.repeat(
+            np.concatenate([[0], np.cumsum(qe - qs)])[:-1], qe - qs) + \
+            np.repeat(qs, qe - qs)
+        data = data.copy() if not data.flags.writeable else data
+        data[idx] = PHRED_LUT[data[idx]]
+        return data
+
     def vb_boundary(self, data: np.ndarray, is_eof: bool) -> int:
         if is_eof:
             return data.shape[0]

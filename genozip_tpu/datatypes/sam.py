@@ -117,6 +117,42 @@ class SamDT(DataType):
         elif self.segconf.get("has_depn"):
             self.segconf["sag_type"] = "FLAG"
 
+    def optimize_vb(self, data: np.ndarray) -> np.ndarray:
+        """--optimize: QUAL binning on field 11 of each alignment line
+        (reference sam_modify.c). Single-char QUAL ('*' = no qual) rows
+        are skipped."""
+        from ..optimize import PHRED_LUT
+        nl = np.nonzero(data == ord("\n"))[0]
+        if nl.shape[0] == 0:
+            return data
+        starts = np.concatenate([[0], nl[:-1] + 1])
+        lines = ragged.gather_ranges(data, starts, nl - starts)
+        keep = np.nonzero((lines.lens > 0) & (data[starts] != ord("@")))[0]
+        if keep.shape[0] == 0:
+            return data
+        body = ragged.take(lines, keep)
+        cols, _aux, good, _bad = ragged.split_first_fields(
+            body, ord("\t"), NUM_FIXED)
+        if good.shape[0] == 0:
+            return data
+        qual = cols[10]
+        # QUAL's offset within its line = len of fields 0..9 + their tabs
+        pre = np.zeros(good.shape[0], np.int64)
+        for c in cols[:10]:
+            pre += c.lens + 1
+        rows = np.nonzero(qual.lens > 1)[0]     # skip '*'
+        if rows.shape[0] == 0:
+            return data
+        qs = starts[keep][good][rows] + pre[rows]
+        ql = qual.lens[rows]
+        total = int(ql.sum())
+        idx = ragged.arange(total) - np.repeat(
+            np.concatenate([[0], np.cumsum(ql)])[:-1], ql) + \
+            np.repeat(qs, ql)
+        data = data.copy() if not data.flags.writeable else data
+        data[idx] = PHRED_LUT[data[idx]]
+        return data
+
     def read_txt_header(self, reader) -> bytes:
         hdr = reader.read_header_lines(b"@")
         if getattr(self, "ref", None) is None:

@@ -127,7 +127,8 @@ class TxtReader:
                 consumed = dt.vb_boundary(data, False)
                 if consumed == 0:
                     return
-                yield data[:consumed].copy()
+                vb = data[:consumed].copy()
+                yield dt.optimize_vb(vb) if dt.optimize_enabled else vb
                 return
             consumed = dt.vb_boundary(data, at_eof)
             if consumed == 0:
@@ -136,7 +137,8 @@ class TxtReader:
                         "input ends mid-record (use --truncate to accept)")
                 vb_size *= 2
                 continue
-            yield data[:consumed].copy()
+            vb = data[:consumed].copy()
+            yield dt.optimize_vb(vb) if dt.optimize_enabled else vb
             self.buf = self.buf[consumed:]
 
     def read_fastq_records(self, n: int) -> np.ndarray:

@@ -332,9 +332,10 @@ def zip_file(in_path: str, out_path: str, dt_name: str | None = None,
              use_md5: bool = False, bamass: str | None = None,
              truncate: bool = False, mesh: int | None = None,
              dp: int | None = None, store_ref: bool = False,
-             threads: int | None = None):
+             threads: int | None = None, optimize: bool = False):
     reader, dt, dt_name = _open_component(in_path, dt_name, reference,
                                           truncate=truncate)
+    dt.optimize_enabled = optimize
     # device rANS: default-on where an attached accelerator actually beats
     # the native coder (probe cached per host; GXZ_DEVICE_RANS overrides).
     # Only probe when a jax backend is already live or explicitly forced —
@@ -568,7 +569,8 @@ def zip_file(in_path: str, out_path: str, dt_name: str | None = None,
 
 def zip_pair(in1: str, in2: str, out_path: str,
              vb_size: int = DEFAULT_VB_SIZE, show_stats: bool = False,
-             reference: str | None = None, threads: int | None = None):
+             reference: str | None = None, threads: int | None = None,
+             optimize: bool = False):
     """R1/R2 paired FASTQ co-compression into one two-component archive.
     Two-stage dispatcher (the zip_file fan-out applied to pairing): workers
     seg R1 VBs; the ordered drain reads the matching R2 reads and hands
@@ -581,6 +583,7 @@ def zip_pair(in1: str, in2: str, out_path: str,
 
     r1, dt1, _ = _open_component(in1, "fastq", reference)
     r2, dt2, _ = _open_component(in2, "fastq", reference)
+    dt1.optimize_enabled = dt2.optimize_enabled = optimize
     job = ZipJob(out_path)
 
     adler = [zlib.adler32(b""), zlib.adler32(b"")]
@@ -644,6 +647,8 @@ def zip_pair(in1: str, in2: str, out_path: str,
             res1, pre1 = fut1.result()
             nvbs += 1
             data2 = r2.read_fastq_records(res1.num_lines)
+            if dt2.optimize_enabled:
+                data2 = dt2.optimize_vb(data2)
             hint = None
             if "SQBITMAP" in res1.ctxs:
                 hint = np.full(res1.num_lines, -1, np.int64)

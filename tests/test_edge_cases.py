@@ -128,3 +128,116 @@ def test_xxh64_vb_digest(tmp_path):
     pr.close()
     piz_file(z, src + ".out")
     assert open(src + ".out", "rb").read() == data
+
+
+def test_optimize_qual_binning(tmp_path):
+    """--optimize (lossy QUAL binning, reference sam_modify.c): the archive
+    round-trips to the BINNED file byte-exactly, compresses better than the
+    unoptimized one, and the binning follows the Illumina 8-level rule."""
+    import numpy as np
+    from genozip_tpu.zip_pipeline import zip_file
+    from genozip_tpu.piz_pipeline import piz_file
+    from genozip_tpu.optimize import PHRED_LUT
+
+    # rule spot-checks (Phred+33 ASCII space)
+    assert PHRED_LUT[ord("!")] == ord("!")          # Phred 0 unchanged
+    assert PHRED_LUT[ord("#")] == ord("#")          # Phred 2 unchanged
+    assert PHRED_LUT[33 + 5] == 33 + 6              # Phred 5 -> 6
+    assert PHRED_LUT[33 + 17] == 33 + 15            # Phred 17 -> 15
+    assert PHRED_LUT[33 + 38] == 33 + 37            # Phred 38 -> 37
+    assert PHRED_LUT[33 + 41] == 33 + 42            # Phred 41 -> 42
+    assert PHRED_LUT[33 + 93] == 33 + 93            # PacBio max unchanged
+
+    rng = np.random.default_rng(5)
+    reads = []
+    for i in range(3000):
+        s = rng.choice(np.frombuffer(b"ACGT", np.uint8), 120)
+        q = (rng.integers(0, 42, 120) + 33).astype(np.uint8)
+        reads.append(b"@r%d\n%s\n+\n%s\n" % (i, s.tobytes(), q.tobytes()))
+    data = b"".join(reads)
+    src = os.path.join(str(tmp_path), "o.fastq")
+    open(src, "wb").write(data)
+    z_plain, z_opt = src + ".gxz", src + ".opt.gxz"
+    zip_file(src, z_plain, vb_size=128 * 1024)
+    zip_file(src, z_opt, vb_size=128 * 1024, optimize=True)
+    # binned qual has ~8 symbols vs 42 -> clearly smaller archive
+    assert os.path.getsize(z_opt) < os.path.getsize(z_plain) * 0.8
+    out = src + ".out"
+    piz_file(z_opt, out)
+    got = open(out, "rb").read()
+    exp = bytearray(data)
+    a = np.frombuffer(data, np.uint8)
+    nl = np.nonzero(a == ord("\n"))[0]
+    starts = np.concatenate([[0], nl[:-1] + 1])
+    for li in range(3, nl.shape[0], 4):
+        sl = slice(int(starts[li]), int(nl[li]))
+        exp[sl] = PHRED_LUT[a[sl]].tobytes()
+    assert got == bytes(exp)
+
+
+def test_optimize_sam_and_bam(tmp_path):
+    import numpy as np
+    from genozip_tpu.zip_pipeline import zip_file
+    from genozip_tpu.piz_pipeline import piz_file
+    from genozip_tpu.optimize import PHRED_LUT
+
+    rng = np.random.default_rng(6)
+    rows = [b"@HD\tVN:1.6\n@SQ\tSN:c1\tLN:100000\n"]
+    for i in range(1500):
+        s = rng.choice(np.frombuffer(b"ACGT", np.uint8), 80)
+        q = (rng.integers(0, 42, 80) + 33).astype(np.uint8)
+        rows.append(b"r%d\t0\tc1\t%d\t60\t80M\t*\t0\t0\t%s\t%s\tNM:i:0\n"
+                    % (i, 10 + i * 3, s.tobytes(), q.tobytes()))
+    rows.append(b"nq\t4\t*\t0\t0\t*\t*\t0\t0\t*\t*\n")  # '*' no-qual row
+    data = b"".join(rows)
+    src = os.path.join(str(tmp_path), "o.sam")
+    open(src, "wb").write(data)
+    z = src + ".gxz"
+    zip_file(src, z, vb_size=128 * 1024, optimize=True)
+    out = src + ".out"
+    piz_file(z, out)
+    got = open(out, "rb").read()
+    # every qual byte must be a bin value; the '*' row untouched
+    assert b"\nnq\t4\t*\t0\t0\t*\t*\t0\t0\t*\t*\n" in got
+    for ln in got.split(b"\n"):
+        if ln and not ln.startswith(b"@"):
+            f = ln.split(b"\t")
+            if len(f) > 10 and f[10] != b"*":
+                assert all(c == PHRED_LUT[c] for c in f[10])
+
+    # BAM: build from the SAM via the translator, zip with optimize
+    from genozip_tpu.translate import sam_header_to_bam, sam_vb_to_bam
+    from genozip_tpu.utils.bgzf import open_bgzf
+    hdr = b"".join(r for r in rows if r.startswith(b"@"))
+    body = b"".join(r for r in rows if not r.startswith(b"@"))
+    bam_hdr, name2id = sam_header_to_bam(hdr)
+    blob, lens, *_ = sam_vb_to_bam(body, name2id)
+    bpath = os.path.join(str(tmp_path), "o.bam")
+    w = open_bgzf(bpath)
+    w.write(bam_hdr)
+    w.write(bytes(blob))
+    w.close()
+    zb = bpath + ".gxz"
+    zip_file(bpath, zb, vb_size=256 * 1024, optimize=True)
+    outb = bpath + ".outbam"
+    piz_file(zb, outb)   # non-.bam suffix -> raw (uncompressed) BAM bytes
+    raw = open(outb, "rb").read()
+    import struct
+    l_text = struct.unpack("<I", raw[4:8])[0]
+    p = 8 + l_text
+    n_ref = struct.unpack("<I", raw[p:p + 4])[0]
+    p += 4
+    for _ in range(n_ref):
+        ln = struct.unpack("<I", raw[p:p + 4])[0]
+        p += 8 + ln
+    RAW = PHRED_LUT[33:127] - 33
+    while p < len(raw):
+        bs = struct.unpack("<I", raw[p:p + 4])[0]
+        l_rn = raw[p + 12]
+        n_cig = struct.unpack("<H", raw[p + 16:p + 18])[0]
+        l_seq = struct.unpack("<I", raw[p + 20:p + 24])[0]
+        qoff = p + 36 + l_rn + 4 * n_cig + (l_seq + 1) // 2
+        qual = raw[qoff:qoff + l_seq]
+        for c in qual:
+            assert c == 0xFF or (c < 94 and c == RAW[c])
+        p += 4 + bs
