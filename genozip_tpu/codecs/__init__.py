@@ -99,23 +99,24 @@ def autotune_device_rans() -> bool:
             if _DEVICE_TUNED:
                 enable_device_rans(256 * 1024)
             return _DEVICE_TUNED
-        from .. import native
-        rng = np.random.default_rng(0)
-        data = rng.choice(np.frombuffer(b"!#-2<AFJ", np.uint8),
-                          2 << 20).tobytes()
-        datas = [data] * 8
-        enable_device_rans(256 * 1024)
-        compress_many_rans(datas, 0)                    # warm + compile
+        # transfer-only probe (no kernel compile — through a remote-compile
+        # relay a compile can take minutes): the v6 kernels run at
+        # >400 MB/s device-resident, so the binding constraint is host<->
+        # device bandwidth. Enable the device path only when h2d clearly
+        # outruns the native coder (~150-200 MB/s effective).
+        import jax.numpy as jnp
+        # random payload: a compressing relay would make all-zeros lie
+        buf = np.random.default_rng(0).integers(0, 256, 16 << 20,
+                                                dtype=np.uint8)
+        x = jnp.asarray(buf)                             # warm the path
+        jax.block_until_ready(x)
         t0 = _t.perf_counter()
-        compress_many_rans(datas, 0)
-        td = _t.perf_counter() - t0
-        t0 = _t.perf_counter()
-        for d in datas:
-            (native.rans_encode(d, 0) if native.available()
-             else rans_np.encode(d, order=0))
-        tn = _t.perf_counter() - t0
-        _DEVICE_TUNED = td < tn * 0.9
-        if not _DEVICE_TUNED:
+        jax.block_until_ready(jnp.asarray(buf))
+        h2d = buf.nbytes / 1e6 / (_t.perf_counter() - t0)
+        _DEVICE_TUNED = h2d > 400.0
+        if _DEVICE_TUNED:
+            enable_device_rans(256 * 1024)
+        else:
             disable_device_rans()
         try:
             os.makedirs(os.path.dirname(cpath), exist_ok=True)
