@@ -99,25 +99,43 @@ def autotune_device_rans() -> bool:
             if _DEVICE_TUNED:
                 enable_device_rans(256 * 1024)
             return _DEVICE_TUNED
-        # transfer-only probe (no kernel compile — through a remote-compile
-        # relay a compile can take minutes): the v6 kernels run at
-        # >400 MB/s device-resident, so the binding constraint is host<->
-        # device bandwidth. Enable the device path only when h2d clearly
-        # outruns the native coder (~150-200 MB/s effective).
+        # stage 1 — transfer probe (no kernel compile): the binding lower
+        # bound on device e2e is h2d bandwidth, so a slow link rejects
+        # cheaply. Random payload: a compressing relay would make zeros lie.
         import jax.numpy as jnp
-        # random payload: a compressing relay would make all-zeros lie
+        from .. import native
         buf = np.random.default_rng(0).integers(0, 256, 16 << 20,
                                                 dtype=np.uint8)
-        x = jnp.asarray(buf)                             # warm the path
-        jax.block_until_ready(x)
+        jax.block_until_ready(jnp.asarray(buf))          # warm the path
         t0 = _t.perf_counter()
         jax.block_until_ready(jnp.asarray(buf))
         h2d = buf.nbytes / 1e6 / (_t.perf_counter() - t0)
-        _DEVICE_TUNED = h2d > 400.0
-        if _DEVICE_TUNED:
-            enable_device_rans(256 * 1024)
-        else:
+        if h2d < 400.0:
+            _DEVICE_TUNED = False
             disable_device_rans()
+        else:
+            # stage 2 — real steady-state probe: one batched encode (pays
+            # the kernel compile ONCE per host; the verdict is cached), vs
+            # the native coder on the same payloads. Host framing (table
+            # builds, transposes) is part of the device path's real cost
+            # and is why a fast link alone is not sufficient.
+            rng = np.random.default_rng(0)
+            data = rng.choice(np.frombuffer(b"!#-2<AFJ", np.uint8),
+                              2 << 20).tobytes()
+            datas = [data] * 8
+            enable_device_rans(256 * 1024)
+            compress_many_rans(datas, 0)                 # warm + compile
+            t0 = _t.perf_counter()
+            compress_many_rans(datas, 0)
+            td = _t.perf_counter() - t0
+            t0 = _t.perf_counter()
+            for d in datas:
+                (native.rans_encode(d, 0) if native.available()
+                 else rans_np.encode(d, order=0))
+            tn = _t.perf_counter() - t0
+            _DEVICE_TUNED = td < tn * 0.9
+            if not _DEVICE_TUNED:
+                disable_device_rans()
         try:
             os.makedirs(os.path.dirname(cpath), exist_ok=True)
             cache[key] = bool(_DEVICE_TUNED)
