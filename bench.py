@@ -372,13 +372,19 @@ def bench_zip(path, runs=1, **zip_kw):
     from genozip_tpu.zip_pipeline import zip_file
     z = path + ".gxz"
     best = None
+    txt_inner = None
     for _ in range(runs):
         t0 = time.time()
-        zip_file(path, z, **zip_kw)
+        st = zip_file(path, z, **zip_kw)
         dt = time.time() - t0
         best = dt if best is None else min(best, dt)
+        txt_inner = getattr(st, "txt_len", None)
     txt = os.path.getsize(path)
-    return txt / 1e6 / best, txt / os.path.getsize(z)
+    # disk-size basis MB/s + ratio; for compressed inputs (BAM/gz) also the
+    # txt (inner/uncompressed) basis — the reference's progress counts txt
+    extra = (txt_inner / 1e6 / best) if txt_inner and txt_inner > txt * 1.5 \
+        else None
+    return txt / 1e6 / best, txt / os.path.getsize(z), extra
 
 
 def proxy_ratios(path, cap=24 << 20):
@@ -450,8 +456,8 @@ def main():
 
     cfg = {}
     # cfg3: the headline metric
-    fq_mbps, fq_ratio = bench_zip(fq, runs=3, vb_size=16 << 20)
-    cfg["fastq"] = (fq_mbps, fq_ratio, proxy_ratios(fq))
+    fq_mbps, fq_ratio, _ = bench_zip(fq, runs=3, vb_size=16 << 20)
+    cfg["fastq"] = (fq_mbps, fq_ratio, None, proxy_ratios(fq))
     cfg["vcf"] = (*bench_zip(vcf, runs=2, vb_size=16 << 20),
                   proxy_ratios(vcf))
     cfg["fasta"] = (*bench_zip(fa, runs=2, vb_size=16 << 20),
@@ -460,16 +466,20 @@ def main():
                   proxy_ratios(bam))
     cfg["longread_sam"] = (*bench_zip(lr, runs=2, vb_size=16 << 20,
                                       reference=ref), proxy_ratios(lr))
-    # cfg4: paired FASTQ via the aligner (one two-component archive)
-    t0 = time.time()
-    zip_pair(r1, r2, os.path.join(BDIR, "pair.gxz"), vb_size=16 << 20,
-             reference=ref)
-    pt = time.time() - t0
+    # cfg4: paired FASTQ via the aligner (one two-component archive);
+    # best-of-3 — the bench host carries ~1 core of external load
+    pt = None
+    for _ in range(3):
+        t0 = time.time()
+        zip_pair(r1, r2, os.path.join(BDIR, "pair.gxz"), vb_size=16 << 20,
+                 reference=ref)
+        dt = time.time() - t0
+        pt = dt if pt is None else min(pt, dt)
     psz = os.path.getsize(r1) + os.path.getsize(r2)
     cfg["pair_fastq_ref"] = (psz / 1e6 / pt,
                              psz / os.path.getsize(
                                  os.path.join(BDIR, "pair.gxz")),
-                             proxy_ratios(r1))
+                             None, proxy_ratios(r1))
 
     baseline_mbps = None
     source = None
@@ -495,11 +505,15 @@ def main():
         "vs_baseline": round(fq_mbps / baseline_mbps, 3),
         "baseline_source": source,
     }
-    for nm, (mbps, ratio, (gz_r, xz_r, bz_r)) in cfg.items():
+    for nm, (mbps, ratio, txt_mbps, (gz_r, xz_r, bz_r)) in cfg.items():
         out[f"{nm}_MBps"] = round(mbps, 2)
         out[f"{nm}_ratio"] = round(ratio, 2)
         out[f"{nm}_vs_xz6"] = round(ratio / xz_r, 2)
         out[f"{nm}_vs_bz2"] = round(ratio / bz_r, 2)
+        if txt_mbps:
+            # compressed input (BGZF BAM): uncompressed-text basis too,
+            # which is what the reference's progress meter counts
+            out[f"{nm}_txt_MBps"] = round(txt_mbps, 2)
     print(json.dumps(out))
 
 
