@@ -55,3 +55,36 @@ def test_order1_beats_order0_on_markov():
     e1 = rans_np.encode(bytes(data), order=1)
     assert len(e1) < len(e0)
     assert rans_np.decode(e1) == bytes(data)
+
+
+def test_native_simd_matches_np_spec():
+    """The AVX-512 coder must produce byte-identical streams to the numpy
+    spec (cross-implementation decode compatibility rests on this).
+    Includes the dominant-symbol shape that exposed an inexact 32-bit
+    reciprocal (q != x/f at x ~ 2.8e9 for f=3771) before the switch to the
+    Granlund-Montgomery 33-bit magic."""
+    from genozip_tpu import native
+    if not native.available():
+        import pytest
+        pytest.skip("native runtime unavailable")
+    rng = np.random.default_rng(8)
+    payloads = []
+    # dominant-qual: one symbol at ~92% -> freq near the 4096 ceiling
+    q = np.full(20000, 70, np.uint8)
+    exc = rng.random(20000) < 0.08
+    q[exc] = rng.choice(np.frombuffer(b":,#AB", np.uint8), int(exc.sum()))
+    payloads.append(q.tobytes())
+    payloads.append(b"A" * 50000)                        # single symbol
+    payloads.append(rng.integers(0, 256, 100000, dtype=np.uint8).tobytes())
+    for nsym in (2, 5, 16, 64):
+        p = rng.random(nsym); p /= p.sum()
+        syms = rng.choice(256, nsym, replace=False).astype(np.uint8)
+        payloads.append(rng.choice(syms, 77777, p=p).tobytes())
+    for n in (1023, 1024, 1025, 16384):                  # SIMD gate edges
+        payloads.append(rng.integers(0, 8, n, dtype=np.uint8).tobytes())
+    for data in payloads:
+        for order in (0, 1):
+            e_np = rans_np.encode(data, order=order)
+            e_nat = native.rans_encode(data, order)
+            assert e_nat == e_np, (len(data), order)
+            assert native.rans_decode(e_np)[:len(data)] == data
