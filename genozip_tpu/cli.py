@@ -53,6 +53,11 @@ def build_parser():
                    help="compress a FASTA into a .ref.gxz reference")
     z.add_argument("--fast", action="store_true",
                    help="favor speed: fewer codec trials, 2-seed aligner")
+    z.add_argument("--replace", action="store_true",
+                   help="remove the input file after a successful zip "
+                        "(implies --test; genozip --replace analog)")
+    z.add_argument("-q", "--quiet", action="store_true",
+                   help="suppress progress output")
     z.add_argument("--optimize", action="store_true",
                    help="LOSSY: bin QUAL to the Illumina 8-level scheme "
                         "(genozip --optimize analog; the archive digest "
@@ -137,6 +142,9 @@ def main(argv=None):
     # env fallback (reference parity: GENOZIP_REFERENCE, genozip.h:85)
     if getattr(args, "reference", None) is None and os.environ.get("GXZ_REFERENCE"):
         args.reference = os.environ["GXZ_REFERENCE"]
+    if getattr(args, "quiet", False):
+        from .utils import progress as _prog
+        _prog.set_quiet(True)
     if args.cmd == "zip":
         if args.make_reference:
             from .ref.refstore import make_reference
@@ -199,11 +207,17 @@ def main(argv=None):
                              mesh=args.mesh, dp=args.dp,
                              store_ref=args.store_ref,
                              threads=args.threads, optimize=args.optimize)
-        if args.test:
+        if args.test or args.replace:
             from .piz_pipeline import piz_file
             piz_file(out, None, reference=args.reference,
                      password=args.password)
             print("verified: round-trip digest OK")
+        if args.replace:
+            # reference --replace: remove the input only after the archive's
+            # digest verified above
+            os.unlink(args.input)
+            for extra in args.input2:
+                os.unlink(extra)
         if args.show_time:
             from .utils import profiler
             print(profiler.report())

@@ -1,8 +1,17 @@
 """Progress reporting (reference parity: src/progress.c — percent + MB/s on
 stderr, silent when not a tty or disabled)."""
 
+import os
 import sys
 import time
+
+# --quiet / GXZ_QUIET: suppress progress globally (reference flags.quiet)
+QUIET = bool(os.environ.get("GXZ_QUIET"))
+
+
+def set_quiet(q: bool):
+    global QUIET
+    QUIET = q
 
 
 class Progress:
@@ -12,7 +21,8 @@ class Progress:
         self.done = 0
         self.start = time.time()
         self.last = 0.0
-        self.enabled = (sys.stderr.isatty() if enabled is None else enabled)
+        self.enabled = (sys.stderr.isatty() if enabled is None else enabled) \
+            and not QUIET
 
     def update(self, nbytes: int):
         self.done += nbytes
