@@ -434,7 +434,8 @@ class SamDT(DataType):
         self._seg_aux(ctxs, aux, predict, qual=qual, seq=seq,
                       cigar=cigar, mate=mate,
                       pos_v=pv_ if (len(pos) and pok_.all()) else None,
-                      sa_pred=sa_pred)
+                      sa_pred=sa_pred,
+                      nh_pred=self._sag_nh_pred(sag_idx, len(qname)))
 
         if bad_rows.shape[0]:
             uw, inv = dedup_col(ragged.take(lines, bad_rows))
@@ -990,8 +991,22 @@ class SamDT(DataType):
         entries = sag.sa_entries(sag_idx[hit])
         return ragged.merge_rows(n, [(hit, entries)])
 
+    def _sag_nh_pred(self, sag_idx, n):
+        """Per-row NH:i prediction = the primary's NH (SAG_BY_NH role);
+        0 where no hit or the store has no NH."""
+        sag = getattr(self, "sag_store", None)
+        nh = getattr(sag, "nh", None) if sag is not None else None
+        if sag_idx is None or nh is None:
+            return None
+        pred = np.zeros(n, np.int64)
+        hit = sag_idx >= 0
+        pv = nh[np.maximum(sag_idx, 0)]
+        pred[hit] = np.where(pv[hit] > 0, pv[hit], 0)
+        return pred if (pred != 0).any() else None
+
     def _seg_aux(self, ctxs, aux, predict=None, qual=None, seq=None,
-                 cigar=None, mate=None, pos_v=None, sa_pred=None):
+                 cigar=None, mate=None, pos_v=None, sa_pred=None,
+                 nh_pred=None):
         """Per-tag AUX contexts (reference src/sam_fields.c: one context per
         aux tag keyed by DictId). Layout word per row = concatenated 4-byte
         'TG:t' prefixes (AUXL dict); per tag one value context AX<TG><t>.
@@ -1051,7 +1066,12 @@ class SamDT(DataType):
             if b3 == ord("i"):
                 iv, iok = ragged.atoi(vals)
                 if iok.all():
-                    if nm_pred is not None and (b0, b1) == (ord("N"), ord("M")):
+                    if nh_pred is not None and tag2 == b"NH":
+                        # DEPN NH copies the primary's (SAG_BY_NH)
+                        ctxs[name] = VBCtx(name, MODE_NUM,
+                                           local=iv - nh_pred[rows_t],
+                                           cat="int", param=11)
+                    elif nm_pred is not None and (b0, b1) == (ord("N"), ord("M")):
                         ctxs[name] = VBCtx(name, MODE_NUM,
                                            local=iv - nm_pred[rows_t],
                                            cat="int", param=4)
@@ -1253,7 +1273,8 @@ class SamDT(DataType):
             ctxs.update(tokenizer_seg_col(name, vals, single_stream=True))
 
     def _recon_aux(self, pctxs, n, predict=None, qual=None, seq=None,
-                   cigar=None, mate=None, pos_v=None, sa_pred=None):
+                   cigar=None, mate=None, pos_v=None, sa_pred=None,
+                   nh_pred=None):
         """Rebuild the AUX remainder (leading-\\t convention) from AUXL
         layout + per-tag contexts."""
         layout = pctxs["AUXL"].dict_take()
@@ -1389,6 +1410,8 @@ class SamDT(DataType):
                     v = pc.nums()
                     if pc.param == 4:
                         v = pc.local.astype(np.int64) + nm_pred[rows_t]
+                    elif pc.param == 11:      # NH copies the primary's
+                        v = pc.local.astype(np.int64) + nh_pred[rows_t]
                     elif pc.param == sam_tags.PARAM_AS_VS_SEQLEN:
                         v = pc.local.astype(np.int64) + seq.lens[rows_t]
                     elif pc.param == sam_tags.PARAM_VS_AS:
@@ -1597,7 +1620,8 @@ class SamDT(DataType):
                                       seq=seq, cigar=cigar, mate=mate,
                                       pos_v=pvr if (ng and pokr.all())
                                       else None,
-                                      sa_pred=self._sa_pred_col(sag_idx, ng))
+                                      sa_pred=self._sa_pred_col(sag_idx, ng),
+                                      nh_pred=self._sag_nh_pred(sag_idx, ng))
             else:
                 aux = tokenizer_recon_col("AUX", pctxs, ng)
             t = b"\t"

@@ -151,8 +151,12 @@ class SagStore:
         pos, _ = ragged.atoi(cols[3])
         mapq, _ = ragged.atoi(cols[4])
         nm = tag_int(aux, b"NM:i:")
-        return cls(cols[0], flags, cols[9], cols[10], rname=cols[2], pos=pos,
-                   mapq=mapq, cigar=cols[5], nm=nm)
+        store = cls(cols[0], flags, cols[9], cols[10], rname=cols[2],
+                    pos=pos, mapq=mapq, cigar=cols[5], nm=nm)
+        # SAG_BY_NH flavor (reference sections.h:32-38): multimapper groups
+        # share the primary's NH:i — keep it for DEPN prediction
+        store.nh = tag_int(aux, b"NH:i:")
+        return store
 
     def sa_entries(self, idx: np.ndarray) -> Col:
         """Composed SA entry 'rname,pos,strand,cigar,mapq,nm;' of the

@@ -293,3 +293,27 @@ def test_sag_by_sa_mismatch_safe(tmp_path):
     zip_file(src, z, vb_size=256 * 1024)
     piz_file(z, src + ".out")
     assert open(src + ".out", "rb").read() == data
+
+
+def test_sag_by_nh_prediction(tmp_path):
+    """SAG_BY_NH flavor: secondary multimapper rows copy the primary's
+    NH:i (STAR-style); round-trip byte-exact, NH residual all-zero."""
+    rng = np.random.default_rng(23)
+    rows = [b"@HD\tVN:1.6\n@SQ\tSN:c1\tLN:100000\n"]
+    for i in range(500):
+        seq = rng.choice(ACGT, 60).tobytes()
+        qual = rng.choice(np.frombuffer(b"FF:,#", np.uint8), 60).tobytes()
+        nh = int(rng.integers(2, 5))
+        pos = 50 + i * 11
+        rows.append(b"m%d\t0\tc1\t%d\t255\t60M\t*\t0\t0\t%s\t%s\tNH:i:%d\n"
+                    % (i, pos, seq, qual, nh))
+        for k in range(nh - 1):
+            rows.append(b"m%d\t256\tc1\t%d\t0\t60M\t*\t0\t0\t*\t*\tNH:i:%d\n"
+                        % (i, pos + 300 * (k + 1), nh))
+    data = b"".join(rows)
+    src = os.path.join(str(tmp_path), "nh.sam")
+    open(src, "wb").write(data)
+    z = src + ".gxz"
+    zip_file(src, z, vb_size=256 * 1024)
+    piz_file(z, src + ".out")
+    assert open(src + ".out", "rb").read() == data
