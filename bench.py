@@ -456,22 +456,22 @@ def main():
 
     cfg = {}
     # cfg3: the headline metric
-    fq_mbps, fq_ratio, _ = bench_zip(fq, runs=3, vb_size=16 << 20)
+    fq_mbps, fq_ratio, _ = bench_zip(fq, runs=3)
     cfg["fastq"] = (fq_mbps, fq_ratio, None, proxy_ratios(fq))
-    cfg["vcf"] = (*bench_zip(vcf, runs=2, vb_size=16 << 20),
+    cfg["vcf"] = (*bench_zip(vcf, runs=2),
                   proxy_ratios(vcf))
-    cfg["fasta"] = (*bench_zip(fa, runs=2, vb_size=16 << 20),
+    cfg["fasta"] = (*bench_zip(fa, runs=2),
                     proxy_ratios(fa))
-    cfg["bam"] = (*bench_zip(bam, runs=2, vb_size=16 << 20),
+    cfg["bam"] = (*bench_zip(bam, runs=2),
                   proxy_ratios(bam))
-    cfg["longread_sam"] = (*bench_zip(lr, runs=2, vb_size=16 << 20,
+    cfg["longread_sam"] = (*bench_zip(lr, runs=2,
                                       reference=ref), proxy_ratios(lr))
     # cfg4: paired FASTQ via the aligner (one two-component archive);
     # best-of-3 — the bench host carries ~1 core of external load
     pt = None
     for _ in range(3):
         t0 = time.time()
-        zip_pair(r1, r2, os.path.join(BDIR, "pair.gxz"), vb_size=16 << 20,
+        zip_pair(r1, r2, os.path.join(BDIR, "pair.gxz"),
                  reference=ref)
         dt = time.time() - t0
         pt = dt if pt is None else min(pt, dt)

@@ -163,7 +163,7 @@ def main(argv=None):
             _assign.set_mode("best")
         from .txtfile import DEFAULT_VB_SIZE
         out = args.output or args.input + ".gxz"
-        vb = (args.vblock * (1 << 20)) if args.vblock else DEFAULT_VB_SIZE
+        vb = (args.vblock * (1 << 20)) if args.vblock else None
         if args.biopsy is not None:
             from .biopsy import biopsy_take
             path = biopsy_take(args.input, args.biopsy, dt_name=args.dt,

@@ -327,7 +327,7 @@ def _open_component(in_path, dt_name, reference, truncate=False):
 
 
 def zip_file(in_path: str, out_path: str, dt_name: str | None = None,
-             vb_size: int = DEFAULT_VB_SIZE, show_stats: bool = False,
+             vb_size: int | None = None, show_stats: bool = False,
              reference: str | None = None, password: str | None = None,
              use_md5: bool = False, bamass: str | None = None,
              truncate: bool = False, mesh: int | None = None,
@@ -353,8 +353,10 @@ def zip_file(in_path: str, out_path: str, dt_name: str | None = None,
         assert reference, "--bamass needs --reference"
         from .bamass import build_index
         dt.bamass_index = build_index(bamass, dt.ref)
-    if vb_size == DEFAULT_VB_SIZE and dt.suggested_vb_size():
-        vb_size = dt.suggested_vb_size()
+    if vb_size is None:
+        # None = caller didn't choose: segconf's size-aware suggestion,
+        # else the default. An explicit value (CLI --vblock) always wins.
+        vb_size = dt.suggested_vb_size() or DEFAULT_VB_SIZE
     job = ZipJob(out_path)
     enc = _setup_encryption(job, password)
 
@@ -568,7 +570,7 @@ def zip_file(in_path: str, out_path: str, dt_name: str | None = None,
 
 
 def zip_pair(in1: str, in2: str, out_path: str,
-             vb_size: int = DEFAULT_VB_SIZE, show_stats: bool = False,
+             vb_size: int | None = None, show_stats: bool = False,
              reference: str | None = None, threads: int | None = None,
              optimize: bool = False):
     """R1/R2 paired FASTQ co-compression into one two-component archive.
@@ -583,6 +585,8 @@ def zip_pair(in1: str, in2: str, out_path: str,
 
     r1, dt1, _ = _open_component(in1, "fastq", reference)
     r2, dt2, _ = _open_component(in2, "fastq", reference)
+    if vb_size is None:
+        vb_size = dt1.suggested_vb_size() or DEFAULT_VB_SIZE
     dt1.optimize_enabled = dt2.optimize_enabled = optimize
     job = ZipJob(out_path)
 
@@ -753,7 +757,7 @@ def _fanout_component(job, reader, dt, vb_size, comp_i, on_data=None,
 
 
 def zip_deep(bam_path: str, fastq_paths: list[str], out_path: str,
-             vb_size: int = DEFAULT_VB_SIZE, show_stats: bool = False,
+             vb_size: int | None = None, show_stats: bool = False,
              reference: str | None = None):
     """Deep: BAM + FASTQ(s) into one archive; FASTQ reads matching BAM
     alignments store only hit flags (reference src/fastq_deep.c,
@@ -767,6 +771,8 @@ def zip_deep(bam_path: str, fastq_paths: list[str], out_path: str,
 
     # component 0: BAM (feeding the deep index IN VB ORDER from the drain)
     reader, dt, _ = _open_component(bam_path, "bam", None)
+    if vb_size is None:
+        vb_size = dt.suggested_vb_size() or DEFAULT_VB_SIZE
     bam_dt = dt
     hdr = dt.read_txt_header(reader)
     hadler = zlib.adler32(b"")
