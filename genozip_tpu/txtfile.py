@@ -102,10 +102,13 @@ class TxtReader:
         i = self.buf.find(b"\n")
         return self.buf[: i + 1] if i >= 0 else self.buf
 
-    def vblocks(self, dt, vb_size: int = DEFAULT_VB_SIZE):
-        """Yield np.uint8 arrays of whole records, ~vb_size each."""
+    def vblocks(self, dt, vb_size: int | None = DEFAULT_VB_SIZE):
+        """Yield np.uint8 arrays of whole records, ~vb_size each.
+        vb_size None = caller didn't choose: segconf suggestion or default."""
         import zlib as _z
         import gzip as _g
+        if vb_size is None:
+            vb_size = dt.suggested_vb_size() or DEFAULT_VB_SIZE
         while True:
             while len(self.buf) < vb_size and not self.eof:
                 try:
