@@ -66,9 +66,10 @@ class DataType:
         est = self.segconf.get("txt_size_est")
         if not est:
             return None
-        import os
-        workers = max(os.cpu_count() or 1, 1)
-        target_vbs = max(4 * workers, 16)
+        # fixed VB-count target (not cpu_count-derived): the same input must
+        # produce the same archive bytes on any host, so sizing may depend
+        # only on the recorded size estimate.
+        target_vbs = 32
         vb = est // target_vbs
         lo, hi = 4 << 20, 64 << 20
         vb = max(lo, min(hi, vb))

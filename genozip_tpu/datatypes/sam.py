@@ -140,7 +140,11 @@ class SamDT(DataType):
         pre = np.zeros(good.shape[0], np.int64)
         for c in cols[:10]:
             pre += c.lens + 1
-        rows = np.nonzero(qual.lens > 1)[0]     # skip '*'
+        # skip only the missing-qual sentinel '*' — a legitimate 1-byte QUAL
+        # of a 1bp read is still binned (matches the reference's --optimize)
+        qs0 = starts[keep][good] + pre
+        rows = np.nonzero((qual.lens > 1) |
+                          ((qual.lens == 1) & (data[qs0] != ord("*"))))[0]
         if rows.shape[0] == 0:
             return data
         qs = starts[keep][good][rows] + pre[rows]

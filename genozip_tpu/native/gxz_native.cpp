@@ -594,8 +594,11 @@ int64_t gxz_rans_decode(const uint8_t* in, int64_t in_len, uint8_t* out,
         }
         int64_t nwords = (in_len - (int64_t)o2) / 2;
         if (nwords < 2 * N) return -2;
-        // padded copy: the vpexpand renorm load reads 32B past the cursor
-        std::vector<uint16_t> wpad((size_t)nwords + 32, 0);
+        // padded copy: the decode core bounds-checks the word cursor only
+        // once per plane row, during which a corrupted archive can advance
+        // it by up to N entries; each renorm does an unmasked 32B load at
+        // the cursor, so pad by N+16 entries to keep every load in-bounds.
+        std::vector<uint16_t> wpad((size_t)nwords + (size_t)N + 16, 0);
         memcpy(wpad.data(), in + o2, (size_t)nwords * 2);
         int64_t K = (n + N - 1) / N;
         std::vector<uint32_t> x(N);

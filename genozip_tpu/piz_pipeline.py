@@ -309,6 +309,22 @@ class PizReader:
 
     def recon_loaded_vb(self, loaded, vb_i: int, comp_i: int = 0,
                         want_pctxs: bool = False):
+        """Reconstruct one loaded VB. On any failure, advise the exact
+        --biopsy repro command (reference src/piz.c:109-155)."""
+        try:
+            return self._recon_loaded_vb(loaded, vb_i, comp_i, want_pctxs)
+        except Exception as e:
+            txt = (self.file_hdr or {}).get("txt_name", "<original-file>")
+            advice = (f"to reproduce: gxz zip --biopsy {vb_i} {txt}  "
+                      f"(extracts VB {vb_i}'s exact raw text)")
+            try:
+                e2 = type(e)(f"{e}\n{advice}")
+            except Exception:   # exc types with non-str constructors
+                e2 = RuntimeError(f"{e!r}\n{advice}")
+            raise e2.with_traceback(e.__traceback__) from None
+
+    def _recon_loaded_vb(self, loaded, vb_i: int, comp_i: int = 0,
+                         want_pctxs: bool = False):
         vb_hdr, sec, pair_sec = loaded
         pctxs = {}
         for name, cm in vb_hdr["ctxs"].items():

@@ -27,6 +27,16 @@ FIB32 = np.uint32(2654435761)  # 2^32 / phi (u32 math: device-safe without x64)
 NO_GPOS = np.uint32(0xFFFFFFFF)
 
 
+def chrom_canonical(name: str) -> str:
+    """Canonical chrom key for alt-name matching (reference src/chrom.c:330):
+    drop a "chr" prefix and fold mitochondrial spellings M/chrM/MT to "MT"."""
+    if name.startswith("chr") or name.startswith("Chr"):
+        name = name[3:]
+    if name in ("M", "m", "mt"):
+        name = "MT"
+    return name
+
+
 class RefGenome:
     def __init__(self, codes: np.ndarray, contigs, refhash=None,
                  hash_bits=HASH_BITS_DEFAULT, iupac_pos=None, iupac_chars=None):
@@ -42,8 +52,15 @@ class RefGenome:
         return self.codes.shape[0]
 
     def contig_of(self, name: str):
+        """Contig lookup with alt-name matching (reference src/chrom.c:330
+        chrom_2ref_seg: "chr22"<->"22", "chrM"<->"MT"<->"M") so a file whose
+        naming style differs from the reference FASTA still aligns."""
         for c in self.contigs:
             if c["name"] == name:
+                return c
+        want = chrom_canonical(name)
+        for c in self.contigs:
+            if chrom_canonical(c["name"]) == want:
                 return c
         return None
 

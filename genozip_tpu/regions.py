@@ -30,9 +30,16 @@ def parse_regions(spec: str):
     return out
 
 
+def _chrom_match(spec: str, name: str) -> bool:
+    if spec == name or spec == "":
+        return True
+    from .ref.refstore import chrom_canonical
+    return chrom_canonical(spec) == chrom_canonical(name)
+
+
 def regions_overlap(regions, chrom: str, lo: int, hi: int) -> bool:
     for (c, s, e) in regions:
-        if (c == chrom or c == "") and not (hi < s or lo > e):
+        if _chrom_match(c, chrom) and not (hi < s or lo > e):
             return True
     return False
 
@@ -101,7 +108,7 @@ def filter_lines(buf: bytes, dt_name: str, regions) -> bytes:
             name = uw.row(w).decode("utf-8", "replace")
             rows = inv == w
             for (c, s, e) in regions:
-                if c == name or c == "":
+                if _chrom_match(c, name):
                     km |= rows & sok & eok & (evals >= s) & (svals <= e)
         # map back: good-subset rows -> original line numbers
         keep[idx[good][km]] = True

@@ -65,9 +65,14 @@ def tag_int(aux: Col, tag: bytes) -> np.ndarray:
     if hits.shape[0] == 0:
         return out
     row = np.searchsorted(aux.offsets, hits, "right") - 1
-    at_start = (hits == aux.offsets[row]) | \
-        (d[np.maximum(hits - 1, 0)] == ord("\t"))
-    hits, row = hits[at_start], row[at_start]
+    # a match must start at a tag boundary AND lie fully inside its row:
+    # a row whose aux text ends with the tag prefix followed by a next row
+    # starting with the remainder would otherwise yield vstart past the
+    # row end and a negative gather length.
+    keep = ((hits == aux.offsets[row]) |
+            (d[np.maximum(hits - 1, 0)] == ord("\t"))) & \
+        (hits + tl <= aux.offsets[row + 1])
+    hits, row = hits[keep], row[keep]
     # keep first occurrence per row
     first = np.ones(hits.shape[0], bool)
     first[1:] = row[1:] != row[:-1]
