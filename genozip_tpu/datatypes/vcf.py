@@ -125,6 +125,8 @@ class VcfDT(DataType):
                     bounds[:, f + 1] - 1 - bounds[:, f]))
 
         if fields:
+            pos_vals = None
+            info_col = None
             for fi, fname in enumerate(["CHROM", "POS", "ID", "REF", "ALT",
                                         "QUAL", "FILTER", "INFO", "FORMAT"][:min(nf, 9)]):
                 col = fields[fi]
@@ -136,16 +138,20 @@ class VcfDT(DataType):
                 elif fname == "POS":
                     vals, ok = ragged.atoi(col)
                     if ok.all():
+                        pos_vals = vals
                         d = np.diff(vals, prepend=np.int64(0))
                         ctxs["POS"] = VBCtx("POS", MODE_NUM, local=d, cat="int", param=1)
                     else:
                         ctxs.update(tokenizer_seg_col("POS", col))
-                elif fname in ("ID", "QUAL"):
+                elif fname == "ID":
+                    self._seg_id(ctxs, col, pos_vals)
+                elif fname == "QUAL":
                     ctxs.update(tokenizer_seg_col(fname, col))
                 elif fname == "INFO":
-                    if not self._seg_info(ctxs, col):
-                        ctxs.update(tokenizer_seg_col("INFO", col,
-                                                      max_tokens=64))
+                    # deferred: the INFO DP <- sum(FORMAT DP) relation
+                    # (src/vcf_gatk.c) needs the sample matrix segged first
+                    info_col = col
+            dp_row = None
             if nf > 9:
                 # sample cells gathered SAMPLE-MAJOR in one pass straight
                 # from the line bytes (the reference's LT_UINT8_TR
@@ -158,7 +164,8 @@ class VcfDT(DataType):
                 cells = ragged.gather_ranges(
                     glines.data, np.ascontiguousarray(st.T).ravel(),
                     np.ascontiguousarray((en - st).T).ravel())
-                if not self._seg_samples(ctxs, fields[8], cells, S):
+                dp_row = self._seg_samples(ctxs, fields[8], cells, S)
+                if dp_row is False:
                     # fallback: the raw sample region (all cells joined by
                     # \t = the original row suffix), one tokenized column
                     smp = ragged.gather_ranges(
@@ -166,6 +173,12 @@ class VcfDT(DataType):
                         glines.offsets[1:] - sep_pos[:, 8] - 1)
                     ctxs.update(tokenizer_seg_col("SMP", smp,
                                                   single_stream=True))
+                    dp_row = None
+            if info_col is not None:
+                if not self._seg_info(ctxs, info_col, pos_vals=pos_vals,
+                                      dp_row=dp_row):
+                    ctxs.update(tokenizer_seg_col("INFO", info_col,
+                                                  max_tokens=64))
 
         if exc_idx.shape[0]:
             uw, inv = dedup_col(ragged.take(lines, exc_idx))
@@ -176,6 +189,71 @@ class VcfDT(DataType):
         ctxs["VARIANT"] = VBCtx("VARIANT", MODE_NUM, local=gd, cat="int")
         meta = {"no_final_nl": no_final_nl, "nf": nf}
         return VBSegResult(ctxs, n, meta)
+
+    def _seg_id(self, ctxs, col, pos_vals):
+        """ID column with dbSNP-style POS prediction (reference
+        src/vcf_seg.c seg of VCF_ID + the gnomAD-style embedded-POS ids):
+        rows whose ID ends with the row's POS digits store only the prefix
+        (usually a constant like "rs") behind a match bitmap; the rest ride
+        the tokenizer. Trial-both once per file."""
+        memo = getattr(self, "_id_choice", None)
+        if memo is None:
+            memo = self._id_choice = {}
+        choice = memo.get("ID")
+        cand = None
+        if pos_vals is not None and len(col) >= 8 and choice in (None, "pos"):
+            pos_txt = ragged.itoa(pos_vals)
+            plen = pos_txt.lens
+            can = col.lens >= plen
+            # suffix compare via two gathers (only candidate rows)
+            ci = np.nonzero(can)[0]
+            if ci.shape[0]:
+                a = ragged.gather_ranges(col.data,
+                                         col.offsets[:-1][ci] +
+                                         (col.lens - plen)[ci], plen[ci])
+                b = ragged.take(pos_txt, ci)
+                eq = np.zeros(len(col), bool)
+                # rows have equal lens by construction: compare flat
+                eq[ci] = ragged.rows_equal(a, b)
+            else:
+                eq = np.zeros(len(col), bool)
+            if eq.mean() >= 0.5:
+                cand = {"IDB": VBCtx("IDB", MODE_NUM,
+                                     local=eq.astype(np.int64), cat="int")}
+                pfx = ragged.gather_ranges(
+                    col.data, col.offsets[:-1][eq],
+                    (col.lens - plen)[eq])
+                uw, inv = dedup_col(pfx)
+                cand["IDPFX"] = VBCtx("IDPFX", MODE_DICT, b250=inv,
+                                      vb_words=uw, cat="b250")
+                if (~eq).any():
+                    exc = ragged.take(col, np.nonzero(~eq)[0])
+                    cand.update(tokenizer_seg_col("IDX", exc))
+        if cand is not None and choice is None:
+            tok = tokenizer_seg_col("ID", col)
+            if est_ctxs_size(cand) < est_ctxs_size(tok):
+                memo["ID"] = choice = "pos"
+            else:
+                memo["ID"] = choice = "tok"
+                ctxs.update(tok)
+                return
+        elif choice is None:
+            memo["ID"] = choice = "tok"
+        if cand is not None and choice == "pos":
+            ctxs.update(cand)
+            return
+        ctxs.update(tokenizer_seg_col("ID", col))
+
+    def _recon_id(self, pctxs, pos_vals, ng) -> Col:
+        eq = pctxs["IDB"].nums().astype(bool)
+        pfx = pctxs["IDPFX"].dict_take()
+        pos_txt = ragged.take(ragged.itoa(pos_vals), np.nonzero(eq)[0])
+        matched = ragged.interleave([pfx, pos_txt], sep_after=[None, None])
+        parts = [(np.nonzero(eq)[0], matched)]
+        if (~eq).any():
+            exc = tokenizer_recon_col("IDX", pctxs, int((~eq).sum()))
+            parts.append((np.nonzero(~eq)[0], exc))
+        return ragged.merge_rows(ng, parts)
 
     def _gpos_of(self, chrom_col, pos_col, ref):
         """Per-row genome position (or -1) from CHROM/POS."""
@@ -234,7 +312,7 @@ class VcfDT(DataType):
                     for ch in key[:6].decode("latin-1"))
         return "I" + (s or "_")
 
-    def _seg_info(self, ctxs, col) -> bool:
+    def _seg_info(self, ctxs, col, pos_vals=None, dp_row=None) -> bool:
         """INFO split into KEY[=VALUE] fields on ';'; layout word = INFO
         text with each VALUE elided to a \\x01 mark (INFOL dict); one value
         context per key (name collisions after truncation are harmless:
@@ -311,6 +389,7 @@ class VcfDT(DataType):
             names = [self._info_ctx_name(kw.row(w)) for w in range(len(kw))]
             if len(set(names)) != len(names):
                 return False  # 6-char truncation collision: tokenizer path
+            by_key, ac_pending = {}, None
             for w, name in enumerate(names):
                 sel = v[kinv == w]
                 vals = ragged.gather_ranges(data, kend[sel] + 1,
@@ -344,15 +423,71 @@ class VcfDT(DataType):
                         continue
                 iv, iok = ragged.atoi(vals)
                 if vals.data.shape[0] and iok.all():
-                    new_ctxs[name] = VBCtx(name, MODE_NUM, local=iv,
-                                           cat="int")
+                    key = kw.row(w)
+                    rows = f_of[sel]
+                    if key == b"DP" and dp_row is not None:
+                        # INFO DP == sum of FORMAT DPs in GATK-family
+                        # output (src/vcf_gatk.c) — store the residual
+                        new_ctxs[name] = VBCtx(name, MODE_NUM,
+                                               local=iv - dp_row[rows],
+                                               cat="int", param=8)
+                    elif key == b"END" and pos_vals is not None:
+                        # END rides as a delta vs the row's POS
+                        # (src/vcf_info.c END=POS+length relation)
+                        new_ctxs[name] = VBCtx(name, MODE_NUM,
+                                               local=iv - pos_vals[rows],
+                                               cat="int", param=9)
+                    elif key == b"AC":
+                        ac_pending = (name, sel, iv)
+                        continue
+                    else:
+                        new_ctxs[name] = VBCtx(name, MODE_NUM, local=iv,
+                                               cat="int")
                 else:
                     new_ctxs.update(tokenizer_seg_col(name, vals,
                                                       single_stream=True))
+                by_key[kw.row(w)] = (sel, vals, iv if iok.all() else None)
+            # AC ~= round(AN * AF) (src/vcf_info.c AC/AN/AF relation);
+            # prediction uses the TEXT of AF parsed identically at PIZ
+            if ac_pending is not None:
+                name, sel, iv = ac_pending
+                pred = self._ac_pred(n, f_of, sel, by_key)
+                new_ctxs[name] = VBCtx(name, MODE_NUM, local=iv - pred,
+                                       cat="int", param=7)
         if set(new_ctxs) & set(ctxs):
             return False  # name clash with fixed-field contexts
         ctxs.update(new_ctxs)
         return True
+
+    @staticmethod
+    def _parse_floats(col) -> np.ndarray:
+        """Per-row float parse (nan where unparseable) — must be identical
+        at ZIP and PIZ (both parse the same text bytes)."""
+        out = np.full(len(col), np.nan)
+        for i in range(len(col)):
+            try:
+                out[i] = float(col.row(i))
+            except ValueError:
+                pass
+        return out
+
+    @classmethod
+    def _ac_pred(cls, n, f_of, sel, by_key) -> np.ndarray:
+        """AC prediction = round(AN * AF) on rows carrying all three."""
+        pred = np.zeros(sel.shape[0], np.int64)
+        an = by_key.get(b"AN")
+        af = by_key.get(b"AF")
+        if an is None or af is None or an[2] is None:
+            return pred
+        an_row = np.full(n, -1, np.int64)
+        an_row[f_of[an[0]]] = an[2]
+        af_row = np.full(n, np.nan)
+        af_row[f_of[af[0]]] = cls._parse_floats(af[1])
+        rows = f_of[sel]
+        have = (an_row[rows] >= 0) & ~np.isnan(af_row[rows])
+        pred[have] = np.rint(an_row[rows][have] *
+                             af_row[rows][have]).astype(np.int64)
+        return pred
 
     def _seg_csq(self, name, vals):
         """VEP CSQ= / snpEff ANN= / bcftools BCSQ= structured segging
@@ -444,7 +579,7 @@ class VcfDT(DataType):
             sub.append((np.nonzero(~fit)[0], exc))
         return ragged.merge_rows(n, sub)
 
-    def _recon_info(self, pctxs, ng) -> Col:
+    def _recon_info(self, pctxs, ng, pos_vals=None, dp_row=None) -> Col:
         from ..seg import TOK_MARK
         layout = pctxs["INFOL"].dict_take()
         ld = layout.data
@@ -467,16 +602,33 @@ class VcfDT(DataType):
         keys = ragged.gather_ranges(ld, ks, keq - ks)
         kw, kinv = dedup_col(keys)
         parts = []
-        for w in range(len(kw)):
-            name = self._info_ctx_name(kw.row(w))
+        by_key = {}
+        # AC last: its prediction needs AN's ints and AF's text (mirrors
+        # the ZIP-side deferral — src/vcf_info.c AC/AN/AF relation)
+        order = sorted(range(len(kw)), key=lambda w: kw.row(w) == b"AC")
+        for w in order:
+            key = kw.row(w)
+            name = self._info_ctx_name(key)
             sel = np.nonzero(kinv == w)[0]
             pc = pctxs.get(name)
             if name + "_VB" in pctxs and name + "_VT" in pctxs:
                 vcol = self._recon_csq(pctxs, name, sel.shape[0])
             elif pc is not None and pc.mode == MODE_NUM and pc.b250 is None:
-                vcol = ragged.itoa(pc.nums())
+                iv = pc.nums()
+                if pc.param == 8 and dp_row is not None:
+                    iv = iv + dp_row[mrow[sel]]
+                elif pc.param == 9 and pos_vals is not None:
+                    iv = iv + pos_vals[mrow[sel]]
+                elif pc.param == 7:
+                    f_of = mrow  # mark row of each field
+                    iv = iv + self._ac_pred(ng, f_of, sel, by_key)
+                vcol = ragged.itoa(iv)
+                by_key[key] = (sel, vcol, iv)
+                parts.append((sel, vcol))
+                continue
             else:
                 vcol = tokenizer_recon_col(name, pctxs, sel.shape[0])
+            by_key[key] = (sel, vcol, None)
             parts.append((sel, vcol))
         val_col = ragged.merge_rows(marks.shape[0], parts)
         # splice values over marks
@@ -574,6 +726,73 @@ class VcfDT(DataType):
         m2 = np.minimum.reduceat(v2, idx)
         pred = np.where(ok, np.minimum(m2 - m1, 99), 0)
         return pred, ok
+
+    @staticmethod
+    def _ilist_pred0(s: np.ndarray, d: np.ndarray) -> np.ndarray:
+        """Predicted first item of a comma-int list from its sum and the
+        cell's GT dosage (reference src/vcf_samples.c AD model): hom-ref
+        cells put everything in item 0, hets split evenly, hom-alt cells
+        put nothing there. Exact-int at both ends."""
+        return np.select([d == 0, d == 1, d == 2],
+                         [s, s - s // 2, np.zeros_like(s)], 0)
+
+    def _seg_int_list(self, name, vals, dos):
+        """Column decomposition of a comma-int-list tag: per-row sum (the
+        real entropy) + first-item delta vs the dosage-share prediction +
+        middle items raw; the LAST item is derived (sum minus the rest).
+        Rows not matching int(,int)xR ride a tokenizer exception stream
+        behind a fit bitmap. Returns ctxs dict or None."""
+        n = len(vals)
+        if n < 8:
+            return None
+        flat, f_of, nseg, ok = self._comma_ints(vals)
+        if not ok.any():
+            return None
+        cnt = np.bincount(nseg[ok])
+        R = int(np.argmax(cnt))
+        ok = ok & (nseg == R)
+        if R < 2 or R > 8 or ok.mean() < 0.7:
+            return None
+        sel = np.nonzero(ok)[0]
+        M = flat[ok[f_of]].reshape(-1, R)
+        s = M.sum(axis=1)
+        d = dos[sel]
+        ctxs = {
+            name + "LR": VBCtx(name + "LR", MODE_NUM,
+                               local=np.full(1, R, np.int64), cat="int"),
+            name + "LF": VBCtx(name + "LF", MODE_NUM,
+                               local=ok.astype(np.int64), cat="int"),
+            name + "LS": VBCtx(name + "LS", MODE_NUM, local=s, cat="int"),
+            name + "LD0": VBCtx(name + "LD0", MODE_NUM,
+                                local=M[:, 0] - self._ilist_pred0(s, d),
+                                cat="int"),
+        }
+        for k in range(1, R - 1):
+            ctxs[name + f"LD{k}"] = VBCtx(name + f"LD{k}", MODE_NUM,
+                                          local=M[:, k], cat="int")
+        if (~ok).any():
+            exc = ragged.take(vals, np.nonzero(~ok)[0])
+            ctxs.update(tokenizer_seg_col(name + "LX", exc,
+                                          single_stream=True))
+        return ctxs
+
+    def _recon_int_list(self, pctxs, name, dos) -> Col:
+        okb = pctxs[name + "LF"].nums().astype(bool)
+        R = int(pctxs[name + "LR"].nums()[0])
+        s = pctxs[name + "LS"].nums()
+        d = dos[okb]
+        cols = [pctxs[name + "LD0"].nums() + self._ilist_pred0(s, d)]
+        for k in range(1, R - 1):
+            cols.append(pctxs[name + f"LD{k}"].nums())
+        cols.append(s - np.sum(cols, axis=0))
+        col = ragged.interleave([ragged.itoa(c) for c in cols],
+                                sep_after=[b","] * (R - 1) + [None])
+        if (~okb).any():
+            exc = tokenizer_recon_col(name + "LX", pctxs, int((~okb).sum()))
+            col = ragged.merge_rows(
+                okb.shape[0], [(np.nonzero(okb)[0], col),
+                               (np.nonzero(~okb)[0], exc)])
+        return col
 
     def _seg_samples(self, ctxs, fmt_col, cells, S):
         """Per-FORMAT-tag sample sub-contexts (reference parity:
@@ -674,13 +893,41 @@ class VcfDT(DataType):
                 # int8 key keeps numpy's stable argsort on the O(n) radix
                 # path; the DP-mux key needs the wide int64 form
                 key = dosage[sel]
-                if tags[t] in (b"PL", b"GL", b"GP") and \
+                if tags[t] in (b"PL", b"GL", b"GP", b"GQ") and \
                         dpv_cell is not None:
                     key = key.astype(np.int64) * (1 << 32) + dpv_cell[sel]
                 if key.shape[0] > 2 and (key != key[0]).any():
                     mux = np.argsort(key, kind="stable")
                     vals = ragged.take(vals, mux)
             iv, iok = ragged.atoi(vals)
+            if vals.data.shape[0] and not iok.all():
+                # comma-int-list tag (AD/PL/...): try sum+share column
+                # decomposition (reference src/vcf_samples.c AD prediction:
+                # the list's sum carries the entropy, each item is a
+                # dosage-determined share of it, the last item is derived).
+                # Trial-both ONCE per file per tag, like the CSQ choice.
+                dsel = dosage[sel]
+                if mux is not None:
+                    dsel = dsel[mux]
+                memo = getattr(self, "_ilist_choice", None)
+                if memo is None:
+                    memo = self._ilist_choice = {}
+                choice = memo.get(name)
+                cand = self._seg_int_list(name, vals, dsel) \
+                    if choice in (None, "ilist") else None
+                if cand is not None and choice is None:
+                    tok = tokenizer_seg_col(name, vals, single_stream=True)
+                    if est_ctxs_size(cand) < est_ctxs_size(tok):
+                        memo[name] = choice = "ilist"
+                    else:
+                        memo[name] = choice = "tok"
+                        ctxs.update(tok)
+                        continue
+                elif choice is None:
+                    memo[name] = choice = "tok"
+                if cand is not None and choice == "ilist":
+                    ctxs.update(cand)
+                    continue
             if vals.data.shape[0] and iok.all():
                 if tags[t] == b"DP" and dp_pred is not None:
                     pred = dp_pred[sel]
@@ -698,7 +945,15 @@ class VcfDT(DataType):
                     ctxs[name] = VBCtx(name, MODE_NUM, local=iv, cat="int")
             else:
                 ctxs.update(tokenizer_seg_col(name, vals, single_stream=True))
-        return True
+        # per-ROW sum of FORMAT DP cells — feeds the INFO DP prediction
+        # (src/vcf_gatk.c INFO/DP == sum of sample DPs in GATK output);
+        # cells are sample-major, so row = cell_index mod ng
+        if dpv_cell is not None and S > 0:
+            ng = C // S
+            rows_of_cell = ragged.arange(C) % ng
+            return np.bincount(rows_of_cell, weights=dpv_cell,
+                               minlength=ng).astype(np.int64)
+        return None
 
     @staticmethod
     def _gt_dosage(col) -> np.ndarray:
@@ -806,7 +1061,7 @@ class VcfDT(DataType):
                 # radix path (same ORDER as the int64 form — only the
                 # sort algorithm differs, so ZIP/PIZ stay compatible)
                 key = dosage[cells_t]
-                if tags[t] in (b"PL", b"GL", b"GP") and td is not None \
+                if tags[t] in (b"PL", b"GL", b"GP", b"GQ") and td is not None \
                         and td in cols_by_t:
                     if dpv_cell is None:
                         ivd, iokd = ragged.atoi(cols_by_t[td])
@@ -818,6 +1073,11 @@ class VcfDT(DataType):
                     mux = np.argsort(key, kind="stable")
             if tags[t] == b"GT" and "PBWT" in pctxs:
                 col = self._recon_gt_cells(pctxs, ng, S, name)
+            elif name + "LS" in pctxs:
+                dsel = dosage[cells_t]
+                if mux is not None:
+                    dsel = dsel[mux]
+                col = self._recon_int_list(pctxs, name, dsel)
             elif pc is not None and pc.mode == MODE_NUM:
                 local = pc.local.astype(np.int64)
                 if mux is not None:
@@ -882,10 +1142,22 @@ class VcfDT(DataType):
             cells = ragged.merge_rows(
                 C, [(np.nonzero(~bad)[0], ragged.take(cells, np.nonzero(~bad)[0])),
                     (np.nonzero(bad)[0], pctxs["SMPEXC"].dict_take())])
+        # per-row FORMAT DP sum for the INFO DP prediction (mirrors the
+        # ZIP-side computation in _seg_samples exactly)
+        dp_row = None
+        if td is not None and td in cols_by_t:
+            if dpv_cell is None:
+                ivd, iokd = ragged.atoi(cols_by_t[td])
+                dpv_cell = np.zeros(C, np.int64)
+                dpv_cell[cells_by_t[td]] = np.where(iokd, ivd, 0)
+            rows_of_cell = ragged.arange(C) % ng
+            dp_row = np.bincount(rows_of_cell, weights=dpv_cell,
+                                 minlength=ng).astype(np.int64)
         # sample-major cells -> per-sample columns -> tab-joined rows
         cols = [ragged.take(cells, ragged.arange(ng) + s * ng)
                 for s in range(S)]
-        return ragged.interleave(cols, sep_after=[b"\t"] * (S - 1) + [None])
+        return ragged.interleave(
+            cols, sep_after=[b"\t"] * (S - 1) + [None]), dp_row
 
     def _recon_gt_cells(self, pctxs, ng, S, name):
         """Sample-major GT subfield column from PBWT + phase + exceptions."""
@@ -920,6 +1192,17 @@ class VcfDT(DataType):
 
         cols, seps = [], []
         if ng:
+            # samples first: the INFO DP prediction (src/vcf_gatk.c) needs
+            # the per-row FORMAT DP sum before INFO is reconstructed
+            smp_col = dp_row = None
+            if nf > 9:
+                if "SMP" in pctxs:
+                    smp_col = tokenizer_recon_col("SMP", pctxs, ng)
+                else:
+                    smp_col, dp_row = self._recon_samples(pctxs, ng, nf)
+            pos_vals = None
+            if "POS" in pctxs and pctxs["POS"].mode == MODE_NUM:
+                pos_vals = pctxs["POS"].nums()
             names = ["CHROM", "POS", "ID", "REF", "ALT", "QUAL", "FILTER",
                      "INFO", "FORMAT"][:min(nf, 9)]
             for fname in names:
@@ -928,18 +1211,19 @@ class VcfDT(DataType):
                         pctxs, cols[0], cols[1], ng))
                 elif fname in ("CHROM", "REF", "ALT", "FILTER", "FORMAT"):
                     cols.append(pctxs[fname].dict_take())
-                elif fname == "POS" and "POS" in pctxs and pctxs["POS"].mode == MODE_NUM:
-                    cols.append(ragged.itoa(pctxs["POS"].nums()))
+                elif fname == "POS" and pos_vals is not None:
+                    cols.append(ragged.itoa(pos_vals))
+                elif fname == "ID" and "IDB" in pctxs:
+                    cols.append(self._recon_id(pctxs, pos_vals, ng))
                 elif fname == "INFO" and "INFOL" in pctxs:
-                    cols.append(self._recon_info(pctxs, ng))
+                    cols.append(self._recon_info(pctxs, ng,
+                                                 pos_vals=pos_vals,
+                                                 dp_row=dp_row))
                 else:
                     cols.append(tokenizer_recon_col(fname, pctxs, ng))
                 seps.append(b"\t")
-            if nf > 9:
-                if "SMP" in pctxs:
-                    cols.append(tokenizer_recon_col("SMP", pctxs, ng))
-                else:
-                    cols.append(self._recon_samples(pctxs, ng, nf))
+            if smp_col is not None:
+                cols.append(smp_col)
                 seps.append(None)
             else:
                 seps[-1] = None

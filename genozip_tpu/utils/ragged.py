@@ -88,6 +88,18 @@ def take(col: Col, idx: np.ndarray) -> Col:
     return gather_ranges(col.data, starts, lens)
 
 
+def rows_equal(a: Col, b: Col) -> np.ndarray:
+    """Per-row byte equality of two columns with identical per-row lens."""
+    n = len(a)
+    eq = a.lens == b.lens
+    mism = np.nonzero(a.data[:b.data.shape[0]] != b.data[:a.data.shape[0]])[0]
+    if mism.shape[0]:
+        rowm = np.searchsorted(a.offsets[1:], mism, side="right")
+        eq = eq.copy()
+        eq[np.minimum(rowm, n - 1)] = False
+    return eq
+
+
 def interleave(cols, sep_after=None) -> Col:
     """Row-wise concatenation of k columns (all length n), each row of column j
     optionally followed by separator bytes sep_after[j] (bytes or None).
