@@ -99,10 +99,13 @@ def _k_value(base, start):
     return k
 
 
-def channel_ids(cls: str, seq: Col, qual_lens: np.ndarray) -> np.ndarray:
+def channel_ids(cls: str, seq: Col, qual_lens: np.ndarray,
+                layout=None) -> np.ndarray:
     """Per-qual-byte channel id — pure function of SEQ + row structure,
-    identical at ZIP and PIZ."""
-    base, pos, start, end, row = _flat_layout(seq, qual_lens)
+    identical at ZIP and PIZ. `layout` shares one _flat_layout across
+    classes (the choose_class trial loop)."""
+    base, pos, start, end, row = layout if layout is not None \
+        else _flat_layout(seq, qual_lens)
     b = _BASE5[base]
     if cls == "smux":
         return b
@@ -205,8 +208,11 @@ def choose_class(seq: Col, qual: Col, sample: int = 1 << 18):
         seq = ragged.take(seq, idx)
     base_size = len(compress(qual.data.tobytes(), RANS1))
     best, best_size = None, base_size * 0.97
+    layout = _flat_layout(seq, qual.lens)   # shared across class trials
     for cls in CLASSES:
-        sz = len(compress(demux(cls, qual, seq).tobytes(), RANS1))
+        ch = channel_ids(cls, seq, qual.lens, layout=layout).astype(np.int16)
+        grouped = qual.data[np.argsort(ch, kind="stable")]
+        sz = len(compress(grouped.tobytes(), RANS1))
         if sz < best_size:
             best, best_size = cls, sz
     return best
