@@ -477,6 +477,46 @@ class BamDT(SamDT):
             raise ValueError("BAM input ends mid-record")
         return consumed
 
+    @staticmethod
+    def _cigar_ref_span(cigar: Col, n_cig: np.ndarray) -> np.ndarray:
+        """Per-record reference span from binary CIGAR: sum of op lens for
+        ref-consuming ops M/D/N/=/X (SAMv1 §4.2.2)."""
+        n = n_cig.shape[0]
+        if cigar.data.shape[0] == 0:
+            return np.zeros(n, np.int64)
+        u = cigar.data[:cigar.data.shape[0] - cigar.data.shape[0] % 4]
+        v = u.view("<u4").astype(np.int64)
+        op = v & 0xF
+        ln = v >> 4
+        consumes = np.isin(op, (0, 2, 3, 7, 8))
+        row = np.repeat(np.arange(n), n_cig)
+        return np.bincount(row, weights=np.where(consumes, ln, 0),
+                           minlength=n).astype(np.int64)
+
+    @staticmethod
+    def _reg2bin(beg: np.ndarray, end: np.ndarray) -> np.ndarray:
+        """Vectorized SAMv1 §5.3 reg2bin."""
+        e = end - 1
+        conds = [(beg >> 14) == (e >> 14), (beg >> 17) == (e >> 17),
+                 (beg >> 20) == (e >> 20), (beg >> 23) == (e >> 23),
+                 (beg >> 26) == (e >> 26)]
+        vals = [4681 + (beg >> 14), 585 + (beg >> 17), 73 + (beg >> 20),
+                9 + (beg >> 23), 1 + (beg >> 26)]
+        return np.select(conds, vals, 0).astype(np.int64)
+
+    @staticmethod
+    def _flag_demux(pc, flag: np.ndarray) -> np.ndarray:
+        """Invert the DEPN-flag mux + delta of a POS-like context."""
+        v = pc.local.astype(np.int64)
+        if pc.param == 3:
+            v = np.cumsum(v)
+            depn = (flag & 0x900) != 0
+            mux = np.argsort(depn, kind="stable")
+            out = np.empty_like(v)
+            out[mux] = v
+            return out
+        return pc.nums()
+
     def seg_vb(self, data: np.ndarray) -> VBSegResult:
         offsets, consumed = native.bam_scan(data, MAX_RECORDS_PER_VB)
         assert consumed == data.shape[0]
@@ -513,14 +553,33 @@ class BamDT(SamDT):
 
         ctxs = {}
         ctxs.update(tokenizer_seg_col("QNAME", name))
+        # secondary/supplementary rows carry unrelated positions that wreck
+        # the sorted-POS delta chain: mux by the DEPN flag bits so the
+        # primary channel deltas stay small (the reference deports these
+        # rows to gencomp DEPN components, src/gencomp_zip.c — the mux is
+        # the in-VB analog; key recomputed from FLAG at PIZ)
+        depn = (flag & 0x900) != 0
+        fmux = np.argsort(depn, kind="stable") \
+            if depn.any() and not depn.all() else None
         for nm, vals, delta in (("RNAME", refid, False), ("POS", pos, True),
-                                ("MAPQ", mapq, False), ("BIN", bin_, False),
+                                ("MAPQ", mapq, False),
                                 ("FLAG", flag, False), ("PNEXT", npos, True),
                                 ("RNEXT", nrefid, False), ("TLEN", tlen, False),
                                 ("NCIG", n_cig, False)):
+            if delta and fmux is not None:
+                v = np.diff(vals[fmux], prepend=np.int64(0))
+                ctxs[nm] = VBCtx(nm, MODE_NUM, local=v, cat="int", param=3)
+                continue
             v = np.diff(vals, prepend=np.int64(0)) if delta else vals
             ctxs[nm] = VBCtx(nm, MODE_NUM, local=v, cat="int",
                              param=1 if delta else 0)
+        # BIN is a pure function of (POS, ref span) — predict it (SAMv1
+        # spec reg2bin; reference src/bam_seg.c bam_seg_bin) and store the
+        # residual, which is all-zero for spec-conforming writers
+        span = self._cigar_ref_span(cigar, n_cig)
+        bin_pred = self._reg2bin(pos, pos + np.maximum(span, 1))
+        ctxs["BIN"] = VBCtx("BIN", MODE_NUM, local=bin_ - bin_pred,
+                            cat="int", param=4)
         ctxs["SQLEN"] = VBCtx("SQLEN", MODE_NUM,
                               local=np.diff(l_seq, prepend=np.int64(0)),
                               cat="int", param=1)
@@ -565,12 +624,11 @@ class BamDT(SamDT):
         n = meta["num_lines"]
         name = tokenizer_recon_col("QNAME", pctxs, n)
         refid = pctxs["RNAME"].nums()
-        pos = pctxs["POS"].nums()
-        mapq = pctxs["MAPQ"].nums()
-        bin_ = pctxs["BIN"].nums()
         flag = pctxs["FLAG"].nums()
+        pos = self._flag_demux(pctxs["POS"], flag)
+        mapq = pctxs["MAPQ"].nums()
         nrefid = pctxs["RNEXT"].nums()
-        npos = pctxs["PNEXT"].nums()
+        npos = self._flag_demux(pctxs["PNEXT"], flag)
         tlen = pctxs["TLEN"].nums()
         n_cig = pctxs["NCIG"].nums()
         l_seq = pctxs["SQLEN"].nums()
@@ -578,6 +636,10 @@ class BamDT(SamDT):
         l_rn = name.lens + 1
         seq_bytes = (l_seq + 1) // 2
         cigar = pctxs["CIGAR"].txt_col(4 * n_cig)
+        bin_ = pctxs["BIN"].nums()
+        if pctxs["BIN"].param == 4:
+            span = self._cigar_ref_span(cigar, n_cig)
+            bin_ = bin_ + self._reg2bin(pos, pos + np.maximum(span, 1))
         if "SQBITMAP" in pctxs:
             n_rec = l_seq.shape[0]
             nibok = pctxs["NIBOK"].nums().astype(bool)
