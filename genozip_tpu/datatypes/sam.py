@@ -365,12 +365,50 @@ class SamDT(DataType):
         else:
             ctxs.update(tokenizer_seg_col("QNAME", qname))
         ctxs.update(_num_or_tok("FLAG", flag))
-        for nm, c in (("RNAME", rname), ("RNEXT", rnext)):
-            uw, inv = dedup_col(c)
-            ctxs[nm] = VBCtx(nm, MODE_DICT, b250=inv, vb_words=uw, cat="b250")
-        ctxs.update(_num_or_tok("POS", pos, delta=True))
-        ctxs.update(_num_or_tok("MAPQ", mapq))
-        ctxs.update(tokenizer_seg_col("CIGAR", cigar))
+        # DEPN RNAME/POS/MAPQ/CIGAR prediction from the primary's first
+        # SA:Z entry (reference src/sam_sag_zip.c / sections.h:32 SA-type
+        # groups): the SA entry written in the primary describes this
+        # supplementary, so matching fields cost one bitmap bit each
+        sagf = None
+        if sag_idx is not None:
+            saf = self._sa_field_preds(sag, sag_idx, flags_v)
+            if saf is not None:
+                from ..deep import cols_equal_rows
+                pvq, pvok = ragged.atoi(pos)
+                mvq, mvok = ragged.atoi(mapq)
+                v = saf["valid"]
+                rn_eq = v & cols_equal_rows(rname, saf["rname"])
+                ps_eq = v & pvok & (pvq == saf["pos"])
+                mq_eq = v & mvok & (mvq == saf["mapq"])
+                cg_eq = v & cols_equal_rows(cigar, saf["cigar"])
+                sagf = (rn_eq.astype(np.int64) + ps_eq * 2 +
+                        mq_eq * 4 + cg_eq * 8)
+                if sagf.any():
+                    ctxs["SAGF"] = VBCtx("SAGF", MODE_NUM, local=sagf,
+                                         cat="int")
+                else:
+                    sagf = None
+        uw, inv = dedup_col(rnext)
+        ctxs["RNEXT"] = VBCtx("RNEXT", MODE_DICT, b250=inv, vb_words=uw,
+                              cat="b250")
+        if sagf is not None:
+            kr = np.nonzero(~(sagf & 1).astype(bool))[0]
+            uw, inv = dedup_col(ragged.take(rname, kr))
+            ctxs["RNAME"] = VBCtx("RNAME", MODE_DICT, b250=inv, vb_words=uw,
+                                  cat="b250")
+            kp = np.nonzero(~(sagf & 2).astype(bool))[0]
+            ctxs.update(_num_or_tok("POS", ragged.take(pos, kp), delta=True))
+            km = np.nonzero(~(sagf & 4).astype(bool))[0]
+            ctxs.update(_num_or_tok("MAPQ", ragged.take(mapq, km)))
+            kc = np.nonzero(~(sagf & 8).astype(bool))[0]
+            ctxs.update(tokenizer_seg_col("CIGAR", ragged.take(cigar, kc)))
+        else:
+            uw, inv = dedup_col(rname)
+            ctxs["RNAME"] = VBCtx("RNAME", MODE_DICT, b250=inv, vb_words=uw,
+                                  cat="b250")
+            ctxs.update(_num_or_tok("POS", pos, delta=True))
+            ctxs.update(_num_or_tok("MAPQ", mapq))
+            ctxs.update(tokenizer_seg_col("CIGAR", cigar))
         # PNEXT as mate-delta vs POS (reference mate-copy snips,
         # sam_seg.c:27-60): insert-size-scale values instead of a delta
         # chain. PNEXT=0 (no mate) encodes as 0; non-negative deltas shift
@@ -439,7 +477,9 @@ class SamDT(DataType):
                       cigar=cigar, mate=mate,
                       pos_v=pv_ if (len(pos) and pok_.all()) else None,
                       sa_pred=sa_pred,
-                      nh_pred=self._sag_nh_pred(sag_idx, len(qname)))
+                      nh_pred=self._sag_nh_pred(sag_idx, len(qname)),
+                      cc_pred=self._sag_cc_pred_col(sag_idx, len(qname)),
+                      cp_pred=self._sag_cp_pred(sag_idx, len(qname)))
 
         if bad_rows.shape[0]:
             uw, inv = dedup_col(ragged.take(lines, bad_rows))
@@ -982,6 +1022,26 @@ class SamDT(DataType):
         runs_per_row = np.bincount(row[starts], minlength=len(seq_rows))
         return run_lens.astype(np.int64), runs_per_row.astype(np.int64)
 
+    @staticmethod
+    def _sa_field_preds(sag, sag_idx, flags_v):
+        """Per-row predicted RNAME/POS/MAPQ/CIGAR for supplementary rows
+        with a store hit whose primary carries a parsed SA first entry.
+        Pure function of (store, sag_idx, flags) — identical at PIZ."""
+        if sag is None or getattr(sag, "sa1_rname", None) is None:
+            return None
+        hit = (sag_idx >= 0) & ((flags_v & 0x800) != 0)
+        if not hit.any():
+            return None
+        sidx = np.where(hit, sag_idx, 0)
+        valid = hit & sag.sa1_valid[sidx]
+        if not valid.any():
+            return None
+        return {"valid": valid,
+                "rname": ragged.take(sag.sa1_rname, sidx),
+                "pos": sag.sa1_pos[sidx],
+                "mapq": sag.sa1_mapq[sidx],
+                "cigar": ragged.take(sag.sa1_cigar, sidx)}
+
     def _sa_pred_col(self, sag_idx, n):
         """Per-row predicted SA:Z leading entry (primary's composed
         'rname,pos,strand,cigar,mapq,nm;'), empty rows where no SAG hit.
@@ -1008,9 +1068,32 @@ class SamDT(DataType):
         pred[hit] = np.where(pv[hit] > 0, pv[hit], 0)
         return pred if (pred != 0).any() else None
 
+    def _sag_cp_pred(self, sag_idx, n):
+        """CP:i prediction = the primary's POS (SAG_BY_CC flavor,
+        reference sections.h:32: CC/CP point back into the group chain —
+        exact for two-element chains, residual otherwise)."""
+        sag = getattr(self, "sag_store", None)
+        if sag_idx is None or sag is None or sag.pos is None:
+            return None
+        pred = np.zeros(n, np.int64)
+        hit = sag_idx >= 0
+        pred[hit] = sag.pos[np.maximum(sag_idx, 0)][hit]
+        return pred if (pred != 0).any() else None
+
+    def _sag_cc_pred_col(self, sag_idx, n):
+        """CC:Z prediction column = the primary's RNAME (SAG_BY_CC)."""
+        sag = getattr(self, "sag_store", None)
+        if sag_idx is None or sag is None or sag.rname is None:
+            return None
+        hit = np.nonzero(sag_idx >= 0)[0]
+        if hit.shape[0] == 0:
+            return None
+        return ragged.merge_rows(
+            n, [(hit, ragged.take(sag.rname, sag_idx[hit]))])
+
     def _seg_aux(self, ctxs, aux, predict=None, qual=None, seq=None,
                  cigar=None, mate=None, pos_v=None, sa_pred=None,
-                 nh_pred=None):
+                 nh_pred=None, cc_pred=None, cp_pred=None):
         """Per-tag AUX contexts (reference src/sam_fields.c: one context per
         aux tag keyed by DictId). Layout word per row = concatenated 4-byte
         'TG:t' prefixes (AUXL dict); per tag one value context AX<TG><t>.
@@ -1075,6 +1158,11 @@ class SamDT(DataType):
                         ctxs[name] = VBCtx(name, MODE_NUM,
                                            local=iv - nh_pred[rows_t],
                                            cat="int", param=11)
+                    elif cp_pred is not None and tag2 == b"CP":
+                        # CP:i vs the primary's POS (SAG_BY_CC)
+                        ctxs[name] = VBCtx(name, MODE_NUM,
+                                           local=iv - cp_pred[rows_t],
+                                           cat="int", param=12)
                     elif nm_pred is not None and (b0, b1) == (ord("N"), ord("M")):
                         ctxs[name] = VBCtx(name, MODE_NUM,
                                            local=iv - nm_pred[rows_t],
@@ -1125,6 +1213,11 @@ class SamDT(DataType):
                 handled = None
                 if tag2 == b"SA" and sa_pred is not None:
                     handled = sam_tags.sa_pred_seg(name, vals, sa_pred,
+                                                   rows_t)
+                elif tag2 == b"CC" and cc_pred is not None:
+                    # CC:Z vs the primary's RNAME (SAG_BY_CC): exact for
+                    # two-element chains, prefix-bitmap residual otherwise
+                    handled = sam_tags.sa_pred_seg(name, vals, cc_pred,
                                                    rows_t)
                 elif tag2 == b"XA" and pos_v is not None:
                     handled = sam_tags.xa_seg(name, vals, pos_v, rows_t)
@@ -1278,7 +1371,7 @@ class SamDT(DataType):
 
     def _recon_aux(self, pctxs, n, predict=None, qual=None, seq=None,
                    cigar=None, mate=None, pos_v=None, sa_pred=None,
-                   nh_pred=None):
+                   nh_pred=None, cc_pred=None, cp_pred=None):
         """Rebuild the AUX remainder (leading-\\t convention) from AUXL
         layout + per-tag contexts."""
         layout = pctxs["AUXL"].dict_take()
@@ -1316,6 +1409,10 @@ class SamDT(DataType):
                     if tag2 == b"SA" and name + "P" in pctxs and \
                             sa_pred is not None:
                         col_z = sam_tags.sa_pred_recon(name, pctxs, sa_pred,
+                                                       rows_t)
+                    elif tag2 == b"CC" and name + "P" in pctxs and \
+                            cc_pred is not None:
+                        col_z = sam_tags.sa_pred_recon(name, pctxs, cc_pred,
                                                        rows_t)
                     elif tag2 == b"XA" and name + "F" in pctxs and \
                             pos_v is not None:
@@ -1416,6 +1513,8 @@ class SamDT(DataType):
                         v = pc.local.astype(np.int64) + nm_pred[rows_t]
                     elif pc.param == 11:      # NH copies the primary's
                         v = pc.local.astype(np.int64) + nh_pred[rows_t]
+                    elif pc.param == 12:      # CP vs the primary's POS
+                        v = pc.local.astype(np.int64) + cp_pred[rows_t]
                     elif pc.param == sam_tags.PARAM_AS_VS_SEQLEN:
                         v = pc.local.astype(np.int64) + seq.lens[rows_t]
                     elif pc.param == sam_tags.PARAM_VS_AS:
@@ -1555,10 +1654,35 @@ class SamDT(DataType):
             else:
                 qname = tokenizer_recon_col("QNAME", pctxs, ng)
             flag = _recon_num_or_tok("FLAG", pctxs, ng)
-            rname = pctxs["RNAME"].dict_take()
-            pos = _recon_num_or_tok("POS", pctxs, ng)
-            mapq = _recon_num_or_tok("MAPQ", pctxs, ng)
-            cigar = tokenizer_recon_col("CIGAR", pctxs, ng)
+            if "SAGF" in pctxs:
+                # invert the SA-first-entry field elision: non-predicted
+                # subsets come from the contexts, predicted rows from the
+                # store (rebuilt identically at PIZ)
+                sagf = pctxs["SAGF"].nums()
+                flags_v0, _ = ragged.atoi(flag)
+                saf = self._sa_field_preds(sag, sag_idx, flags_v0)
+                assert saf is not None, "SAGF present but store lacks SA"
+
+                def _mix(bit, sub_col, pred_col):
+                    pr = np.nonzero((sagf & bit).astype(bool))[0]
+                    kp = np.nonzero(~(sagf & bit).astype(bool))[0]
+                    return ragged.merge_rows(
+                        ng, [(kp, sub_col), (pr, ragged.take(pred_col, pr))])
+                rname = _mix(1, pctxs["RNAME"].dict_take(), saf["rname"])
+                nkp = int((~(sagf & 2).astype(bool)).sum())
+                pos = _mix(2, _recon_num_or_tok("POS", pctxs, nkp),
+                           ragged.itoa(saf["pos"]))
+                nkm = int((~(sagf & 4).astype(bool)).sum())
+                mapq = _mix(4, _recon_num_or_tok("MAPQ", pctxs, nkm),
+                            ragged.itoa(saf["mapq"]))
+                nkc = int((~(sagf & 8).astype(bool)).sum())
+                cigar = _mix(8, tokenizer_recon_col("CIGAR", pctxs, nkc),
+                             saf["cigar"])
+            else:
+                rname = pctxs["RNAME"].dict_take()
+                pos = _recon_num_or_tok("POS", pctxs, ng)
+                mapq = _recon_num_or_tok("MAPQ", pctxs, ng)
+                cigar = tokenizer_recon_col("CIGAR", pctxs, ng)
             rnext = pctxs["RNEXT"].dict_take()
             pc_pn = pctxs.get("PNEXT")
             if pc_pn is not None and pc_pn.mode == MODE_NUM and pc_pn.param == 3:
@@ -1625,7 +1749,10 @@ class SamDT(DataType):
                                       pos_v=pvr if (ng and pokr.all())
                                       else None,
                                       sa_pred=self._sa_pred_col(sag_idx, ng),
-                                      nh_pred=self._sag_nh_pred(sag_idx, ng))
+                                      nh_pred=self._sag_nh_pred(sag_idx, ng),
+                                      cc_pred=self._sag_cc_pred_col(sag_idx,
+                                                                    ng),
+                                      cp_pred=self._sag_cp_pred(sag_idx, ng))
             else:
                 aux = tokenizer_recon_col("AUX", pctxs, ng)
             t = b"\t"

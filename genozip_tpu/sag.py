@@ -90,6 +90,49 @@ def tag_int(aux: Col, tag: bytes) -> np.ndarray:
     return out
 
 
+def tag_str(aux: Col, tag: bytes) -> Col:
+    """Per-row text value of a Z-type aux tag (e.g. b'SA:Z:'), empty rows
+    where absent. Vectorized: one pattern scan + one ranged gather."""
+    n = len(aux)
+    d = aux.data
+    tl = len(tag)
+    empty = Col(np.zeros(0, np.uint8),
+                np.zeros(n + 1, np.int64))
+    if d.shape[0] < tl or n == 0:
+        return empty
+    m = np.ones(d.shape[0] - tl + 1, bool)
+    for j, b in enumerate(tag):
+        m &= d[j:d.shape[0] - tl + 1 + j] == b
+    hits = np.nonzero(m)[0]
+    if hits.shape[0] == 0:
+        return empty
+    row = np.searchsorted(aux.offsets, hits, "right") - 1
+    keep = ((hits == aux.offsets[row]) |
+            (d[np.maximum(hits - 1, 0)] == ord("\t"))) & \
+        (hits + tl <= aux.offsets[row + 1])
+    hits, row = hits[keep], row[keep]
+    first = np.ones(hits.shape[0], bool)
+    first[1:] = row[1:] != row[:-1]
+    hits, row = hits[first], row[first]
+    vstart = hits + tl
+    vend = aux.offsets[row + 1]
+    vals = ragged.gather_ranges(d, vstart, vend - vstart)
+    # trim at the first tab
+    tabs = np.nonzero(vals.data == ord("\t"))[0]
+    if tabs.shape[0]:
+        trow = np.searchsorted(vals.offsets[1:], tabs, side="right")
+        tfirst = np.ones(tabs.shape[0], bool)
+        tfirst[1:] = trow[1:] != trow[:-1]
+        tabs, trow = tabs[tfirst], trow[tfirst]
+        newlens = vals.lens.copy()
+        newlens[trow] = tabs - vals.offsets[:-1][trow]
+        vals = ragged.gather_ranges(vals.data, vals.offsets[:-1], newlens)
+    lens = np.zeros(n, np.int64)
+    lens[row] = vals.lens
+    out_off = np.concatenate([[0], np.cumsum(lens)])
+    return Col(vals.data, out_off)
+
+
 def _sam_lines(data: np.ndarray):
     nl = np.nonzero(data == ord("\n"))[0]
     if data.shape[0] and (nl.shape[0] == 0 or nl[-1] != data.shape[0] - 1):
@@ -140,6 +183,12 @@ class SagStore:
         else:
             self.qual_packed, self.qual_pal, self.qual_width = \
                 qual.data, None, 8
+        # SA-first-entry prediction columns (filled by _parse_sa_first)
+        n0 = len(qname)
+        self.sa1_valid = np.zeros(n0, bool)
+        self.sa1_rname = self.sa1_cigar = None
+        self.sa1_pos = self.sa1_mapq = None
+        self.sa1_rev = None
         # sorted (hash ^ mate-bits) join index; ties keep the lowest row
         n = len(qname)
         key = qname_hash(qname) + (flag.astype(np.uint64) & MATE_BITS)
@@ -161,7 +210,59 @@ class SagStore:
         # SAG_BY_NH flavor (reference sections.h:32-38): multimapper groups
         # share the primary's NH:i — keep it for DEPN prediction
         store.nh = tag_int(aux, b"NH:i:")
+        store._parse_sa_first(tag_str(aux, b"SA:Z:"))
         return store
+
+    def _parse_sa_first(self, sa: Col):
+        """First SA:Z entry of each primary, split into columns — it
+        describes the primary's (first) supplementary, so a DEPN row's
+        RNAME/POS/MAPQ/CIGAR are predictable from its primary's store row
+        (reference src/sam_sag_zip.c SA-group loading, sections.h:32)."""
+        n = len(sa)
+        self.sa1_valid = np.zeros(n, bool)
+        if sa.data.shape[0] == 0:
+            return
+        # first entry = text up to the first ';'
+        semis = np.nonzero(sa.data == ord(";"))[0]
+        ent_len = sa.lens.copy()
+        if semis.shape[0]:
+            srow = np.searchsorted(sa.offsets[1:], semis, side="right")
+            sfirst = np.ones(semis.shape[0], bool)
+            sfirst[1:] = srow[1:] != srow[:-1]
+            semis, srow = semis[sfirst], srow[sfirst]
+            ent_len[srow] = semis - sa.offsets[:-1][srow]
+        ent = ragged.gather_ranges(sa.data, sa.offsets[:-1], ent_len)
+        ncom = ragged.count_sep_per_row(ent, ord(","))
+        ok = (ncom == 5) & (ent.lens > 0)
+        rows = np.nonzero(ok)[0]
+        if rows.shape[0] == 0:
+            return
+        sub = ragged.take(ent, rows)
+        f, _rest, good, _bad = ragged.split_first_fields(sub, ord(","), 6)
+        if good.shape[0] != len(sub):
+            ok2 = np.zeros(len(sub), bool)
+            ok2[good] = True
+            rows = rows[ok2]
+            sub = ragged.take(sub, np.nonzero(ok2)[0])
+            f, _rest, good, _bad = ragged.split_first_fields(sub, ord(","), 6)
+        p_, pok = ragged.atoi(f[1])
+        m_, mok = ragged.atoi(f[4])
+        fok = pok & mok & (f[2].lens == 1)
+        frows = np.nonzero(fok)[0]
+        rows = rows[frows]
+        self.sa1_valid[rows] = True
+        zc = Col(np.zeros(0, np.uint8), np.zeros(n + 1, np.int64))
+        self.sa1_rname = ragged.merge_rows(
+            n, [(rows, ragged.take(f[0], frows))]) if rows.shape[0] else zc
+        self.sa1_cigar = ragged.merge_rows(
+            n, [(rows, ragged.take(f[3], frows))]) if rows.shape[0] else zc
+        self.sa1_pos = np.zeros(n, np.int64)
+        self.sa1_pos[rows] = p_[frows]
+        self.sa1_mapq = np.zeros(n, np.int64)
+        self.sa1_mapq[rows] = m_[frows]
+        self.sa1_rev = np.zeros(n, bool)
+        st = f[2]
+        self.sa1_rev[rows] = (st.data[st.offsets[:-1]] == ord("-"))[frows]
 
     def sa_entries(self, idx: np.ndarray) -> Col:
         """Composed SA entry 'rname,pos,strand,cigar,mapq,nm;' of the

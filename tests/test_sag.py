@@ -317,3 +317,86 @@ def test_sag_by_nh_prediction(tmp_path):
     zip_file(src, z, vb_size=256 * 1024)
     piz_file(z, src + ".out")
     assert open(src + ".out", "rb").read() == data
+
+
+def test_sag_sa_field_prediction(tmp_path):
+    """DEPN RNAME/POS/MAPQ/CIGAR predicted from the primary's SA first
+    entry (reference src/sam_sag_zip.c SA-group fields): SAGF bitmap
+    engages with all four bits set on supplementary rows, round-trip
+    byte-exact."""
+    data = synth_sa_sam()
+    src = os.path.join(str(tmp_path), "saf.sam")
+    open(src, "wb").write(data)
+    z = src + ".gxz"
+    zip_file(src, z, vb_size=256 * 1024)
+    piz_file(z, src + ".out")
+    assert open(src + ".out", "rb").read() == data
+    from genozip_tpu.piz_pipeline import PizReader
+    pr = PizReader(z)
+    pr.ensure_gencomp()
+    gc = pr.file_hdr.get("gencomp")
+    assert gc and gc["depn_vbs"], "gencomp did not engage"
+    loaded = pr.load_vb(1, 2)  # first DEPN VB
+    sagf = None
+    for name, cm in loaded[0]["ctxs"].items():
+        if name == "SAGF":
+            sagf = cm
+    assert sagf is not None, "SAGF prediction did not engage"
+
+
+def test_sag_sa_field_mismatch_safe(tmp_path):
+    """PRIMARY SA entries contradicting the supplementary's actual fields:
+    per-row per-field prediction must miss, never corrupt."""
+    rng = np.random.default_rng(31)
+    rows = [b"@HD\tVN:1.6\n@SQ\tSN:c1\tLN:100000\n"]
+    for i in range(400):
+        seq = rng.choice(ACGT, 100).tobytes()
+        qual = rng.choice(np.frombuffer(b"FF:,#", np.uint8), 100).tobytes()
+        pos = 100 + i * 9
+        spos = pos + 700
+        # 40% of primaries carry an SA that misdescribes the supplementary
+        if rng.random() < 0.4:
+            psa = b"SA:Z:c1,%d,+,41M59H,29,1;" % (spos + 3)
+        else:
+            psa = b"SA:Z:c1,%d,+,40M60H,30,1;" % spos
+        rows.append(b"S%d\t0\tc1\t%d\t60\t100M\t*\t0\t0\t%s\t%s\t"
+                    b"NM:i:0\t%s\n" % (i, pos, seq, qual, psa))
+        rows.append(b"S%d\t2048\tc1\t%d\t30\t40M60H\t*\t0\t0\t%s\t"
+                    b"%s\tSA:Z:c1,%d,+,100M,60,0;\n"
+                    % (i, spos, seq[:40], qual[:40], pos))
+    data = b"".join(rows)
+    src = os.path.join(str(tmp_path), "safm.sam")
+    open(src, "wb").write(data)
+    z = src + ".gxz"
+    zip_file(src, z, vb_size=256 * 1024)
+    piz_file(z, src + ".out")
+    assert open(src + ".out", "rb").read() == data
+
+
+def test_sag_by_cc_prediction(tmp_path):
+    """SAG_BY_CC flavor: secondary rows carry CC:Z/CP:i pointing back at
+    the primary (two-element chains) — predicted from the store; rows
+    where the chain points elsewhere fall to the residual."""
+    rng = np.random.default_rng(29)
+    rows = [b"@HD\tVN:1.6\n@SQ\tSN:c1\tLN:100000\n@SQ\tSN:c2\tLN:100000\n"]
+    for i in range(400):
+        seq = rng.choice(ACGT, 60).tobytes()
+        qual = rng.choice(np.frombuffer(b"FF:,#", np.uint8), 60).tobytes()
+        pos = 50 + i * 11
+        spos = pos + 5000
+        rows.append(b"c%d\t0\tc1\t%d\t60\t60M\t*\t0\t0\t%s\t%s\t"
+                    b"CC:Z:c1\tCP:i:%d\n" % (i, pos, seq, qual, spos))
+        # secondary points back to the primary; 10% point elsewhere
+        if i % 10:
+            cc, cp = b"c1", pos
+        else:
+            cc, cp = b"c2", pos + 7
+        rows.append(b"c%d\t256\tc1\t%d\t0\t60M\t*\t0\t0\t*\t*\t"
+                    b"CC:Z:%s\tCP:i:%d\n" % (i, spos, cc, cp))
+    data = b"".join(rows)
+    src = os.path.join(str(tmp_path), "cc.sam")
+    open(src, "wb").write(data)
+    z = src + ".gxz"
+    zip_file(src, z, vb_size=256 * 1024)
+    piz_file(z, src + ".out")
+    assert open(src + ".out", "rb").read() == data
