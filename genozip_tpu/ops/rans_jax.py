@@ -123,6 +123,15 @@ def _decode_device(words_u16, tab, tab2, cum_row, K: int, N: int, n: int,
                    order: int):
     """Full device decode -> (n,) u8. words_u16: stream incl. 2N state words.
     cum_row: (256,) f32 cumulative table (order-0) for slot->sym row-sum."""
+    return _decode_core(words_u16, tab, tab2, cum_row, K, N, n, order)[:n]
+
+
+def _decode_core(words_u16, tab, tab2, cum_row, K: int, N: int, n,
+                 order: int):
+    """Decode core returning the full (K*N,) lane plane; `n` may be a
+    traced scalar (the active-lane mask is dynamic, the layout is not) —
+    this is what lets a dp-sharded batch mix streams of nearby sizes that
+    share the (K, N) lane layout (parallel/piz_sharded.py)."""
     words = words_u16.astype(jnp.uint32)
     st = words[: 2 * N].reshape(-1, 2)
     x0 = (st[:, 0] << 16) | st[:, 1]
@@ -178,8 +187,7 @@ def _decode_device(words_u16, tab, tab2, cum_row, K: int, N: int, n: int,
 
     _, out = jax.lax.scan(step, (x0, p0, ctx0), active)
     # out: (K, N) in lane-chunk layout -> flat
-    flat = out.T.reshape(-1)[:n]
-    return flat
+    return out.T.reshape(-1)
 
 
 @partial(jax.jit, static_argnames=("order", "Kmax", "N"))

@@ -193,3 +193,71 @@ def test_sharded_aligner_u32_gpos_beyond_2g():
     assert ok.sum() >= 0.9 * R, (ok.sum(), R)
     assert (gpos[aligned] > np.uint64(1 << 31)).any(), \
         "no >2^31 placements exercised"
+
+
+def test_piz_dp_byte_identical(tmp_path):
+    """dp-sharded PIZ (plan sliced per worker, ordered assembly,
+    writer.c:866/1203 roles): output equals host PIZ byte-for-byte,
+    including a gencomp-reordered SAM."""
+    import numpy as np
+    import os
+    from genozip_tpu.zip_pipeline import zip_file
+    from genozip_tpu.piz_pipeline import piz_file
+    from genozip_tpu.parallel.piz_sharded import piz_file_dp
+    rng = np.random.default_rng(3)
+    reads = []
+    for i in range(2000):
+        s = rng.choice(np.frombuffer(b"ACGT", np.uint8), 100)
+        q = (rng.integers(0, 40, 100) + 33).astype(np.uint8)
+        reads.append(b"@q%d\n%s\n+\n%s\n" % (i, s.tobytes(), q.tobytes()))
+    src = os.path.join(str(tmp_path), "dp.fastq")
+    open(src, "wb").write(b"".join(reads))
+    zip_file(src, src + ".gxz", vb_size=48 * 1024)
+    piz_file(src + ".gxz", src + ".host")
+    host = open(src + ".host", "rb").read()
+    assert piz_file_dp(src + ".gxz", dp=8) == host
+    assert host == b"".join(reads)
+
+    hdr = b"@HD\tVN:1.6\tSO:coordinate\n@SQ\tSN:c1\tLN:99999\n"
+    rows = []
+    p = 1
+    for i in range(1500):
+        p += int(rng.integers(1, 50))
+        s = rng.choice(np.frombuffer(b"ACGT", np.uint8), 70)
+        q = (rng.integers(0, 40, 70) + 33).astype(np.uint8)
+        if i % 9 == 2:
+            rows.append(b"h%d\t256\tc1\t%d\t0\t70M\t*\t0\t0\t*\t*\n" % (i, p))
+        else:
+            rows.append(b"h%d\t0\tc1\t%d\t60\t70M\t*\t0\t0\t%s\t%s\n"
+                        % (i, p, s.tobytes(), q.tobytes()))
+    sam = os.path.join(str(tmp_path), "dp.sam")
+    open(sam, "wb").write(hdr + b"".join(rows))
+    zip_file(sam, sam + ".gxz", vb_size=32 * 1024)
+    piz_file(sam + ".gxz", sam + ".host")
+    hosts = open(sam + ".host", "rb").read()
+    assert piz_file_dp(sam + ".gxz", dp=8) == hosts
+    assert hosts == hdr + b"".join(rows)
+
+
+def test_sharded_decode_bit_identity():
+    """ShardedPizDecoder == rans_np.decode for a dp batch of mixed-size
+    order-0 streams sharing a (K, N) lane layout."""
+    import numpy as np
+    from genozip_tpu.ops import rans_np
+    from genozip_tpu.parallel.piz_sharded import ShardedPizDecoder
+    rng = np.random.default_rng(4)
+    items, raws = [], []
+    for i in range(12):
+        n = int(rng.integers(50000, 65000))
+        data = rng.integers(0, 30, n).astype(np.uint8).tobytes()
+        raws.append(data)
+        items.append(rans_np.encode(data, 0))
+    # plus a tiny one (host fallback path) and an order-1 one
+    tiny = bytes(rng.integers(0, 9, 100, np.uint8))
+    raws.append(tiny)
+    items.append(rans_np.encode(tiny, 0))
+    o1 = bytes(rng.integers(0, 9, 20000, np.uint8))
+    raws.append(o1)
+    items.append(rans_np.encode(o1, 1))
+    outs = ShardedPizDecoder(8, min_size=1024).decode_sections(items)
+    assert all(o == r for o, r in zip(outs, raws))
