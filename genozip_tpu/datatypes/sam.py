@@ -598,7 +598,7 @@ class SamDT(DataType):
         row), row_ok (structurally valid with >=1 match op),
         read_len/ref_len."""
         from ..seg import TOK_MARK, tokenize_col
-        tmpl_data, tmpl_lens, vals, _tok = tokenize_col(
+        tmpl_data, tmpl_lens, vals, _tok, _w = tokenize_col(
             cigar.data, cigar.offsets, 1 << 30)
         toff = np.concatenate([[0], np.cumsum(tmpl_lens)])
         data = tmpl_data

@@ -659,13 +659,21 @@ class VcfDT(DataType):
         from ..seg import tokenize_col, TOK_MARK
         n = len(col)
         nseg = ragged.count_sep_per_row(col, ord(",")) + 1
-        tmpl_data, tmpl_lens, vals, _tok = tokenize_col(
+        tmpl_data, tmpl_lens, vals, _tok, wid = tokenize_col(
             col.data, col.offsets, 1 << 62)
         toff = np.concatenate([[0], np.cumsum(tmpl_lens)])
         tmpl_col = Col(tmpl_data, toff)
         kept = ragged.count_sep_per_row(tmpl_col, TOK_MARK)
         ok_row = (kept == nseg) & (tmpl_lens == 2 * nseg - 1) & \
             (col.lens > 0)
+        # zero-padded ints are now tokenized (width-tagged) — but the
+        # int-list columns store bare values, so rows with a non-canonical
+        # token must stay on the exception path
+        wi = wid.astype(np.int64)
+        canon = (wi <= 1) | (vals >= 10 ** np.maximum(wi - 1, 0))
+        if not canon.all():
+            tok_row = np.repeat(ragged.arange(n), kept)
+            ok_row[tok_row[~canon]] = False
         # byte-pattern check ("\x01(,\x01)*") on the UNIQUE templates only —
         # cells share a handful of shapes, so this is a tiny python loop
         # instead of a per-byte pass over millions of cells

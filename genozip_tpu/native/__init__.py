@@ -80,7 +80,7 @@ def get():
                                          ctypes.c_int64, ctypes.c_int64,
                                          ctypes.c_void_p, ctypes.c_void_p,
                                          ctypes.c_void_p, ctypes.c_void_p,
-                                         ctypes.c_void_p]
+                                         ctypes.c_void_p, ctypes.c_void_p]
             lib.gxz_acgt_pack.restype = ctypes.c_int64
             lib.gxz_acgt_pack.argtypes = [ctypes.c_void_p, ctypes.c_int64,
                                           ctypes.c_void_p, ctypes.c_void_p,
@@ -339,7 +339,8 @@ def aes256_ctr(key: bytes, counter0: bytes, data) -> bytes:
 
 def tokenize(data: np.ndarray, offsets: np.ndarray, max_tokens: int):
     """One-pass tokenizer scan. Returns (tmpl_data, tmpl_lens, values,
-    tok_idx) matching seg.py's keep rules."""
+    tok_idx, widths) matching seg.py's keep rules (widths = digit-run
+    length per kept token, for zero-padded re-rendering)."""
     lib = get()
     n = offsets.shape[0] - 1
     dl = data.shape[0]
@@ -348,17 +349,18 @@ def tokenize(data: np.ndarray, offsets: np.ndarray, max_tokens: int):
     cap = dl // 1 + 1
     values = np.empty(cap, np.int64)
     tok_idx = np.empty(cap, np.int32)
+    widths = np.empty(cap, np.uint8)
     tmpl_total = ctypes.c_int64(0)
     off = np.ascontiguousarray(offsets, dtype=np.int64)
     data = np.ascontiguousarray(data)
     nv = lib.gxz_tokenize(data.ctypes.data, off.ctypes.data, n, max_tokens,
                           tmpl.ctypes.data, tmpl_lens.ctypes.data,
                           values.ctypes.data, tok_idx.ctypes.data,
-                          ctypes.byref(tmpl_total))
+                          ctypes.byref(tmpl_total), widths.ctypes.data)
     # views, not copies: the backing buffers live as long as the slices,
     # and copying multi-MB value streams costs real wall time per VB
     return (tmpl[:tmpl_total.value], tmpl_lens[:n],
-            values[:nv], tok_idx[:nv])
+            values[:nv], tok_idx[:nv], widths[:nv])
 
 
 def acgt_pack(seq: np.ndarray):

@@ -933,13 +933,16 @@ void gxz_split_fields(const uint8_t* data, const int64_t* offsets, int64_t C,
 // ---------------------------------------------------------------------------
 // One-pass tokenizer scan (hot half of seg.py tokenizer_seg_col): per row,
 // replace numeric digit-runs with a 0x01 placeholder in the template and emit
-// their values (row-major). Keep rules match the python spec: no leading zero
-// unless single digit, run length <= 18, token index < max_tokens.
+// their values (row-major). Keep rules match the python spec: run length
+// <= 18, token index < max_tokens; zero-padded runs ARE kept, with the run
+// width emitted so recon can re-pad (the reference's fixed-width flavor
+// items, qname_flavors.h — BGI-style names zero-pad every field).
 // Returns the number of emitted values; *tmpl_total gets the template bytes.
 // ---------------------------------------------------------------------------
 int64_t gxz_tokenize(const uint8_t* data, const int64_t* row_off, int64_t nrows,
                      int64_t max_tokens, uint8_t* tmpl, int64_t* tmpl_lens,
-                     int64_t* values, int32_t* tok_idx, int64_t* tmpl_total) {
+                     int64_t* values, int32_t* tok_idx, int64_t* tmpl_total,
+                     uint8_t* widths) {
     int64_t nv = 0;
     int64_t tp = 0;
     for (int64_t r = 0; r < nrows; r++) {
@@ -954,12 +957,12 @@ int64_t gxz_tokenize(const uint8_t* data, const int64_t* row_off, int64_t nrows,
                 int64_t j = i + 1;
                 while (j < len && p[j] >= '0' && p[j] <= '9') j++;
                 int64_t rl = j - i;
-                bool keep = !(rl > 1 && c == '0') && rl <= 18 &&
-                            tok < max_tokens;
+                bool keep = rl <= 18 && tok < max_tokens;
                 if (keep) {
                     int64_t v = 0;
                     for (int64_t k = i; k < j; k++) v = v * 10 + (p[k] - '0');
                     values[nv] = v;
+                    widths[nv] = (uint8_t)rl;
                     tok_idx[nv++] = tok++;
                     tmpl[tp++] = 0x01;
                 } else {

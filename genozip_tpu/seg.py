@@ -20,6 +20,7 @@ from .contexts import VBCtx, MODE_DICT, MODE_NUM, dedup_col, narrow_int
 
 TOK_MARK = 0x01          # placeholder byte for a numeric run inside a template
 MAX_NUM_LEN = 18         # digit runs longer than this stay literal
+_POW10 = 10 ** np.arange(1, 19, dtype=np.int64)
 MAX_TOKENS = 32          # digit runs beyond this stay literal
 
 
@@ -27,10 +28,12 @@ def _tokenize_np(data: np.ndarray, offsets: np.ndarray, max_tokens: int):
     """Vectorized numpy twin of native gxz_tokenize (bit-exact: same keep
     rules, same output streams) — used when the native runtime is absent so
     every tokenizer consumer degrades in speed only, never availability.
-    Returns (tmpl_data u8, tmpl_lens i64, vals i64, tok_idx i32): kept digit
-    runs are replaced by TOK_MARK in the template and emitted row-major;
-    a run is kept iff no leading zero (unless single digit), len <= 18, and
-    fewer than max_tokens runs were already kept in its row."""
+    Returns (tmpl_data u8, tmpl_lens i64, vals i64, tok_idx i32, widths
+    u8): kept digit runs are replaced by TOK_MARK in the template and
+    emitted row-major with their run width (so zero-padded fixed-width
+    fields — BGI-style names, the reference's fixed-width flavor items —
+    re-render exactly); a run is kept iff len <= 18 and fewer than
+    max_tokens runs were already kept in its row."""
     n = offsets.shape[0] - 1
     isd = (data >= ord("0")) & (data <= ord("9"))
     prev = np.concatenate([[False], isd[:-1]])
@@ -43,8 +46,7 @@ def _tokenize_np(data: np.ndarray, offsets: np.ndarray, max_tokens: int):
     end_pos = np.nonzero(runend_mask)[0] + 1
     run_len = end_pos - start_pos
     run_row = np.searchsorted(offsets[1:], start_pos, side="right")
-    lead0 = (run_len > 1) & (data[start_pos] == ord("0"))
-    keep0 = (~lead0) & (run_len <= MAX_NUM_LEN)
+    keep0 = run_len <= MAX_NUM_LEN
     # native semantics: the token counter advances on KEPT runs only, so the
     # cap admits the first max_tokens runs per row that pass the base filter
     kept_rank = np.cumsum(keep0) - keep0  # exclusive cumcount of kept runs
@@ -63,10 +65,12 @@ def _tokenize_np(data: np.ndarray, offsets: np.ndarray, max_tokens: int):
     tok_idx = tok_idx_all[keep].astype(np.int32)
     vals = np.zeros(kept_starts.shape[0], np.int64)
     if kept_starts.shape[0]:
-        vcol = ragged.gather_ranges(
-            data, kept_starts, kept_lens)
-        vals, ok = ragged.atoi(vcol)
-        assert ok.all()
+        # per-digit accumulation (atoi is canonical-strict and would
+        # reject zero-padded runs): <=18 vectorized passes
+        for k in range(int(kept_lens.max())):
+            sel = kept_lens > k
+            vals[sel] = vals[sel] * 10 + \
+                (data[kept_starts[sel] + k].astype(np.int64) - ord("0"))
     # template: drop kept-run bytes except the first, which becomes TOK_MARK
     drop = np.zeros(data.shape[0], dtype=bool)
     mark = np.zeros(data.shape[0], dtype=bool)
@@ -81,17 +85,17 @@ def _tokenize_np(data: np.ndarray, offsets: np.ndarray, max_tokens: int):
     kept_per_row = np.zeros(n, dtype=np.int64)
     np.add.at(kept_per_row, run_row[keep], run_len[keep] - 1)
     tmpl_lens = (offsets[1:] - offsets[:-1]) - kept_per_row
-    return tmpl_data, tmpl_lens, vals, tok_idx
+    return tmpl_data, tmpl_lens, vals, tok_idx, kept_lens.astype(np.uint8)
 
 
 def tokenize_col(data: np.ndarray, offsets: np.ndarray, max_tokens: int):
     """One-pass tokenizer scan (native when available, numpy twin
-    otherwise). Returns (tmpl_data, tmpl_lens, vals, tok_idx)."""
+    otherwise). Returns (tmpl_data, tmpl_lens, vals, tok_idx, widths)."""
     from . import native
     if native.available():
-        t, tl, v, ti = native.tokenize(
+        t, tl, v, ti, w = native.tokenize(
             np.ascontiguousarray(data), offsets, max_tokens)
-        return t, tl.astype(np.int64), v, ti
+        return t, tl.astype(np.int64), v, ti, w
     return _tokenize_np(np.ascontiguousarray(data),
                         np.ascontiguousarray(offsets, np.int64), max_tokens)
 
@@ -125,12 +129,21 @@ def tokenizer_seg_col(prefix: str, col: Col, single_stream: bool = False,
         return ctxs
 
     cap = (1 << 62) if single_stream else max_tokens
-    tmpl_data, tmpl_lens, vals, new_tok = tokenize_col(data, col.offsets, cap)
+    tmpl_data, tmpl_lens, vals, new_tok, wid = tokenize_col(
+        data, col.offsets, cap)
     tmpl_col = Col(tmpl_data, np.concatenate([[0], np.cumsum(tmpl_lens)]))
     uw, inv = dedup_col(tmpl_col)
     ctxs[prefix] = VBCtx(prefix, MODE_DICT, b250=inv, vb_words=uw, cat="b250")
     if vals.shape[0] == 0:
         return ctxs
+    # zero-pad widths beyond the canonical rendering (fixed-width fields:
+    # BGI-style names, the reference's qname_flavors.h width items) —
+    # stored row-major as a delta stream, absent when all-canonical
+    canon = np.searchsorted(_POW10, vals, side="right") + 1  # digit count
+    pad = wid.astype(np.int64) - canon
+    if (pad != 0).any():
+        ctxs[f"{prefix}W"] = VBCtx(f"{prefix}W", MODE_NUM, local=pad,
+                                   cat="int")
     if single_stream:
         # uniform per-row counts -> store column-major (the sample-matrix
         # transpose, reference LT_UINT8_TR-style: per-column value
@@ -193,6 +206,23 @@ def tokenizer_recon_col(prefix: str, pctxs, n: int) -> Col:
             assert m.sum() == v.shape[0], f"{name}: {m.sum()} marks vs {v.shape[0]} vals"
             val_of_mark[m] = v
     num_col = ragged.itoa(val_of_mark)
+    wc = pctxs.get(f"{prefix}W")
+    if wc is not None:
+        # zero-pad widths (fixed-width fields): left-pad each rendered
+        # number with '0' to canonical+pad digits (row-major mark order)
+        pad = wc.nums()
+        assert pad.shape[0] == marks.shape[0]
+        if (pad != 0).any():
+            nlp = num_col.lens + pad
+            offp = np.concatenate([[0], np.cumsum(nlp)])
+            outp = np.full(int(offp[-1]), ord("0"), np.uint8)
+            tot0 = int(num_col.lens.sum())
+            if tot0:
+                pos0 = np.arange(tot0, dtype=np.int64) - np.repeat(
+                    num_col.offsets[:-1], num_col.lens)
+                outp[np.repeat(offp[:-1] + pad, num_col.lens) + pos0] = \
+                    num_col.data
+            num_col = Col(outp, offp)
     # splice: replace each TOK_MARK byte with its rendered number
     piece_lens = np.ones(data.shape[0], dtype=np.int64)
     piece_lens[marks] = num_col.lens

@@ -83,3 +83,31 @@ def test_mixed_desc_no_space_fallback(tmp_path):
         d = b"@r%d 1:N:0:ACGTAC" % i if i % 2 else b"@r%d" % i
         rows.append(b"%s\n%s\n+\n%s\n" % (d, seq, b"F" * rl))
     _roundtrip(tmp_path, b"".join(rows), "mixed")
+
+
+def test_zero_padded_qnames_roundtrip(tmp_path):
+    """BGI-style zero-padded fixed-width name fields must tokenize (width
+    stream) and round-trip exactly — the qname_flavors.h fixed-width item
+    role (scripts/qname_audit.py keeps the ratio evidence)."""
+    import os
+    import numpy as np
+    from genozip_tpu.zip_pipeline import zip_file
+    from genozip_tpu.piz_pipeline import piz_file
+    rng = np.random.default_rng(8)
+    rows = []
+    t = 0
+    for i in range(3000):
+        t += int(rng.integers(1, 9))
+        s = rng.choice(np.frombuffer(b"ACGT", np.uint8), 60)
+        q = (rng.integers(0, 40, 60) + 33).astype(np.uint8)
+        rows.append(b"@E100016092L1C%03dR%03d%07d\n%s\n+\n%s\n"
+                    % (1, 1 + t // 999999, t % 999999,
+                       s.tobytes(), q.tobytes()))
+    # mixed pad widths + bare zeros + >18-digit literals
+    rows.append(b"@x007y0z00000000000000000000123\nACGT\n+\nFFFF\n")
+    data = b"".join(rows)
+    src = os.path.join(str(tmp_path), "bgi.fastq")
+    open(src, "wb").write(data)
+    zip_file(src, src + ".gxz", vb_size=64 * 1024)
+    piz_file(src + ".gxz", src + ".out")
+    assert open(src + ".out", "rb").read() == data
