@@ -163,7 +163,7 @@ def assign_best(data: bytes | np.ndarray, category: str = "text") -> int:
     # learn) — re-trial the near-tied candidates on a 1MB strided sample.
     # Runs once per context per file (first-sight commit), so the extra
     # ~100ms amortizes to nothing.
-    if a.shape[0] > (1 << 20) and len(scored) > 1 and _mode != "fast":
+    if a.shape[0] > (256 << 10) and len(scored) > 1 and _mode != "fast":
         floor = min(est for _, est, _ in scored)
         finalists = [c for c, est, _ in scored if est <= floor * 1.3]
         if len(finalists) > 1:

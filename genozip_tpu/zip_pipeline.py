@@ -53,6 +53,27 @@ class ZipJob:
         self.ra_index = {}
         self.components = []
 
+    def precommit_codecs(self, res):
+        """Segconf codec pre-commitment (reference segconf.c:459 +
+        codec.c:210): assign each calibration-VB context's codec ONCE
+        before the fan-out, so VB 1's serial drain carries no trials.
+        The VB counter is reset so the VB-10 retest still lands on the
+        real 10th VB."""
+        for name, c in res.ctxs.items():
+            g = self.gctxs.get(name)
+            if g is None:
+                g = self.gctxs[name] = ZCtxGlobal(name)
+            try:
+                if c.b250 is not None:
+                    g.pick_codec("b250", narrow_int(c.b250).tobytes(),
+                                 "b250")
+                if c.local is not None:
+                    arr = narrow_int(c.local) if c.mode == "num" else c.local
+                    g.pick_codec("local", arr.tobytes(), c.cat)
+            except Exception:
+                pass        # calibration must never break the pipeline
+            g.codec_nvb = {}
+
     def precompress_locals(self, res):
         """Worker-side compression of local sections whose codec is already
         committed (reference zip.c:566 zip_compress_all_contexts_local runs
@@ -371,6 +392,26 @@ def zip_file(in_path: str, out_path: str, dt_name: str | None = None,
         codec = codec_assign.assign_best(txt_header, "text")
         job.zw.write_section(fmt.SEC_TXT_HEADER, txt_header, codec=codec, comp_i=0)
         job.stats.txt_len += len(txt_header)
+
+    # segconf calibration seg (reference segconf.c:459 segconf_calculate):
+    # seg a ~1MB sample to (a) commit the per-file lazy seg choices (QUAL
+    # demux class, CSQ/int-list/ID layout trials) on cheap data and (b)
+    # pre-commit every sampled context's codec — VB 1 still drains alone
+    # (the determinism anchor for stragglers) but its serial work is now
+    # just seg. Skipped under REF_INTERNAL: calibration seg would
+    # pre-populate the denovo genome out of replay order.
+    if not getattr(getattr(dt, "ref", None), "internal", False):
+        cal = reader.peek(1 << 20)
+        if cal:
+            cdata = np.frombuffer(cal, np.uint8)
+            cut = dt.vb_boundary(cdata, False)
+            if 0 < cut:
+                try:
+                    with profiler.timer("zip:segconf-cal"):
+                        cres = dt.seg_vb(cdata[:cut].copy())
+                    job.precommit_codecs(cres)
+                except Exception:
+                    pass    # calibration must never break the real path
 
     from .utils.progress import Progress
     prog = Progress(f"zip {in_path.rsplit('/', 1)[-1]}", None)

@@ -95,11 +95,12 @@ def test_codec_retest_at_vb10(tmp_path):
     from genozip_tpu import codecs
 
     rng = np.random.default_rng(13)
-    # VB1: near-random qual (RANS-ish wins); VBs 2..12: heavily dominated
-    # qual (DOMQ wins). vb_size such that each VB = ~500 reads.
+    # The segconf calibration sample (1MB) AND the early VBs carry
+    # near-random qual (RANS-ish wins); VBs ~6+ are heavily dominated
+    # (DOMQ wins) — only the VB-10 retest can correct the commitment.
     rows = []
-    for i in range(6000):
-        if i < 500:
+    for i in range(17000):
+        if i < 5000:
             q = (rng.integers(0, 64, 100) + 33).astype(np.uint8)
         else:
             q = np.full(100, ord("F"), np.uint8)
@@ -110,7 +111,7 @@ def test_codec_retest_at_vb10(tmp_path):
     src = os.path.join(str(tmp_path), "re.fastq")
     open(src, "wb").write(data)
     z = src + ".gxz"
-    zip_file(src, z, vb_size=110 * 1024)
+    zip_file(src, z, vb_size=220 * 1024)
     piz_file(z, src + ".out")
     assert open(src + ".out", "rb").read() == data
     # late VBs must carry a different (better) QUAL codec than VB 1
