@@ -234,3 +234,94 @@ def json_payload(obj) -> bytes:
 
 def json_parse(payload: bytes):
     return json.loads(payload.decode())
+
+
+# --- compact binary VB header (format v2) ---------------------------------
+# The per-VB hot-path header; JSON stays for the file header. Layout:
+#   0xB2 | n u32 | len u64 | adler u32 | has_x64 u8 [| x64 u64] | nctx u16
+#   per ctx: nlen u8 | name | mode u8 | flags u8
+#            [param i32] [slen u8 + special] [same: v i64 + count u32]
+#            [pair u8 (0=copy_b250 1=copy_local)]
+#   meta: rest = JSON blob (datatype-specific, usually tiny)
+# v1 (JSON) archives back-read transparently: their payload starts with '{'.
+
+_VBH_MAGIC = 0xB2
+_MODES = ["dict", "num", "txt", "special"]
+_MODE_ID = {m: i for i, m in enumerate(_MODES)}
+
+
+def vbhdr_pack(d: dict) -> bytes:
+    out = bytearray([_VBH_MAGIC])
+    out += struct.pack("<IQI", d["n"], d["len"], d["adler"] & 0xFFFFFFFF)
+    x64 = d.get("x64")
+    if x64 is not None:
+        out += b"\x01" + struct.pack("<Q", x64 & ((1 << 64) - 1))
+    else:
+        out += b"\x00"
+    ctxs = d["ctxs"]
+    out += struct.pack("<H", len(ctxs))
+    for name, cm in ctxs.items():
+        nb = name.encode()
+        out += bytes([len(nb)]) + nb + bytes([_MODE_ID[cm["mode"]]])
+        param = cm.get("param", 0)
+        special = cm.get("special")
+        same = cm.get("same")
+        pair = cm.get("pair")
+        flags = ((1 if param else 0) | (2 if special is not None else 0) |
+                 (4 if same is not None else 0) |
+                 (8 if pair is not None else 0))
+        out += bytes([flags])
+        if param:
+            out += struct.pack("<i", param)
+        if special is not None:
+            sb = str(special).encode()
+            out += bytes([len(sb)]) + sb
+        if same is not None:
+            out += struct.pack("<qI", int(same[0]), int(same[1]))
+        if pair is not None:
+            out += bytes([0 if pair == "copy_b250" else 1])
+    out += json_payload(d.get("meta") or {})
+    return bytes(out)
+
+
+def vbhdr_parse(payload: bytes) -> dict:
+    if payload[:1] == b"{":          # format v1: plain JSON
+        return json_parse(payload)
+    mv = memoryview(payload)
+    assert mv[0] == _VBH_MAGIC, "bad VB header magic"
+    n, ln, adler = struct.unpack_from("<IQI", mv, 1)
+    off = 17
+    d = {"n": n, "len": ln, "adler": adler}
+    if mv[off]:
+        d["x64"] = struct.unpack_from("<Q", mv, off + 1)[0]
+        off += 9
+    else:
+        off += 1
+    nctx, = struct.unpack_from("<H", mv, off)
+    off += 2
+    ctxs = {}
+    for _ in range(nctx):
+        nl = mv[off]
+        name = bytes(mv[off + 1:off + 1 + nl]).decode()
+        off += 1 + nl
+        cm = {"mode": _MODES[mv[off]]}
+        flags = mv[off + 1]
+        off += 2
+        if flags & 1:
+            cm["param"], = struct.unpack_from("<i", mv, off)
+            off += 4
+        if flags & 2:
+            sl = mv[off]
+            cm["special"] = bytes(mv[off + 1:off + 1 + sl]).decode()
+            off += 1 + sl
+        if flags & 4:
+            v, c = struct.unpack_from("<qI", mv, off)
+            cm["same"] = [v, c]
+            off += 12
+        if flags & 8:
+            cm["pair"] = "copy_b250" if mv[off] == 0 else "copy_local"
+            off += 1
+        ctxs[name] = cm
+    d["ctxs"] = ctxs
+    d["meta"] = json_parse(bytes(mv[off:])) if off < len(mv) else {}
+    return d

@@ -221,7 +221,7 @@ class PizReader:
                                           comp_i=comp_i)
             if payload is None and comp_i == 0:
                 payload, _ = self.zr.read_one(fmt.SEC_VB_HEADER, vb_i=vb_i)
-            vb_hdr = fmt.json_parse(payload)
+            vb_hdr = fmt.vbhdr_parse(payload)
             with profiler.timer("piz:read+uncompress"):
                 sec = self._load_ctx_sections(vb_i, comp_i)
             pair_names = [n for n, cm in vb_hdr["ctxs"].items() if "pair" in cm]

@@ -157,7 +157,7 @@ def vb_record_counts(pr, plan):
         if payload is None:
             counts.append(None)
             continue
-        hdr = fmt.json_parse(payload)
+        hdr = fmt.vbhdr_parse(payload)
         # vb_hdr["n"] already counts RECORDS (a FASTQ "line" is the 4-line
         # read, matching the datatype's num_lines semantics)
         n = hdr["n"]

@@ -230,7 +230,7 @@ class ZipJob:
                 uncomp_len=len(payload) if pc is not None else None)
             stats.add_section(name, units, zw.offset - ent.offset)
 
-        zw.write_section(fmt.SEC_VB_HEADER, fmt.json_payload(built["vb_hdr"]),
+        zw.write_section(fmt.SEC_VB_HEADER, fmt.vbhdr_pack(built["vb_hdr"]),
                          codec=codecs.ZLIB, vb_i=vb_i, comp_i=comp_i)
         stats.txt_len += built["data_len"]
         stats.num_vbs += 1

@@ -50,3 +50,28 @@ def test_everything_together(tmp_path, capsys):
     pr = PizReader(z2, reference=ref_path, password="pw123")
     assert pr.file_hdr["md5"] and pr.file_hdr["enc"]
     pr.close()
+
+
+def test_vb_header_binary_roundtrip_and_v1_backread():
+    """Format v2 binary VB headers (sections.py vbhdr_pack/parse): packed
+    round-trip preserves every field, and a v1 JSON payload still parses
+    (back-read)."""
+    from genozip_tpu.format import sections as fmt
+    d = {"n": 1234, "len": 987654321, "adler": 0xDEADBEEF,
+         "x64": 0x1122334455667788,
+         "ctxs": {"QUAL": {"mode": "txt", "special": "qdmx:smux"},
+                  "POS": {"mode": "num", "param": 1},
+                  "FLAG": {"mode": "num", "same": [77, 1234]},
+                  "GPOS": {"mode": "num", "param": -3,
+                           "pair": "copy_local"},
+                  "RNAME": {"mode": "dict", "pair": "copy_b250"}},
+         "meta": {"no_final_nl": True, "nf": 10}}
+    packed = fmt.vbhdr_pack(d)
+    out = fmt.vbhdr_parse(packed)
+    assert out == d
+    assert len(packed) < len(fmt.json_payload(d))
+    # v1 JSON back-read
+    assert fmt.vbhdr_parse(fmt.json_payload(d)) == d
+    # x64-absent variant
+    d2 = {"n": 0, "len": 0, "adler": 0, "ctxs": {}, "meta": {}}
+    assert fmt.vbhdr_parse(fmt.vbhdr_pack(d2)) == d2
