@@ -514,6 +514,35 @@ def main():
             # compressed input (BGZF BAM): uncompressed-text basis too,
             # which is what the reference's progress meter counts
             out[f"{nm}_txt_MBps"] = round(txt_mbps, 2)
+    # per-config round-over-round history (VERDICT r4 item 2: perf claims
+    # must be falsifiable) — prior rounds' BENCH_r*.json live in the repo
+    # root; the corpus generators are seed-pinned so numbers compare
+    import glob
+    import re as _re
+    hist = {}
+    here = os.path.dirname(os.path.abspath(__file__))
+    for f in sorted(glob.glob(os.path.join(here, "BENCH_r*.json"))):
+        m = _re.search(r"BENCH_r(\d+)", f)
+        if not m:
+            continue
+        try:
+            parsed = json.load(open(f)).get("parsed") or {}
+        except Exception:
+            continue
+        rnd = f"r{int(m.group(1)):02d}"
+        for k, v in parsed.items():
+            if k.endswith(("_MBps", "_ratio")):
+                hist.setdefault(k, {})[rnd] = v
+    if hist:
+        print("# round-over-round history (this run = current):",
+              file=sys.stderr)
+        for k in sorted(hist):
+            cur = out.get(k)
+            row = "  ".join(f"{r}={v}" for r, v in sorted(hist[k].items()))
+            print(f"#   {k:24s} {row}  now={cur}", file=sys.stderr)
+        out["history"] = {k: v for k, v in hist.items()
+                          if k in ("fastq_MBps", "vcf_ratio", "bam_ratio",
+                                   "fastq_ratio", "vcf_MBps", "bam_MBps")}
     print(json.dumps(out))
 
 

@@ -2004,7 +2004,15 @@ def encode_many_o1_v6(datas, n_lanes: int = 1024, S: int = 8, R: int = 8,
     blocks, sts = encode_many_o1_device_v6(*_dargs, N, S, R, AP, G, interpret)
     jax.block_until_ready(blocks)
     perf["device_s"] = _time.perf_counter() - _t0
-    blocks = np.asarray(blocks).reshape(G, S * LR + 8, R, LANE_COLS)
+    # device-resident compaction (see encode_many_v6): dense u16 d2h
+    LRr = S * LR + 8
+    cnt_h = np.asarray(blocks.reshape(G, LRr, R * LANE_COLS)
+                       [:, 0, ::LANE_COLS]).astype(np.int64)   # (G, R)
+    totals = cnt_h.sum(axis=0)
+    P = (S * LR) * LANE_COLS
+    W = _bucket_up(max(int(totals.max()), 1), floor=1024)
+    words_d, _tot = _compact_words_v6(blocks, R, G, P, W)
+    words_h = np.asarray(words_d)
     sts = np.asarray(sts).astype(np.uint32)
     outs = []
     for r, (n, K) in enumerate(shapes):
@@ -2013,14 +2021,7 @@ def encode_many_o1_v6(datas, n_lanes: int = 1024, S: int = 8, R: int = 8,
         st = np.empty(2 * N, np.uint16)
         st[0::2] = (x >> 16).astype(np.uint16)
         st[1::2] = (x & 0xFFFF).astype(np.uint16)
-        parts = []
-        for g in range(G - 1, -1, -1):
-            cnt = int(blocks[g, 0, r, 0])
-            if cnt:
-                pay = blocks[g, 8:, r, :].reshape(-1)
-                parts.append(pay[pay.shape[0] - cnt:])
-        words = np.concatenate(parts).astype(np.uint16) if parts else \
-            np.zeros(0, np.uint16)
+        words = words_h[r, : int(totals[r])]
         outs.append(heads[r] + st.tobytes() + words.tobytes())
     return outs
 
@@ -2078,7 +2079,17 @@ def encode_many_v6(datas, n_lanes: int = 1024, S: int = 8, R: int = 8,
     blocks, sts = encode_many_device_v6(*_dargs, N, S, R, G, interpret)
     jax.block_until_ready(blocks)
     perf["device_s"] = _time.perf_counter() - _t0
-    blocks = np.asarray(blocks).reshape(G, S * LR + 8, R, LANE_COLS)
+    # device-resident compaction: only per-group word counts (tiny) come
+    # back before the dense (R, W) word matrix — d2h moves ~compressed
+    # bytes, not the 4-8x padded block buffer (the r3 bottleneck)
+    LRr = S * LR + 8
+    cnt_h = np.asarray(blocks.reshape(G, LRr, R * LANE_COLS)
+                       [:, 0, ::LANE_COLS]).astype(np.int64)   # (G, R)
+    totals = cnt_h.sum(axis=0)
+    P = (S * LR) * LANE_COLS
+    W = _bucket_up(max(int(totals.max()), 1), floor=1024)
+    words_d, _tot = _compact_words_v6(blocks, R, G, P, W)
+    words_h = np.asarray(words_d)
     sts = np.asarray(sts).astype(np.uint32)
     outs = []
     for r, (n, K) in enumerate(shapes):
@@ -2087,14 +2098,7 @@ def encode_many_v6(datas, n_lanes: int = 1024, S: int = 8, R: int = 8,
         st = np.empty(2 * N, np.uint16)
         st[0::2] = (x >> 16).astype(np.uint16)
         st[1::2] = (x & 0xFFFF).astype(np.uint16)
-        parts = []
-        for g in range(G - 1, -1, -1):
-            cnt = int(blocks[g, 0, r, 0])
-            if cnt:
-                pay = blocks[g, 8:, r, :].reshape(-1)
-                parts.append(pay[pay.shape[0] - cnt:])
-        words = np.concatenate(parts).astype(np.uint16) if parts else \
-            np.zeros(0, np.uint16)
+        words = words_h[r, : int(totals[r])]
         outs.append(heads[r] + st.tobytes() + words.tobytes())
     return outs
 
@@ -2211,6 +2215,34 @@ def _bucket_up(v: int, floor: int = 8) -> int:
     while b < v:
         b = b + (b >> 1) if b + (b >> 1) >= v else b * 2
     return b
+
+
+@partial(jax.jit, static_argnames=("R", "G", "P", "W"))
+def _compact_words_v6(blocks, R: int, G: int, P: int, W: int):
+    """Device-side stream compaction (the dp-batch pipeline's 'concatenate
+    on device' stage): the encode kernel's padded per-group blocks collapse
+    into one dense (R, W) u16 word matrix, so the d2h transfer moves ~the
+    real compressed bytes instead of 4-8x of padding. Output order matches
+    the host splice exactly: group g=G-1 first, each group's tail words."""
+    rows = blocks.shape[0] // G
+    b = blocks.reshape(G, rows, R, LANE_COLS)
+    cnt = b[:, 0, :, 0].astype(jnp.int32)                  # (G, R)
+    pay = b[:, 8:, :, :].transpose(2, 0, 1, 3).reshape(R, G, P)
+    cnt_rev = cnt[::-1].T                                  # (R, G) gi-order
+    cum = jnp.cumsum(cnt_rev, axis=1)                      # inclusive
+    off = cum - cnt_rev                                    # exclusive
+
+    def per_r(payr, cumr, offr, cntr):
+        j = jnp.arange(W, dtype=jnp.int32)
+        gi = jnp.searchsorted(cumr, j, side="right").astype(jnp.int32)
+        gic = jnp.clip(gi, 0, G - 1)
+        src = P - cntr[gic] + (j - offr[gic])
+        g = G - 1 - gic
+        w = payr[g, jnp.clip(src, 0, P - 1)]
+        return jnp.where(j < cumr[G - 1], w, 0)
+
+    words = jax.vmap(per_r)(pay, cum, off, cnt_rev)
+    return words.astype(jnp.uint16), cnt.sum(axis=0)
 
 
 def decode_many(bufs, S: int = 8, interpret: bool = False):
