@@ -898,12 +898,14 @@ class VcfDT(DataType):
                 continue
             mux = None
             if tg is not None and t != tg:
-                # int8 key keeps numpy's stable argsort on the O(n) radix
-                # path; the DP-mux key needs the wide int64 form
+                # int8/uint16 keys keep numpy's stable argsort on the
+                # O(n) radix path; the DP-mux key packs dosage(2b)+DP(14b,
+                # clamped) into u16 — identical at ZIP and PIZ
                 key = dosage[sel]
                 if tags[t] in (b"PL", b"GL", b"GP", b"GQ") and \
                         dpv_cell is not None:
-                    key = key.astype(np.int64) * (1 << 32) + dpv_cell[sel]
+                    key = (key.astype(np.uint16) << 14) | np.minimum(
+                        np.abs(dpv_cell[sel]), 16383).astype(np.uint16)
                 if key.shape[0] > 2 and (key != key[0]).any():
                     mux = np.argsort(key, kind="stable")
                     vals = ragged.take(vals, mux)
@@ -1075,8 +1077,8 @@ class VcfDT(DataType):
                         ivd, iokd = ragged.atoi(cols_by_t[td])
                         dpv_cell = np.zeros(C, np.int64)
                         dpv_cell[cells_by_t[td]] = np.where(iokd, ivd, 0)
-                    key = key.astype(np.int64) * (1 << 32) + \
-                        dpv_cell[cells_t]
+                    key = (key.astype(np.uint16) << 14) | np.minimum(
+                        np.abs(dpv_cell[cells_t]), 16383).astype(np.uint16)
                 if key.shape[0] > 2 and (key != key[0]).any():
                     mux = np.argsort(key, kind="stable")
             if tags[t] == b"GT" and "PBWT" in pctxs:
