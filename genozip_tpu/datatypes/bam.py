@@ -221,7 +221,7 @@ class BamDT(SamDT):
         return fr[keep], fs[keep], fv[keep], bad
 
     def _seg_aux_bam(self, ctxs, aux: Col, predict=None,
-                     l_seq=None):
+                     l_seq=None, pos_v=None):
         """One context per binary aux tag; layout word = 3-byte TAG+type
         units per record (AUXL dict); typed value streams: fixed ints ->
         numeric (NM delta-vs-predicted, param=4), f -> raw f32, Z/H ->
@@ -308,6 +308,15 @@ class BamDT(SamDT):
                     ctxs[name] = VBCtx(name, MODE_NUM, local=v, cat="int")
             elif ty in (ord("Z"), ord("H")):
                 vals = ragged.gather_ranges(data, vs, vl - 1)  # sans NUL
+                if (b0, b1, ty) == (ord("X"), ord("A"), ord("Z")) and \
+                        pos_v is not None:
+                    # BWA XA:Z alt-hit list: per-alt sub-contexts with
+                    # pos-vs-row-POS deltas (src/sam_bwa.c, shared with
+                    # the SAM path via sam_tags.xa_seg)
+                    handled = sam_tags.xa_seg(name, vals, pos_v, rows_t)
+                    if handled is not None:
+                        ctxs.update(handled)
+                        continue
                 if md_col is not None and (b0, b1, ty) == (ord("M"), ord("D"),
                                                            ord("Z")):
                     pred_vals = ragged.take(md_col, rows_t)
@@ -339,7 +348,8 @@ class BamDT(SamDT):
                     ctxs[name + "L"] = VBCtx(name + "L", MODE_NUM, local=vl,
                                              cat="int")
 
-    def _recon_aux_bam(self, pctxs, n, predict=None, l_seq=None):
+    def _recon_aux_bam(self, pctxs, n, predict=None, l_seq=None,
+                       pos_v=None):
         layout = pctxs["AUXL"].dict_take()
         ld = layout.data
         llen = layout.lens
@@ -384,7 +394,10 @@ class BamDT(SamDT):
                         m[:, b] = (uv >> (8 * b)) & 0xFF
                     col = Col.from_fixed(m)
                 elif ty in (ord("Z"), ord("H")):
-                    if name + "K" in pctxs:
+                    if (b0, b1, ty) == (ord("X"), ord("A"), ord("Z")) and \
+                            name + "F" in pctxs and pos_v is not None:
+                        col = sam_tags.xa_recon(name, pctxs, pos_v, rows_t)
+                    elif name + "K" in pctxs:
                         okf = pctxs[name + "K"].nums().astype(bool)
                         pred_vals = ragged.take(md_col, rows_t)
                         sub = [(np.nonzero(okf)[0],
@@ -617,7 +630,8 @@ class BamDT(SamDT):
         # ascii SEQ recomputed identically at PIZ from reconstructed nibbles
         qa, _ = self._seq_ascii(seq, l_seq)
         ctxs["QUAL"] = self._seg_qual_core(qual, qa, flag)
-        self._seg_aux_bam(ctxs, aux, predict, l_seq)
+        self._seg_aux_bam(ctxs, aux, predict, l_seq,
+                          pos_v=pos.astype(np.int64) + 1)
         return VBSegResult(ctxs, n, {})
 
     def recon_vb(self, pctxs: dict, meta: dict) -> bytes:
@@ -667,7 +681,8 @@ class BamDT(SamDT):
                     pctxs["SEQNM"].nums(), pctxs["SEQMISP"].nums(),
                     self._cigar_text(cigar, n_cig), ragged.itoa(pos + 1),
                     self._rname_text(refid), self.ref)
-            aux = self._recon_aux_bam(pctxs, n, predict, l_seq)
+            aux = self._recon_aux_bam(pctxs, n, predict, l_seq,
+                                      pos_v=pos.astype(np.int64) + 1)
         else:
             aux = pctxs["AUX"].txt_col(pctxs["AUXLEN"].nums())
         aux_lens = aux.lens

@@ -277,3 +277,39 @@ def test_sam_to_bam_translation_and_bai(tmp_path):
     out2 = os.path.join(str(tmp_path), "back.bam")
     piz_file(z2, out2)
     assert open(out2, "rb").read() == open(bam_path, "rb").read()
+
+
+def test_bam_xa_predictor(tmp_path):
+    """BWA XA:Z in binary aux rides the per-alt sub-context path shared
+    with SAM (sam_tags.xa_seg, src/sam_bwa.c role) — byte-exact round
+    trip including malformed XA values on the exception stream."""
+    import gzip
+    import numpy as np
+    from genozip_tpu.translate import sam_header_to_bam, sam_vb_to_bam
+    from genozip_tpu.utils.bgzf import BgzfWriter
+    from genozip_tpu.zip_pipeline import zip_file
+    from genozip_tpu.piz_pipeline import piz_file
+    hdr = b"@HD\tVN:1.6\n@SQ\tSN:c1\tLN:100000\n"
+    bam_hdr, name2id = sam_header_to_bam(hdr)
+    rng = np.random.default_rng(5)
+    rows = []
+    for i in range(400):
+        s = rng.choice(np.frombuffer(b"ACGT", np.uint8), 50).tobytes()
+        q = bytes((rng.integers(0, 40, 50) + 33).astype(np.uint8))
+        pos = 100 + i * 7
+        xa = b"c1,+%d,50M,%d;" % (pos + 40 + i % 9, i % 3)
+        if i % 23 == 7:
+            xa = b"not-an-xa-value"       # exception path
+        rows.append(b"x%d\t0\tc1\t%d\t60\t50M\t*\t0\t0\t%s\t%s\t"
+                    b"NM:i:0\tXA:Z:%s\n" % (i, pos, s, q, xa))
+    blob = sam_vb_to_bam(b"".join(rows), name2id)
+    recs = blob[0] if isinstance(blob, tuple) else blob
+    p = os.path.join(str(tmp_path), "xa.bam")
+    f = open(p, "wb")
+    w = BgzfWriter(f)
+    w.write(bam_hdr)
+    w.write(recs)
+    w.close()
+    zip_file(p, p + ".gxz")
+    piz_file(p + ".gxz", p + ".out")
+    assert open(p + ".out", "rb").read() == gzip.open(p, "rb").read()
