@@ -114,12 +114,20 @@ def align_batch(ref: RefGenome, codes_mat: np.ndarray, lens: np.ndarray,
     valid_mask_base = pos_idx < lens[:, None]
     for start, direction in cands:
         ok = (start >= 0) & (start + lens <= G)
-        safe_start = np.where(ok, start, 0)
-        gidx = safe_start[:, None] + pos_idx
-        gwin = ref.codes[np.minimum(gidx, G - 1)]
+        # seeds mostly agree: a candidate equal to the read's current best
+        # placement would produce the same mm and change nothing — skip
+        # those rows and gather genome windows only for the rest (the
+        # reference's near-perfect early exit, aligner.c:30, as row
+        # compaction instead of control flow)
+        dup = ok & (start == best_gpos) & ((direction == 1) == best_fwd)
+        rows = np.nonzero(ok & ~dup)[0]
         mat = codes_mat if direction == 1 else rc_mat
-        mm = ((gwin != mat) & valid_mask_base).sum(axis=1)
-        mm = np.where(ok, mm, BIG)
+        mm = np.full(R, BIG, dtype=np.int64)
+        if rows.shape[0]:
+            gidx = start[rows, None] + pos_idx
+            gwin = ref.codes[np.minimum(gidx, G - 1)]
+            mm[rows] = ((gwin != mat[rows]) &
+                        valid_mask_base[rows]).sum(axis=1)
         score = mm
         if pair_gpos is not None:
             far = (pair_gpos >= 0) & \
