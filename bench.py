@@ -387,6 +387,23 @@ def bench_zip(path, runs=1, **zip_kw):
     return txt / 1e6 / best, txt / os.path.getsize(z), extra
 
 
+def bench_piz(path, runs=2, reference=None):
+    """Decompression throughput (txt-bytes basis) of the archive that
+    bench_zip just wrote."""
+    from genozip_tpu.piz_pipeline import piz_file
+    z = path + ".gxz"
+    out = path + ".piz_out"
+    best = None
+    for _ in range(runs):
+        t0 = time.time()
+        piz_file(z, out, reference=reference)
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    sz = os.path.getsize(out)
+    os.remove(out)
+    return sz / 1e6 / best
+
+
 def proxy_ratios(path, cap=24 << 20):
     import zlib
     import bz2
@@ -466,6 +483,10 @@ def main():
                   proxy_ratios(bam))
     cfg["longread_sam"] = (*bench_zip(lr, runs=2,
                                       reference=ref), proxy_ratios(lr))
+    # PIZ (decompression) throughput on the just-written archives
+    piz = {"fastq": bench_piz(fq), "vcf": bench_piz(vcf),
+           "bam": bench_piz(bam),
+           "longread_sam": bench_piz(lr, reference=ref)}
     # cfg4: paired FASTQ via the aligner (one two-component archive);
     # best-of-3 — the bench host carries ~1 core of external load
     pt = None
@@ -514,6 +535,8 @@ def main():
             # compressed input (BGZF BAM): uncompressed-text basis too,
             # which is what the reference's progress meter counts
             out[f"{nm}_txt_MBps"] = round(txt_mbps, 2)
+    for nm, mbps in piz.items():
+        out[f"{nm}_unzip_MBps"] = round(mbps, 2)
     # per-config round-over-round history (VERDICT r4 item 2: perf claims
     # must be falsifiable) — prior rounds' BENCH_r*.json live in the repo
     # root; the corpus generators are seed-pinned so numbers compare
