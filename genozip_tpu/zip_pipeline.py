@@ -591,7 +591,7 @@ def zip_file(in_path: str, out_path: str, dt_name: str | None = None,
     ref_stored = _maybe_write_stored_ref(job, dt, reference, store_ref)
 
     file_hdr = {
-        "version": 1, "dt": dt_name, "num_vbs": vb_i,
+        "version": 2, "dt": dt_name, "num_vbs": vb_i,
         "num_lines": job.stats.num_lines, "txt_len": job.stats.txt_len,
         "adler": file_adler, "segconf": dt.segconf,
         "txt_name": in_path.rsplit("/", 1)[-1],
@@ -728,7 +728,7 @@ def zip_pair(in1: str, in2: str, out_path: str,
     assert leftover.shape[0] == 0, "R2 has more reads than R1"
 
     file_hdr = {
-        "version": 1, "dt": "fastq", "num_vbs": nvbs,
+        "version": 2, "dt": "fastq", "num_vbs": nvbs,
         "num_lines": sum(lines), "txt_len": sum(tlens),
         "adler": None, "segconf": dt1.segconf,
         "txt_name": in1.rsplit("/", 1)[-1],
@@ -846,7 +846,7 @@ def zip_deep(bam_path: str, fastq_paths: list[str], out_path: str,
 
     ref_internal = _maybe_write_internal_ref(job, bam_dt, None)
     file_hdr = {
-        "version": 1, "dt": "bam", "num_vbs": nvbs_max,
+        "version": 2, "dt": "bam", "num_vbs": nvbs_max,
         "num_lines": sum(c["num_lines"] for c in comps),
         "txt_len": sum(c["txt_len"] for c in comps),
         "adler": None, "segconf": {}, "deep": True,
