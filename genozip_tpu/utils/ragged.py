@@ -24,18 +24,23 @@ def arange(n: int) -> np.ndarray:
 
 class Col:
     """Ragged byte column."""
-    __slots__ = ("data", "offsets")
+    __slots__ = ("data", "offsets", "_lens")
 
     def __init__(self, data: np.ndarray, offsets: np.ndarray):
         self.data = np.asarray(data, dtype=np.uint8)
         self.offsets = np.asarray(offsets, dtype=np.int64)
+        self._lens = None
 
     def __len__(self):
         return self.offsets.shape[0] - 1
 
     @property
     def lens(self):
-        return np.diff(self.offsets)
+        # cached: hot recon loops read .lens many times per million-row
+        # column, and offsets are never mutated after construction
+        if self._lens is None:
+            self._lens = np.diff(self.offsets)
+        return self._lens
 
     def row(self, i: int) -> bytes:
         return self.data[self.offsets[i]:self.offsets[i + 1]].tobytes()
