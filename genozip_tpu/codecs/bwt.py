@@ -85,24 +85,57 @@ def bwt_inverse(last: np.ndarray, prim: int) -> np.ndarray:
     return out
 
 
-def compress(data: bytes, sub_codec: int) -> bytes:
+# the prefix-doubling SA is O(n log^2 n) lexsorts: cap the sort size by
+# splitting big payloads into independent blocks (the reference's bsc is
+# a block codec for the same reason). Multi-block blobs carry a sentinel
+# first word; single-block (and all pre-r4) blobs keep the old framing.
+BWT_BLOCK = 4 << 20
+_MULTI = (1 << 64) - 1
+
+
+def _compress_block(a: np.ndarray, sub_codec: int) -> bytes:
     from . import compress as ccompress
-    a = np.frombuffer(data, np.uint8)
-    if a.shape[0] == 0:
-        return (0).to_bytes(8, "little")
     last, prim = bwt_forward(a)
     sub = ccompress(last.tobytes(), sub_codec)
     return a.shape[0].to_bytes(8, "little") + prim.to_bytes(8, "little") + \
         bytes([sub_codec]) + sub
 
 
-def decompress(blob) -> bytes:
+def compress(data: bytes, sub_codec: int) -> bytes:
+    a = np.frombuffer(data, np.uint8)
+    if a.shape[0] == 0:
+        return (0).to_bytes(8, "little")
+    if a.shape[0] <= BWT_BLOCK:
+        return _compress_block(a, sub_codec)
+    parts = []
+    for off in range(0, a.shape[0], BWT_BLOCK):
+        blk = _compress_block(a[off:off + BWT_BLOCK], sub_codec)
+        parts.append(len(blk).to_bytes(8, "little") + blk)
+    return _MULTI.to_bytes(8, "little") + \
+        len(parts).to_bytes(8, "little") + b"".join(parts)
+
+
+def _decompress_block(blob) -> bytes:
     from . import decompress as cdecompress
-    blob = memoryview(blob)
     n = int.from_bytes(blob[0:8], "little")
-    if n == 0:
-        return b""
     prim = int.from_bytes(blob[8:16], "little")
     sub_codec = blob[16]
     last = np.frombuffer(cdecompress(blob[17:], sub_codec, n), np.uint8)
     return bwt_inverse(last, prim).tobytes()
+
+
+def decompress(blob) -> bytes:
+    blob = memoryview(blob)
+    n = int.from_bytes(blob[0:8], "little")
+    if n == 0:
+        return b""
+    if n != _MULTI:
+        return _decompress_block(blob)
+    nblk = int.from_bytes(blob[8:16], "little")
+    out = []
+    off = 16
+    for _ in range(nblk):
+        bl = int.from_bytes(blob[off:off + 8], "little")
+        out.append(_decompress_block(blob[off + 8:off + 8 + bl]))
+        off += 8 + bl
+    return b"".join(out)

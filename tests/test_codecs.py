@@ -147,3 +147,18 @@ def test_bwt_codec_roundtrip():
         assert codecs.decompress(blob, codecs.BWT, len(data)) == data, name
     dna = cases["dna"]
     assert len(codecs.compress(dna, codecs.BWT)) < len(bz2.compress(dna, 9))
+
+
+def test_bwt_multiblock_roundtrip():
+    """Payloads above the BWT block cap split into independent blocks
+    (bsc-style) — the suffix-array sort size is bounded; round-trip exact
+    across the block boundary and for the single-block legacy framing."""
+    import numpy as np
+    from genozip_tpu.codecs import bwt, RANS1
+    rng = np.random.default_rng(19)
+    # > 1 block with a repetitive structure BWT likes
+    data = (b"BANANASPLIT" * 500000)[: bwt.BWT_BLOCK + 12345]
+    blob = bwt.compress(data, RANS1)
+    assert bwt.decompress(blob) == data
+    small = bytes(rng.integers(0, 9, 5000, np.uint8))
+    assert bwt.decompress(bwt.compress(small, RANS1)) == small
