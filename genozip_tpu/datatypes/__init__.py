@@ -26,6 +26,21 @@ class DataType:
     def __init__(self, segconf=None):
         self.segconf = segconf or {}
         self.optimize_enabled = False  # --optimize: lossy QUAL binning
+        # per-file lazy seg choices (qual demux class, VCF CSQ/int-list/ID
+        # layout trials) may commit only while seg is single-threaded;
+        # see freeze_lazy_choices()
+        self._seg_lazy_frozen = False
+
+    def freeze_lazy_choices(self):
+        """Called by the ZIP pipeline after the serial calibration seg and
+        before the concurrent VB fan-out: per-file trial-once memos are
+        final from here on. A pattern first appearing in a later VB takes
+        a deterministic per-VB fallback instead of trial-committing shared
+        state under concurrency — archive bytes must never depend on
+        thread scheduling (the byte-identity guarantee test_determinism.py
+        checks; reference analog: codec.c:179-186 holds VB 1's merge lock
+        so first-sight commits happen exactly once)."""
+        self._seg_lazy_frozen = True
 
     # --- ZIP side ---
     def read_txt_header(self, reader) -> bytes:

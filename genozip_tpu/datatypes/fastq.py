@@ -229,7 +229,9 @@ class FastqDT(DataType):
         from ..codecs import qual as qualmod
         cls = getattr(self, "_qdmx", "unset")
         if cls == "unset":
-            cls = self._qdmx = qualmod.choose_class(seq, qual)
+            cls = qualmod.choose_class(seq, qual)
+            if not self._seg_lazy_frozen:
+                self._qdmx = cls   # commit only while seg is single-threaded
         if cls:
             return VBCtx("QUAL", MODE_TXT,
                          local=qualmod.demux(cls, qual, seq),

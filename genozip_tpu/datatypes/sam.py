@@ -505,7 +505,9 @@ class SamDT(DataType):
         sm = qualmod.orient(seq, rev, comp=True) if rev is not None else seq
         cls = getattr(self, "_qdmx", "unset")
         if cls == "unset":
-            cls = self._qdmx = qualmod.choose_class(sm, qm)
+            cls = qualmod.choose_class(sm, qm)
+            if not self._seg_lazy_frozen:
+                self._qdmx = cls   # commit only while seg is single-threaded
         if cls:
             sp = f"qdmx:{cls}:rev" if rev is not None else f"qdmx:{cls}"
             return VBCtx("QUAL", MODE_TXT, local=qualmod.demux(cls, qm, sm),

@@ -200,6 +200,8 @@ class VcfDT(DataType):
         if memo is None:
             memo = self._id_choice = {}
         choice = memo.get("ID")
+        if choice is None and self._seg_lazy_frozen:
+            choice = "tok"   # post-calibration: deterministic fallback, no commit
         cand = None
         if pos_vals is not None and len(col) >= 8 and choice in (None, "pos"):
             pos_txt = ragged.itoa(pos_vals)
@@ -405,6 +407,8 @@ class VcfDT(DataType):
                     if memo is None:
                         memo = self._csq_choice = {}
                     choice = memo.get(name)
+                    if choice is None and self._seg_lazy_frozen:
+                        choice = "tok"   # no trial-commit under concurrency
                     cand = self._seg_csq(name, vals) \
                         if choice in (None, "csq") else None
                     if cand is not None and choice is None:
@@ -658,6 +662,12 @@ class VcfDT(DataType):
         vals_per_row equals the comma count + 1."""
         from ..seg import tokenize_col, TOK_MARK
         n = len(col)
+        if col.data.shape[0] and (col.data == TOK_MARK).any():
+            # a literal 0x01 byte desyncs tok_row vs the vals stream
+            # (tokenizer_seg_col guards this with its verbatim fallback;
+            # here the whole trial just bails)
+            return (np.zeros(0, np.int64), np.zeros(0, np.int64),
+                    np.zeros(n, np.int64), np.zeros(n, bool))
         nseg = ragged.count_sep_per_row(col, ord(",")) + 1
         tmpl_data, tmpl_lens, vals, _tok, wid = tokenize_col(
             col.data, col.offsets, 1 << 62)
@@ -923,6 +933,8 @@ class VcfDT(DataType):
                 if memo is None:
                     memo = self._ilist_choice = {}
                 choice = memo.get(name)
+                if choice is None and self._seg_lazy_frozen:
+                    choice = "tok"   # no trial-commit under concurrency
                 cand = self._seg_int_list(name, vals, dsel) \
                     if choice in (None, "ilist") else None
                 if cand is not None and choice is None:

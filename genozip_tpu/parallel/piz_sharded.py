@@ -112,10 +112,13 @@ class ShardedPizDecoder:
 
 def piz_file_dp(z_path: str, out_path: str | None = None, dp: int = 1,
                 reference: str | None = None) -> bytes | None:
-    """Data-parallel PIZ: the recon plan's VB list is sliced contiguously
-    over dp workers; workers reconstruct concurrently; assembly (gencomp
-    re-interleave + digest + write) runs strictly in plan order. The
-    output is byte-identical to piz_file's."""
+    """Data-parallel PIZ: plan VBs fan out round-robin to dp workers with a
+    bounded in-flight window; assembly (gencomp re-interleave + digest +
+    write) drains strictly in plan order as futures complete, so peak
+    memory is O(window × VB), not O(file) (writer_main_loop's streamed
+    handover, writer.c:1203). The output is byte-identical to piz_file's."""
+    import os
+    from collections import deque
     from concurrent.futures import ThreadPoolExecutor
     from ..piz_pipeline import PizReader
     from ..utils import profiler
@@ -123,46 +126,55 @@ def piz_file_dp(z_path: str, out_path: str | None = None, dp: int = 1,
     pr = PizReader(z_path, reference=reference)
     comps = pr.components()
     has_gencomp = pr.ensure_gencomp()
+    sink = open(out_path, "wb") if out_path else None
     chunks = []
-    for comp_i, comp in enumerate(comps):
-        nvb = comp.get("num_vbs", pr.num_vbs())
-        hdr = pr.txt_header(comp_i) if comp_i == 0 else b""
-        plan = list(range(1, nvb + 1))
-        # contiguous plan slices per worker (writer_plan.py IR note: the
-        # VB list is sliceable; order is restored at assembly)
-        slices = [plan[w::dp] for w in range(dp)]
-        results = {}
+    try:
+        for comp_i, comp in enumerate(comps):
+            nvb = comp.get("num_vbs", pr.num_vbs())
+            hdr = pr.txt_header(comp_i) if comp_i == 0 else b""
+            adler = zlib.adler32(hdr)
+            if sink is not None:
+                sink.write(hdr)
+            else:
+                chunks.append(hdr)
 
-        def work(vbs):
-            got = {}
-            for vb_i in vbs:
+            def work(vb_i):
                 loaded = pr.load_vb(vb_i, comp_i)
                 with profiler.timer("piz:recon"):
-                    got[vb_i] = pr.recon_loaded_vb(loaded, vb_i, comp_i,
-                                                   want_pctxs=True)
-            return got
+                    return pr.recon_loaded_vb(loaded, vb_i, comp_i,
+                                              want_pctxs=True)
 
-        with ThreadPoolExecutor(max_workers=dp) as pool:
-            for got in pool.map(work, [s for s in slices if s]):
-                results.update(got)
-        # plan-ordered assembly (writer_main_loop role)
-        parts = [hdr]
-        adler = zlib.adler32(hdr)
-        for vb_i in plan:
-            out, pctxs = results[vb_i]
-            if has_gencomp and comp_i == 0:
-                out = pr.merge_vb_gencomp(out, pctxs)
-            adler = zlib.adler32(out, adler)
-            parts.append(out)
-        blob = b"".join(parts)
-        comp_adler = comp.get("adler")
-        if comp_adler is not None:
-            assert adler == comp_adler, \
-                f"component {comp_i}: dp-PIZ digest mismatch"
-        chunks.append(blob)
-    data = b"".join(chunks)
-    if out_path:
-        with open(out_path, "wb") as f:
-            f.write(data)
+            with ThreadPoolExecutor(max_workers=dp) as pool:
+                inflight = deque()   # (vb_i, future) in plan order
+
+                def drain():
+                    nonlocal adler
+                    vb_i, fut = inflight.popleft()
+                    out, pctxs = fut.result()
+                    if has_gencomp and comp_i == 0:
+                        out = pr.merge_vb_gencomp(out, pctxs)
+                    adler = zlib.adler32(out, adler)
+                    if sink is not None:
+                        sink.write(out)
+                    else:
+                        chunks.append(out)
+
+                for vb_i in range(1, nvb + 1):
+                    inflight.append((vb_i, pool.submit(work, vb_i)))
+                    if len(inflight) > 2 * dp:
+                        drain()
+                while inflight:
+                    drain()
+            comp_adler = comp.get("adler")
+            if comp_adler is not None:
+                assert adler == comp_adler, \
+                    f"component {comp_i}: dp-PIZ digest mismatch"
+    except BaseException:
+        if sink is not None:
+            sink.close()
+            os.unlink(out_path)   # never leave a wrong partial output
+        raise
+    if sink is not None:
+        sink.close()
         return None
-    return data
+    return b"".join(chunks)

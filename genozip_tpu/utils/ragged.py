@@ -94,9 +94,17 @@ def take(col: Col, idx: np.ndarray) -> Col:
 
 
 def rows_equal(a: Col, b: Col) -> np.ndarray:
-    """Per-row byte equality of two columns with identical per-row lens."""
+    """Per-row byte equality of two columns. Rows with differing lens are
+    unequal; the flat fast path below requires aligned data, so mixed-lens
+    inputs recurse on the equal-lens subset."""
     n = len(a)
     eq = a.lens == b.lens
+    if not eq.all():
+        idx = np.nonzero(eq)[0]
+        out = eq.copy()
+        if idx.shape[0]:
+            out[idx] = rows_equal(take(a, idx), take(b, idx))
+        return out
     mism = np.nonzero(a.data[:b.data.shape[0]] != b.data[:a.data.shape[0]])[0]
     if mism.shape[0]:
         rowm = np.searchsorted(a.offsets[1:], mism, side="right")

@@ -413,6 +413,11 @@ def zip_file(in_path: str, out_path: str, dt_name: str | None = None,
                 except Exception:
                     pass    # calibration must never break the real path
 
+    # from here on seg runs concurrently: per-file trial-once choices are
+    # final (frozen regardless of worker count — bytes must match across
+    # thread counts, the test_determinism.py guarantee)
+    dt.freeze_lazy_choices()
+
     from .utils.progress import Progress
     prog = Progress(f"zip {in_path.rsplit('/', 1)[-1]}", None)
 
