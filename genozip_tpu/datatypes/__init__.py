@@ -92,6 +92,23 @@ class DataType:
         p = 1 << (int(vb).bit_length() - 1)
         return p
 
+    def split_records(self, data: np.ndarray):
+        """Record boundaries for gencomp re-interleaving (each row includes
+        its terminator). Default: newline-terminated lines; binary
+        datatypes (BAM) override with their record framing."""
+        from ..utils.ragged import Col
+        nl = np.nonzero(data == ord("\n"))[0]
+        if data.shape[0] and (nl.shape[0] == 0 or
+                              nl[-1] != data.shape[0] - 1):
+            nl = np.concatenate([nl, [data.shape[0] - 1]])
+        return Col(data, np.concatenate([[0], nl + 1]))
+
+    def build_sag_store(self, prim_data: np.ndarray):
+        """SAG store from the PRIM component's bytes (reference
+        src/sam_sag_ingest.c / sam_sag_load.c roles — called identically
+        at ZIP and PIZ). Datatypes without gencomp return None."""
+        return None
+
     def seg_vb(self, data: np.ndarray) -> VBSegResult:
         raise NotImplementedError
 

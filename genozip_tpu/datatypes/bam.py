@@ -490,6 +490,169 @@ class BamDT(SamDT):
             raise ValueError("BAM input ends mid-record")
         return consumed
 
+    def segconf_scan(self, sample: np.ndarray):
+        """Binary-record calibration (the BAM side of segconf.c:459): skip
+        the header block inside the sample, then scan records for DEPN
+        presence (gates the gencomp prescan), sortedness, paired fraction,
+        read length and the SAG flavor evidence (SA/NH tag presence)."""
+        DataType.segconf_scan(self, sample)
+        b = sample.tobytes()
+        if b[:4] != b"BAM\x01" or len(b) < 12:
+            return
+        l_text = int.from_bytes(b[4:8], "little")
+        need = 8 + l_text
+        if need + 4 > len(b):
+            return
+        n_ref = int.from_bytes(b[need:need + 4], "little")
+        need += 4
+        for _ in range(n_ref):
+            if need + 4 > len(b):
+                return
+            l_name = int.from_bytes(b[need:need + 4], "little")
+            need += 8 + l_name
+        if need >= len(b):
+            return
+        recs = np.frombuffer(b[need:], np.uint8)
+        off, _consumed = native.bam_scan(recs, 1 << 20)
+        if off.shape[0] == 0:
+            return
+        flag = _u16(recs, off + 18).astype(np.int64)
+        refid = _i32(recs, off + 4)
+        pos = _i32(recs, off + 8)
+        l_seq = _u32(recs, off + 20).astype(np.int64)
+        self.segconf["has_depn"] = bool(((flag & 0x900) != 0).any())
+        self.segconf["paired_frac"] = round(float(((flag & 1) != 0).mean()), 2)
+        if off.shape[0] > 4:
+            same = refid[1:] == refid[:-1]
+            self.segconf["sorted"] = bool(
+                (pos[1:][same] >= pos[:-1][same]).all()) if same.any() \
+                else True
+        if l_seq.shape[0]:
+            self.segconf["read_len_avg"] = round(float(l_seq.mean()), 1)
+            self.segconf["is_long_reads"] = bool(l_seq.mean() > 1000)
+        # SAG flavor evidence from binary aux tags of the first records
+        tags = set()
+        l_rn = recs[off + 12].astype(np.int64)
+        n_cig = _u16(recs, off + 16).astype(np.int64)
+        block_size = _u32(recs, off).astype(np.int64)
+        aux_start = off + 36 + l_rn + 4 * n_cig + (l_seq + 1) // 2 + l_seq
+        aux = ragged.gather_ranges(recs, aux_start,
+                                   np.maximum(off + 4 + block_size
+                                              - aux_start, 0))
+        fr, fs, fv, _bad = self._walk_aux(aux)
+        if fr.shape[0]:
+            for t in np.unique((aux.data[fs].astype(np.uint32) << 8)
+                               | aux.data[fs + 1]):
+                tags.add(chr(int(t) >> 8) + chr(int(t) & 0xFF))
+        self.segconf["aux_tags"] = sorted(tags)
+        if "SA" in tags:
+            self.segconf["sag_type"] = "SA"
+        elif "NH" in tags:
+            self.segconf["sag_type"] = "NH"
+        elif "CC" in tags:
+            self.segconf["sag_type"] = "CC"
+        elif self.segconf.get("has_depn"):
+            self.segconf["sag_type"] = "FLAG"
+
+    # ------------------------------------------------------------------
+    # gencomp: deportation of binary DEPN/PRIM records (gencomp_zip.c:587
+    # applied to the BAM record framing; the SAM text path's exact analog)
+    # ------------------------------------------------------------------
+
+    def split_records(self, data: np.ndarray):
+        """Record framing for gencomp re-interleaving: the serial
+        block_size chain (each row = one whole record incl. its length
+        prefix)."""
+        offsets, consumed = native.bam_scan(data, data.shape[0] // 36 + 1)
+        assert consumed == data.shape[0], "gencomp stream has partial record"
+        block_size = _u32(data, offsets).astype(np.int64) if \
+            offsets.shape[0] else np.zeros(0, np.int64)
+        return Col(data, np.concatenate([[0], offsets + 4 + block_size]))
+
+    def build_sag_store(self, prim_data: np.ndarray):
+        from .. import sag as sag_mod
+        return sag_mod.SagStore.from_bam(prim_data,
+                                         self.segconf.get("bam_refs"))
+
+    def depn_qname_hashes(self, data: np.ndarray) -> np.ndarray:
+        """Prescan: qname hashes of secondary/supplementary records
+        (src/sam_sag_scan.c role on the binary layout)."""
+        from .. import sag as sag_mod
+        off, consumed = native.bam_scan(data, MAX_RECORDS_PER_VB)
+        if off.shape[0] == 0:
+            return np.zeros(0, np.uint64)
+        flag = _u16(data, off + 18).astype(np.int64)
+        depn = (flag & sag_mod.DEPN_MASK) != 0
+        if not depn.any():
+            return np.zeros(0, np.uint64)
+        di = np.nonzero(depn)[0]
+        l_rn = data[off + 12].astype(np.int64)
+        names = ragged.gather_ranges(data, off[di] + 36, l_rn[di] - 1)
+        return sag_mod.qname_hash(names)
+
+    def gencomp_split(self, data: np.ndarray, depn_qnames=None):
+        """Deport DEPN records — and, given the prescan qname set, their
+        primaries — out of the MAIN VB (gencomp_zip.c:587 on binary
+        records). Returns (main, prim, depn, prim_orig_idx, depn_orig_idx)
+        record-index positions, or None when nothing deports."""
+        from .. import sag as sag_mod
+        off, consumed = native.bam_scan(data, MAX_RECORDS_PER_VB)
+        if off.shape[0] == 0 or consumed != data.shape[0]:
+            return None
+        n = off.shape[0]
+        flag = _u16(data, off + 18).astype(np.int64)
+        depn = (flag & sag_mod.DEPN_MASK) != 0
+        prim = np.zeros(n, bool)
+        if depn_qnames is not None and depn_qnames.shape[0]:
+            l_rn = data[off + 12].astype(np.int64)
+            names = ragged.gather_ranges(data, off + 36, l_rn - 1)
+            h = sag_mod.qname_hash(names)
+            prim = ~depn & np.isin(h, depn_qnames)
+        if not depn.any() and not prim.any():
+            return None
+        block_size = _u32(data, off).astype(np.int64)
+        rec_len = 4 + block_size
+        didx = np.nonzero(depn)[0]
+        pidx = np.nonzero(prim)[0]
+        midx = np.nonzero(~depn & ~prim)[0]
+        main = ragged.gather_ranges(data, off[midx], rec_len[midx]).data
+        pri = ragged.gather_ranges(data, off[pidx], rec_len[pidx]).data
+        dep = ragged.gather_ranges(data, off[didx], rec_len[didx]).data
+        return main, pri, dep, pidx.astype(np.int64), didx.astype(np.int64)
+
+    _OPIDX = np.zeros(256, np.uint8)
+    for _i, _c in enumerate(b"MIDNSHP=X"):
+        _OPIDX[_c] = _i
+
+    @staticmethod
+    def _cigar_bin(text: Col):
+        """Text CIGAR -> (binary u32-ops Col, per-row op count): the
+        inverse of _cigar_text, for rows whose cigar reconstructs from the
+        SAG store's SA text (empty rows -> zero ops)."""
+        d = text.data
+        n = len(text)
+        if d.shape[0] == 0:
+            return (Col(np.zeros(0, np.uint8), np.zeros(n + 1, np.int64)),
+                    np.zeros(n, np.int64))
+        isop = ~((d >= ord("0")) & (d <= ord("9")))
+        op_pos = np.nonzero(isop)[0]
+        row_of = np.searchsorted(text.offsets[1:], op_pos, side="right")
+        prev = np.concatenate([[-1], op_pos[:-1]])
+        nstart = np.maximum(prev + 1, text.offsets[:-1][row_of])
+        v, ok = ragged.atoi(ragged.gather_ranges(d, nstart,
+                                                 op_pos - nstart))
+        assert ok.all(), "malformed SA cigar"
+        u32 = ((v.astype(np.uint32) << 4)
+               | BamDT._OPIDX[d[op_pos]].astype(np.uint32))
+        n_ops = np.bincount(row_of, minlength=n).astype(np.int64)
+        bdata = u32.astype("<u4").view(np.uint8)
+        return (Col(bdata, np.concatenate([[0], np.cumsum(4 * n_ops)])),
+                n_ops)
+
+    def _ref_catalog(self) -> Col:
+        names = self.segconf.get("bam_refs") or []
+        return Col.from_list([nm.encode() for nm in names])
+
     @staticmethod
     def _cigar_ref_span(cigar: Col, n_cig: np.ndarray) -> np.ndarray:
         """Per-record reference span from binary CIGAR: sum of op lens for
@@ -565,20 +728,65 @@ class BamDT(SamDT):
         aux = ragged.gather_ranges(data, aux_start, rec_end - aux_start)
 
         ctxs = {}
-        ctxs.update(tokenizer_seg_col("QNAME", name))
+        # SAG store join (the DEPN-component path, src/sam_sag_ingest.c on
+        # binary records): QNAME elided for store hits
+        sag = getattr(self, "sag_store", None)
+        sag_idx = None
+        if sag is not None and n:
+            sag_idx = sag.lookup(name, flag)
+        if sag_idx is not None:
+            ctxs["SAGIDX"] = VBCtx("SAGIDX", MODE_NUM, local=sag_idx,
+                                   cat="int")
+            miss = np.nonzero(sag_idx < 0)[0]
+            ctxs.update(tokenizer_seg_col("QNAME", ragged.take(name, miss)))
+        else:
+            ctxs.update(tokenizer_seg_col("QNAME", name))
+        # SA-first-entry field prediction (sam_sag_zip.c / sections.h:32):
+        # a supplementary's RNAME/POS/MAPQ/CIGAR match its primary's first
+        # SA:Z entry — elide matching rows behind a 4-bit SAGF bitmap
+        cig_t = None
+        sagf = None
+        if sag_idx is not None:
+            saf = self._sa_field_preds(sag, sag_idx, flag)
+            if saf is not None:
+                from .. import sag as sag_mod
+                from ..deep import cols_equal_rows
+                cig_t = self._cigar_text(cigar, n_cig)
+                pred_refid = sag_mod.hash_join(self._ref_catalog(),
+                                               saf["rname"])
+                rn_eq = saf["valid"] & (refid == pred_refid)
+                ps_eq = saf["valid"] & (pos + 1 == saf["pos"])
+                mq_eq = saf["valid"] & (mapq == saf["mapq"])
+                cg_eq = saf["valid"] & cols_equal_rows(cig_t, saf["cigar"])
+                v = (rn_eq.astype(np.int64) + ps_eq * 2 + mq_eq * 4
+                     + cg_eq * 8)
+                if v.any():
+                    sagf = v
+                    ctxs["SAGF"] = VBCtx("SAGF", MODE_NUM, local=sagf,
+                                         cat="int")
         # secondary/supplementary rows carry unrelated positions that wreck
         # the sorted-POS delta chain: mux by the DEPN flag bits so the
         # primary channel deltas stay small (the reference deports these
         # rows to gencomp DEPN components, src/gencomp_zip.c — the mux is
-        # the in-VB analog; key recomputed from FLAG at PIZ)
+        # the in-VB analog for non-gencomp runs; key recomputed from FLAG
+        # at PIZ)
         depn = (flag & 0x900) != 0
         fmux = np.argsort(depn, kind="stable") \
             if depn.any() and not depn.all() else None
+        _SAGF_BIT = {"RNAME": 1, "POS": 2, "MAPQ": 4}
         for nm, vals, delta in (("RNAME", refid, False), ("POS", pos, True),
                                 ("MAPQ", mapq, False),
                                 ("FLAG", flag, False), ("PNEXT", npos, True),
                                 ("RNEXT", nrefid, False), ("TLEN", tlen, False),
                                 ("NCIG", n_cig, False)):
+            if sagf is not None and nm in _SAGF_BIT:
+                # store only the rows the SA entry doesn't predict
+                kp = np.nonzero(~(sagf & _SAGF_BIT[nm]).astype(bool))[0]
+                sub = vals[kp]
+                v = np.diff(sub, prepend=np.int64(0)) if delta else sub
+                ctxs[nm] = VBCtx(nm, MODE_NUM, local=v, cat="int",
+                                 param=1 if delta else 0)
+                continue
             if delta and fmux is not None:
                 v = np.diff(vals[fmux], prepend=np.int64(0))
                 ctxs[nm] = VBCtx(nm, MODE_NUM, local=v, cat="int", param=3)
@@ -596,9 +804,42 @@ class BamDT(SamDT):
         ctxs["SQLEN"] = VBCtx("SQLEN", MODE_NUM,
                               local=np.diff(l_seq, prepend=np.int64(0)),
                               cat="int", param=1)
-        ctxs["CIGAR"] = VBCtx("CIGAR", MODE_TXT, local=cigar.data, cat="int")
+        if sagf is not None:
+            kc = np.nonzero(~(sagf & 8).astype(bool))[0]
+            ctxs["CIGAR"] = VBCtx("CIGAR", MODE_TXT,
+                                  local=ragged.take(cigar, kc).data,
+                                  cat="int")
+        else:
+            ctxs["CIGAR"] = VBCtx("CIGAR", MODE_TXT, local=cigar.data,
+                                  cat="int")
         ref = getattr(self, "ref", None)
         predict = None
+        if sag_idx is not None:
+            # DEPN SEQ/QUAL vs the primary (orientation + hard-clip slice,
+            # predict_depn): matching rows cost one bitmap bit each
+            from .. import sag as sag_mod
+            from ..deep import cols_equal_rows
+            ascii_col, nibok = self._seq_ascii(seq, l_seq)
+            if cig_t is None:
+                cig_t = self._cigar_text(cigar, n_cig)
+            pred_seq, pred_qual, valid = sag_mod.predict_depn(
+                sag, sag_idx, flag, cig_t, l_seq)
+            seq_eq = valid & nibok & cols_equal_rows(ascii_col, pred_seq)
+            qual_eq = valid & cols_equal_rows(qual, pred_qual)
+            ctxs["SAGSEQ"] = VBCtx("SAGSEQ", MODE_NUM,
+                                   local=seq_eq.astype(np.int64), cat="int")
+            ctxs["SAGQUL"] = VBCtx("SAGQUL", MODE_NUM,
+                                   local=qual_eq.astype(np.int64), cat="int")
+            sk = np.nonzero(~seq_eq)[0]
+            ctxs["SEQBIN"] = VBCtx("SEQBIN", MODE_TXT,
+                                   local=ragged.take(seq, sk).data,
+                                   cat="seq")
+            qk = np.nonzero(~qual_eq)[0]
+            ctxs["QUAL"] = self._seg_qual_core(
+                ragged.take(qual, qk), ragged.take(ascii_col, qk), flag[qk])
+            self._seg_aux_bam(ctxs, aux, None, l_seq,
+                              pos_v=pos.astype(np.int64) + 1)
+            return VBSegResult(ctxs, n, {})
         if ref is not None and n:
             # SEQ-vs-reference through the inherited SAM walk: synthesize
             # text RNAME/POS/CIGAR columns from the binary fields
@@ -636,11 +877,44 @@ class BamDT(SamDT):
 
     def recon_vb(self, pctxs: dict, meta: dict) -> bytes:
         n = meta["num_lines"]
-        name = tokenizer_recon_col("QNAME", pctxs, n)
-        refid = pctxs["RNAME"].nums()
+        sag = getattr(self, "sag_store", None)
+        sag_idx = None
+        if "SAGIDX" in pctxs:
+            assert sag is not None, "DEPN VB needs the SAG store"
+            sag_idx = pctxs["SAGIDX"].nums()
+            miss = np.nonzero(sag_idx < 0)[0]
+            hit = np.nonzero(sag_idx >= 0)[0]
+            name = ragged.merge_rows(n, [
+                (miss, tokenizer_recon_col("QNAME", pctxs, miss.shape[0])),
+                (hit, ragged.take(sag.qname, sag_idx[hit]))])
+        else:
+            name = tokenizer_recon_col("QNAME", pctxs, n)
         flag = pctxs["FLAG"].nums()
-        pos = self._flag_demux(pctxs["POS"], flag)
-        mapq = pctxs["MAPQ"].nums()
+        sagf = saf = None
+        if "SAGF" in pctxs:
+            # invert the SA-first-entry elision: predicted rows come from
+            # the store (rebuilt identically at PIZ), kept rows from ctxs
+            from .. import sag as sag_mod
+            sagf = pctxs["SAGF"].nums()
+            saf = self._sa_field_preds(sag, sag_idx, flag)
+            assert saf is not None, "SAGF present but store lacks SA"
+            pred_refid = sag_mod.hash_join(self._ref_catalog(),
+                                           saf["rname"])
+
+            def _mixnum(bit, ctxname, pred_vals):
+                pr = np.nonzero((sagf & bit).astype(bool))[0]
+                kp = np.nonzero(~(sagf & bit).astype(bool))[0]
+                out = np.empty(n, np.int64)
+                out[kp] = pctxs[ctxname].nums()
+                out[pr] = pred_vals[pr]
+                return out
+            refid = _mixnum(1, "RNAME", pred_refid)
+            pos = _mixnum(2, "POS", saf["pos"] - 1)
+            mapq = _mixnum(4, "MAPQ", saf["mapq"])
+        else:
+            refid = pctxs["RNAME"].nums()
+            pos = self._flag_demux(pctxs["POS"], flag)
+            mapq = pctxs["MAPQ"].nums()
         nrefid = pctxs["RNEXT"].nums()
         npos = self._flag_demux(pctxs["PNEXT"], flag)
         tlen = pctxs["TLEN"].nums()
@@ -649,12 +923,43 @@ class BamDT(SamDT):
 
         l_rn = name.lens + 1
         seq_bytes = (l_seq + 1) // 2
-        cigar = pctxs["CIGAR"].txt_col(4 * n_cig)
+        if sagf is not None:
+            pr = np.nonzero((sagf & 8).astype(bool))[0]
+            kp = np.nonzero(~(sagf & 8).astype(bool))[0]
+            kept_cig = pctxs["CIGAR"].txt_col(4 * n_cig[kp])
+            pred_bin, pred_ops = self._cigar_bin(
+                ragged.take(saf["cigar"], pr))
+            assert (pred_ops == n_cig[pr]).all(), "SA cigar op-count drift"
+            cigar = ragged.merge_rows(n, [(kp, kept_cig), (pr, pred_bin)])
+        else:
+            cigar = pctxs["CIGAR"].txt_col(4 * n_cig)
         bin_ = pctxs["BIN"].nums()
         if pctxs["BIN"].param == 4:
             span = self._cigar_ref_span(cigar, n_cig)
             bin_ = bin_ + self._reg2bin(pos, pos + np.maximum(span, 1))
-        if "SQBITMAP" in pctxs:
+        if sag_idx is not None:
+            from .. import sag as sag_mod
+            cig_t = self._cigar_text(cigar, n_cig)
+            pred_seq, pred_qual, _valid = sag_mod.predict_depn(
+                sag, sag_idx, flag, cig_t, l_seq)
+            seq_eq = pctxs["SAGSEQ"].nums().astype(bool)
+            qual_eq = pctxs["SAGQUL"].nums().astype(bool)
+            se = np.nonzero(seq_eq)[0]
+            sk = np.nonzero(~seq_eq)[0]
+            parts = []
+            if se.shape[0]:
+                parts.append((se, self._renibble(ragged.take(pred_seq, se))))
+            if sk.shape[0] or not parts:
+                parts.append((sk, pctxs["SEQBIN"].txt_col(seq_bytes[sk])))
+            seq = ragged.merge_rows(n, parts)
+            qe = np.nonzero(qual_eq)[0]
+            qk = np.nonzero(~qual_eq)[0]
+            qa_all, _ = self._seq_ascii(seq, l_seq)
+            qleft = self.qual_col_core(pctxs, ragged.take(qa_all, qk),
+                                       l_seq[qk], flag[qk])
+            qual = ragged.merge_rows(n, [
+                (qe, ragged.take(pred_qual, qe)), (qk, qleft)])
+        elif "SQBITMAP" in pctxs:
             n_rec = l_seq.shape[0]
             nibok = pctxs["NIBOK"].nums().astype(bool)
             a_lens = np.where(nibok, l_seq, 0)
@@ -671,8 +976,9 @@ class BamDT(SamDT):
             seq = ragged.merge_rows(n_rec, parts)
         else:
             seq = pctxs["SEQBIN"].txt_col(seq_bytes)
-        qa, _ = self._seq_ascii(seq, l_seq)
-        qual = self.qual_col_core(pctxs, qa, l_seq, flag)
+        if sag_idx is None:
+            qa, _ = self._seq_ascii(seq, l_seq)
+            qual = self.qual_col_core(pctxs, qa, l_seq, flag)
         if "AUXL" in pctxs:
             predict = None
             if "SQBITMAP" in pctxs:

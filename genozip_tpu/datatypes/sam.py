@@ -117,6 +117,10 @@ class SamDT(DataType):
         elif self.segconf.get("has_depn"):
             self.segconf["sag_type"] = "FLAG"
 
+    def build_sag_store(self, prim_data: np.ndarray):
+        from .. import sag as sag_mod
+        return sag_mod.SagStore.from_text(prim_data)
+
     def optimize_vb(self, data: np.ndarray) -> np.ndarray:
         """--optimize: QUAL binning on field 11 of each alignment line
         (reference sam_modify.c). Single-char QUAL ('*' = no qual) rows

@@ -244,13 +244,12 @@ class PizReader:
             chunks = [self.read_vb(gvb, comp_i)
                       for gvb in range(1, nvbs + 1)]
             txt = b"".join(chunks)
-            return _GcQueue(np.frombuffer(txt, np.uint8)), txt
+            return _GcQueue(np.frombuffer(txt, np.uint8), self.dt), txt
 
         self._gc_prim, prim_txt = _read_comp(1, gc.get("prim_vbs", 0))
         if prim_txt:
             # SAG store before DEPN recon (reference src/sam_sag_load.c)
-            from .sag import SagStore
-            self.dt.sag_store = SagStore.from_text(
+            self.dt.sag_store = self.dt.build_sag_store(
                 np.frombuffer(prim_txt, np.uint8))
         self._gc_depn, _ = _read_comp(2, gc.get("depn_vbs", 0))
         return True
@@ -271,10 +270,8 @@ class PizReader:
         prim_pos = pp.nums() if pp is not None else e
         depn_pos = dp.nums() if dp is not None else e
         a = np.frombuffer(out, np.uint8)
-        nl = np.nonzero(a == ord("\n"))[0]
-        starts = np.concatenate([[0], nl[:-1] + 1])
-        main_col = ragged.gather_ranges(a, starts, nl - starts + 1)
-        n_main = nl.shape[0]
+        main_col = self.dt.split_records(a)
+        n_main = len(main_col)
         total = n_main + prim_pos.shape[0] + depn_pos.shape[0]
         deported = np.zeros(total, bool)
         deported[prim_pos] = True
@@ -388,17 +385,13 @@ class PizReader:
 
 
 class _GcQueue:
-    """Sequential line queue over a gencomp component's concatenated text
-    (vectorized: one newline scan; take() returns a ragged Col slice)."""
+    """Sequential record queue over a gencomp component's concatenated
+    bytes (vectorized: one record-boundary scan via the datatype's
+    framing — newlines for SAM, the block_size chain for BAM; take()
+    returns a ragged Col slice)."""
 
-    def __init__(self, data: np.ndarray):
-        from .utils.ragged import Col
-        nl = np.nonzero(data == ord("\n"))[0]
-        if data.shape[0] and (nl.shape[0] == 0 or
-                              nl[-1] != data.shape[0] - 1):
-            nl = np.concatenate([nl, [data.shape[0] - 1]])
-        offsets = np.concatenate([[0], nl + 1])
-        self.col = Col(data, offsets)
+    def __init__(self, data: np.ndarray, dt):
+        self.col = dt.split_records(data)
         self.cursor = 0
 
     def take(self, k: int):

@@ -133,6 +133,67 @@ def tag_str(aux: Col, tag: bytes) -> Col:
     return Col(vals.data, out_off)
 
 
+def hash_join(haystack: Col, needles: Col) -> np.ndarray:
+    """Index of each needle row in haystack (-1 if absent): sorted-hash
+    join + byte verification, so a collision degrades to a miss. Ties keep
+    the lowest haystack row — deterministic at ZIP and PIZ."""
+    from .deep import cols_equal_rows
+    n = len(needles)
+    if n == 0 or len(haystack) == 0:
+        return np.full(n, -1, np.int64)
+    hk = qname_hash(haystack)
+    order = np.lexsort((np.arange(len(haystack)), hk))
+    skeys = hk[order]
+    key = qname_hash(needles)
+    at = np.searchsorted(skeys, key, side="left")
+    ok = at < skeys.shape[0]
+    cand = order[np.minimum(at, skeys.shape[0] - 1)]
+    ok &= skeys[np.minimum(at, skeys.shape[0] - 1)] == key
+    ok &= cols_equal_rows(needles, ragged.take(haystack, cand))
+    return np.where(ok, cand, -1).astype(np.int64)
+
+
+_BAUX_INT_TYPES = {ord("c"): np.int8, ord("C"): np.uint8,
+                   ord("s"): np.int16, ord("S"): np.uint16,
+                   ord("i"): np.int32, ord("I"): np.uint32}
+
+
+def _bam_aux_tags(bd, aux: Col):
+    """NM:i / NH:i ints (-1 where absent) + SA:Z text column from binary
+    BAM aux data (one vectorized field walk — datatypes/bam.py's)."""
+    n = len(aux)
+    nm = np.full(n, -1, np.int64)
+    nh = np.full(n, -1, np.int64)
+    sa = Col(np.zeros(0, np.uint8), np.zeros(n + 1, np.int64))
+    fr, fs, fv, _bad = bd._walk_aux(aux)
+    if fr.shape[0] == 0:
+        return nm, nh, sa
+    data = aux.data
+    tag2 = (data[fs].astype(np.uint32) << 8) | data[fs + 1].astype(np.uint32)
+    ty = data[fs + 2]
+    for tgt, out in ((ord("N") << 8 | ord("M"), nm),
+                     (ord("N") << 8 | ord("H"), nh)):
+        for tch, dt_ in _BAUX_INT_TYPES.items():
+            sel = np.nonzero((tag2 == tgt) & (ty == tch))[0]
+            if sel.shape[0] == 0:
+                continue
+            w = np.dtype(dt_).itemsize
+            v = np.zeros(sel.shape[0], np.int64)
+            for b in range(w):
+                v |= data[fs[sel] + 3 + b].astype(np.int64) << (8 * b)
+            out[fr[sel]] = v.astype(np.int64) if dt_().dtype.kind == "u" \
+                else v.astype(dt_).astype(np.int64)
+    sel = np.nonzero((tag2 == (ord("S") << 8 | ord("A"))) &
+                     (ty == ord("Z")))[0]
+    if sel.shape[0]:
+        vals = ragged.gather_ranges(data, fs[sel] + 3,
+                                    np.maximum(fv[sel] - 1, 0))  # sans NUL
+        lens = np.zeros(n, np.int64)
+        lens[fr[sel]] = vals.lens
+        sa = Col(vals.data, np.concatenate([[0], np.cumsum(lens)]))
+    return nm, nh, sa
+
+
 def _sam_lines(data: np.ndarray):
     nl = np.nonzero(data == ord("\n"))[0]
     if data.shape[0] and (nl.shape[0] == 0 or nl[-1] != data.shape[0] - 1):
@@ -211,6 +272,48 @@ class SagStore:
         # share the primary's NH:i — keep it for DEPN prediction
         store.nh = tag_int(aux, b"NH:i:")
         store._parse_sa_first(tag_str(aux, b"SA:Z:"))
+        return store
+
+    @classmethod
+    def from_bam(cls, data: np.ndarray, refs=None):
+        """Build the store from binary PRIM records (the BAM side of
+        src/sam_sag_ingest.c). Columns are normalized to the domain the
+        predictors compare against: SEQ as ASCII letters (nibble-expanded),
+        POS 1-based, RNAME/CIGAR as text; QUAL stays raw phred — the DEPN
+        rows it predicts are raw phred too. Built identically at ZIP and
+        PIZ from the PRIM component bytes."""
+        from .datatypes.bam import BamDT, _u16, _u32, _i32
+        from . import native
+        bd = BamDT(segconf={"bam_refs": list(refs or [])})
+        off, consumed = native.bam_scan(data, data.shape[0] // 36 + 1)
+        assert consumed == data.shape[0], "PRIM component has partial records"
+        refid = _i32(data, off + 4)
+        pos0 = _i32(data, off + 8)
+        l_rn = data[off + 12].astype(np.int64)
+        mapq = data[off + 13].astype(np.int64)
+        n_cig = _u16(data, off + 16).astype(np.int64)
+        flag = _u16(data, off + 18).astype(np.int64)
+        l_seq = _u32(data, off + 20).astype(np.int64)
+        block_size = _u32(data, off).astype(np.int64)
+        name_start = off + 36
+        cig_start = name_start + l_rn
+        seq_start = cig_start + 4 * n_cig
+        seq_bytes = (l_seq + 1) // 2
+        qual_start = seq_start + seq_bytes
+        aux_start = qual_start + l_seq
+        rec_end = off + 4 + block_size
+        name = ragged.gather_ranges(data, name_start, l_rn - 1)
+        cigar_bin = ragged.gather_ranges(data, cig_start, 4 * n_cig)
+        seq_nib = ragged.gather_ranges(data, seq_start, seq_bytes)
+        qual = ragged.gather_ranges(data, qual_start, l_seq)
+        aux = ragged.gather_ranges(data, aux_start, rec_end - aux_start)
+        seq_ascii, _nibok = bd._seq_ascii(seq_nib, l_seq)
+        nm, nh, sa = _bam_aux_tags(bd, aux)
+        store = cls(name, flag, seq_ascii, qual,
+                    rname=bd._rname_text(refid), pos=pos0 + 1, mapq=mapq,
+                    cigar=bd._cigar_text(cigar_bin, n_cig), nm=nm)
+        store.nh = nh
+        store._parse_sa_first(sa)
         return store
 
     def _parse_sa_first(self, sa: Col):

@@ -440,7 +440,7 @@ def zip_file(in_path: str, out_path: str, dt_name: str | None = None,
     vb_i = 0
     prim_parts = []      # deported PRIM text (reference gencomp_zip.c)
     depn_parts = []      # deported DEPN text
-    use_gencomp = dt_name in ("sam",) and hasattr(dt, "gencomp_split")
+    use_gencomp = dt_name in ("sam", "bam") and hasattr(dt, "gencomp_split")
     depn_qnames = None
     # segconf gates the prescan pass: a sample with no secondary/
     # supplementary flags skips the extra streaming read (segconf.c role);
@@ -577,8 +577,7 @@ def zip_file(in_path: str, out_path: str, dt_name: str | None = None,
         gp = _write_chunks(prim, 1)
         if prim.shape[0]:
             # SAG store: DEPN compresses against its primary (sam_sag_ingest.c)
-            from .sag import SagStore
-            dt.sag_store = SagStore.from_text(prim)
+            dt.sag_store = dt.build_sag_store(prim)
         gd = _write_chunks(depn, 2)
         dt.sag_store = None
         gencomp_hdr = {"prim_vbs": gp, "depn_vbs": gd}

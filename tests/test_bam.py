@@ -313,3 +313,140 @@ def test_bam_xa_predictor(tmp_path):
     zip_file(p, p + ".gxz")
     piz_file(p + ".gxz", p + ".out")
     assert open(p + ".out", "rb").read() == gzip.open(p, "rb").read()
+
+
+# ---------------------------------------------------------------------------
+# BAM gencomp: binary DEPN/PRIM deportation + SAG elision
+# (reference src/gencomp_zip.c:587, src/sam_sag_ingest.c on the BAM layout)
+# ---------------------------------------------------------------------------
+
+_NIBOF = {65: 1, 67: 2, 71: 4, 84: 8}
+
+
+def _gc_rec(qname, flag, pos, mapq, cigar_ops, seq, qual, aux):
+    packed = bytearray((len(seq) + 1) // 2)
+    for j, ch in enumerate(seq):
+        packed[j // 2] |= _NIBOF[ch] << (4 if j % 2 == 0 else 0)
+    r = struct.pack("<iiBBHHHiiii", 0, pos, len(qname) + 1, mapq, 4680,
+                    len(cigar_ops), flag, len(seq), -1, -1, 0)
+    r += qname + b"\x00"
+    r += b"".join(struct.pack("<I", c) for c in cigar_ops)
+    r += bytes(packed) + qual + aux
+    return struct.pack("<I", len(r)) + r
+
+
+def synth_sorted_bam_with_supps(n=1200, rev_frac=0.3):
+    """Coordinate-sorted BAM where every 4th read has a supplementary whose
+    SEQ/QUAL are the hard-clip slice of its primary and whose
+    RNAME/POS/MAPQ/CIGAR match the primary's first SA:Z entry."""
+    rng = np.random.default_rng(77)
+    acgt = np.frombuffer(b"ACGT", np.uint8)
+    comp = {65: 84, 67: 71, 71: 67, 84: 65}
+    sam_hdr = b"@HD\tVN:1.6\tSO:coordinate\n@SQ\tSN:chr21\tLN:46709983\n"
+    out = [b"BAM\x01", struct.pack("<i", len(sam_hdr)), sam_hdr,
+           struct.pack("<i", 1), struct.pack("<i", 6), b"chr21\x00",
+           struct.pack("<i", 46709983)]
+    pos = 100000
+    recs = []
+    for i in range(n):
+        pos += int(rng.integers(0, 100))
+        qname = b"SIM.%d" % (5000000 + i)
+        L = 100
+        seq = rng.choice(acgt, L).tobytes()
+        qual = rng.integers(20, 40, L).astype(np.uint8).tobytes()
+        if i % 4 == 0:
+            revd = rng.random() < rev_frac
+            spos = pos + 1000
+            strand = b"-" if revd else b"+"
+            sa = b"SAZchr21,%d,%s,40H60M,60,0;\x00" % (spos + 1, strand)
+            recs.append((pos, _gc_rec(qname, 0, pos, 60, [(L << 4) | 0],
+                                      seq, qual, b"NMC\x00" + sa)))
+            if revd:
+                sseq = bytes(comp[b] for b in reversed(seq))[40:]
+                squal = qual[::-1][40:]
+                sflag = 0x800 | 0x10
+            else:
+                sseq, squal, sflag = seq[40:], qual[40:], 0x800
+            sa2 = b"SAZchr21,%d,+,100M,60,0;\x00" % (pos + 1)
+            recs.append((spos, _gc_rec(qname, sflag, spos, 60,
+                                       [(40 << 4) | 5, (60 << 4) | 0],
+                                       sseq, squal, b"NMC\x00" + sa2)))
+        else:
+            recs.append((pos, _gc_rec(qname, 0, pos, 60, [(L << 4) | 0],
+                                      seq, qual, b"NMC\x00")))
+    recs.sort(key=lambda t: t[0])
+    out.extend(r for _, r in recs)
+    return b"".join(out)
+
+
+@pytest.mark.skipif(not native.available(), reason="native runtime required")
+def test_bam_gencomp_roundtrip_and_elision(tmp_path):
+    raw = synth_sorted_bam_with_supps()
+    src = os.path.join(str(tmp_path), "gc.bam")
+    with gzip.open(src, "wb") as f:
+        f.write(raw)
+    z = src + ".gxz"
+    from genozip_tpu.piz_pipeline import PizReader
+    zip_file(src, z, vb_size=256 * 1024)
+    pr = PizReader(z)
+    gc = (pr.file_hdr or {}).get("gencomp")
+    assert gc and gc.get("prim_vbs", 0) > 0 and gc.get("depn_vbs", 0) > 0
+    out = os.path.join(str(tmp_path), "gc.out.bam")
+    piz_file(z, out)
+    assert gzip.open(out, "rb").read() == raw
+    # SAG elision engaged: most DEPN rows predict SEQ+QUAL from the store
+    pr2 = PizReader(z)
+    pr2.ensure_gencomp()
+    loaded = pr2.load_vb(1, 2)
+    _o, pctxs = pr2.recon_loaded_vb(loaded, 1, 2, want_pctxs=True)
+    assert pctxs["SAGSEQ"].nums().mean() > 0.9
+    assert pctxs["SAGQUL"].nums().mean() > 0.9
+    assert pctxs["SAGF"].nums().min() >= 0
+
+
+@pytest.mark.skipif(not native.available(), reason="native runtime required")
+def test_bam_gencomp_dp_piz_identity(tmp_path):
+    raw = synth_sorted_bam_with_supps(800)
+    src = os.path.join(str(tmp_path), "gd.bam")
+    with gzip.open(src, "wb") as f:
+        f.write(raw)
+    z = src + ".gxz"
+    zip_file(src, z, vb_size=128 * 1024)
+    from genozip_tpu.parallel.piz_sharded import piz_file_dp
+    assert piz_file_dp(z, dp=3) == raw
+
+
+@pytest.mark.skipif(not native.available(), reason="native runtime required")
+def test_bam_gencomp_mismatched_sa_falls_back(tmp_path):
+    """Supplementaries whose SA entry contradicts the record (wrong pos,
+    foreign seq) must fall back per-row, never corrupt."""
+    raw_rec = []
+    rng = np.random.default_rng(3)
+    acgt = np.frombuffer(b"ACGT", np.uint8)
+    sam_hdr = b"@HD\tVN:1.6\tSO:coordinate\n@SQ\tSN:c1\tLN:1000000\n"
+    out = [b"BAM\x01", struct.pack("<i", len(sam_hdr)), sam_hdr,
+           struct.pack("<i", 1), struct.pack("<i", 3), b"c1\x00",
+           struct.pack("<i", 1000000)]
+    pos = 1000
+    for i in range(300):
+        pos += 13
+        qn = b"q%04d" % i
+        seq = rng.choice(acgt, 60).tobytes()
+        qual = rng.integers(10, 41, 60).astype(np.uint8).tobytes()
+        sa = b"SAZc1,%d,+,20H40M,60,0;\x00" % (pos + 500 + 1)
+        out.append(_gc_rec(qn, 0, pos, 60, [(60 << 4) | 0], seq, qual,
+                           b"NMC\x00" + sa))
+        # wrong pos (off by 3), unrelated seq -> SAGF pos bit off, SAGSEQ 0
+        bad_seq = rng.choice(acgt, 40).tobytes()
+        out.append(_gc_rec(qn, 0x800, pos + 503, 55, [(20 << 4) | 5,
+                                                      (40 << 4) | 0],
+                           bad_seq, qual[20:], b"NMC\x00"))
+    raw = b"".join(out)
+    src = os.path.join(str(tmp_path), "bad.bam")
+    with gzip.open(src, "wb") as f:
+        f.write(raw)
+    z = src + ".gxz"
+    zip_file(src, z)
+    outp = os.path.join(str(tmp_path), "bad.out.bam")
+    piz_file(z, outp)
+    assert gzip.open(outp, "rb").read() == raw
