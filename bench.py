@@ -20,7 +20,9 @@ import os
 import sys
 import time
 
-BDIR = "/tmp/gxz_bench3"
+BDIR = "/tmp/gxz_bench4"   # corpus v2 (adversarial: repeat-family genome,
+                           # mixed qname flavors, annotator-soup VCF,
+                           # primary+supplementary qname pairs in BAM)
 BENCH_MB = int(os.environ.get("GXZ_BENCH_MB", "48"))
 SIDE_MB = int(os.environ.get("GXZ_BENCH_SIDE_MB", "24"))
 BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -28,11 +30,34 @@ BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 
 
 def _genome(rng, n=4 << 20):
+    """Corpus-v2 genome: iid base + interspersed repeat families (~10%
+    density, mutated ~300bp prototypes — Alu/LINE stand-ins that stress
+    refhash collision policy and aligner best-match scoring) + tandem
+    repeats + homopolymer runs."""
     import numpy as np
     bases = np.frombuffer(b"ACGT", np.uint8)
     g = rng.choice(bases, n)
-    # sprinkle homopolymer runs (real genomes are not iid)
-    for _ in range(n // 2000):
+    fams = [rng.choice(bases, int(rng.integers(200, 400)))
+            for _ in range(6)]
+    budget = n // 10
+    while budget > 0:
+        proto = fams[int(rng.integers(0, len(fams)))]
+        L = proto.shape[0]
+        p = int(rng.integers(0, n - L))
+        copy = proto.copy()
+        k = int(rng.binomial(L, 0.02))
+        if k:
+            mp = rng.integers(0, L, k)
+            copy[mp] = bases[rng.integers(0, 4, k)]
+        g[p:p + L] = copy
+        budget -= L
+    for _ in range(n // 20000):   # tandem repeats, unit 2-40bp
+        u = int(rng.integers(2, 40))
+        reps = int(rng.integers(5, 40))
+        unit = rng.choice(bases, u)
+        p = int(rng.integers(0, n - u * reps))
+        g[p:p + u * reps] = np.tile(unit, reps)
+    for _ in range(n // 2000):    # homopolymer runs
         p = int(rng.integers(0, n - 40))
         g[p:p + int(rng.integers(5, 30))] = g[p]
     return g
@@ -83,11 +108,27 @@ def gen_fastq(path, target_mb, rng, genome):
             rc = packops.BASE2BIT[mat] ^ 3
             mat[rev] = packops.ACGT[rc[rev][:, ::-1]]
             quals = _qual_rows(rng, n, rl)
+            # mixed qname flavors PER BLOCK (corpus v2: real archives see
+            # flavor drift — Illumina, BGI fixed-width zero-padded, NCBI
+            # SRR with length=, ONT uuid-ish; qname_flavors.h coverage)
+            flavor = i % 4
+            if flavor == 0:
+                nm = lambda r: b"@SIM:1:FC706VJ:1:%d:%d:%d 1:N:0:ATCACG" % (
+                    2100 + r // 100000, 15000 + r % 90000,
+                    1000 + (r * 7) % 90000)
+            elif flavor == 1:
+                nm = lambda r: b"@E100016873L1C%03dR%03d%07d" % (
+                    r // 10000 % 999 + 1, r // 100 % 999 + 1, r % 9999999)
+            elif flavor == 2:
+                nm = lambda r: b"@SRR8861483.%d %d length=150" % (r + 1, r + 1)
+            else:
+                nm = lambda r: b"@%08x-%04x-%04x-%04x-%012x" % (
+                    r * 2654435761 % (1 << 32), r % (1 << 16),
+                    (r * 7) % (1 << 16), (r * 13) % (1 << 16),
+                    r * 1099511627 % (1 << 48))
             body = b"".join(
-                b"@SIM:1:FC706VJ:1:%d:%d:%d 1:N:0:ATCACG\n%s\n+\n%s\n"
-                % (2100 + (i * n + j) // 100000, 15000 + (i * n + j) % 90000,
-                   1000 + ((i * n + j) * 7) % 90000,
-                   mat[j].tobytes(), quals[j].tobytes())
+                b"%s\n%s\n+\n%s\n"
+                % (nm(i * n + j), mat[j].tobytes(), quals[j].tobytes())
                 for j in range(n))
             f.write(body)
             size += len(body)
@@ -187,23 +228,39 @@ def gen_bam(path, target_mb, rng, genome):
                 as_v = rl - 2 * ne
                 name = b"b%d" % (rid + j)
                 if kinds[j] < 0.08:
-                    # secondary alignment (flag 0x100): same read mapped
-                    # elsewhere, XA back-reference
+                    # multi-mapper (corpus v2): primary + secondary record
+                    # SHARING the qname (real BWA output — the prescan
+                    # deports the primary so the secondary compresses
+                    # against it, sections.h:32 SAG semantics)
                     p2 = int(rng.integers(0, G - rl))
                     rows.append(
-                        b"%s\t256\t%s\t%d\t0\t%dM\t*\t0\t0\t*\t*\t"
+                        b"%s\t0\t%s\t%d\t60\t%dM\t*\t0\t0\t%s\t%s\t"
                         b"NM:i:%d\tAS:i:%d\tXA:Z:%s,+%d,%dM,%d;\n"
-                        % (name, chrom, p2 + 1, rl, ne, as_v - 5,
-                           chrom, p + 1, rl, ne))
+                        % (name, chrom, p + 1, rl, seq.tobytes(),
+                           quals[j].tobytes(), ne, as_v,
+                           chrom, p2 + 1, rl, ne + 1))
+                    rows.append(
+                        b"%s\t256\t%s\t%d\t0\t%dM\t*\t0\t0\t*\t*\t"
+                        b"NM:i:%d\tAS:i:%d\n"
+                        % (name, chrom, p2 + 1, rl, ne + 1, as_v - 5))
                 elif kinds[j] < 0.12:
-                    # supplementary (flag 0x800) with SA:Z
+                    # split read (corpus v2): primary (75M75S, SA -> supp)
+                    # + supplementary (75H75M, SA -> primary) whose SEQ and
+                    # QUAL are the hard-clip slice of the primary — the
+                    # full SAG elision path (sam_sag_ingest.c)
                     half = rl // 2
                     rows.append(
-                        b"%s\t2048\t%s\t%d\t60\t%dM%dS\t*\t0\t0\t%s\t%s\t"
-                        b"NM:i:%d\tSA:Z:%s,%d,+,%dS%dM,60,%d;\n"
+                        b"%s\t0\t%s\t%d\t60\t%dM%dS\t*\t0\t0\t%s\t%s\t"
+                        b"NM:i:%d\tSA:Z:%s,%d,+,%dH%dM,60,%d;\n"
                         % (name, chrom, p + 1, half, rl - half,
                            seq.tobytes(), quals[j].tobytes(), ne,
-                           chrom, p + 400, half, rl - half, ne))
+                           chrom, p + 401, half, rl - half, ne))
+                    rows.append(
+                        b"%s\t2048\t%s\t%d\t60\t%dH%dM\t*\t0\t0\t%s\t%s\t"
+                        b"NM:i:%d\tSA:Z:%s,%d,+,%dM%dS,60,%d;\n"
+                        % (name, chrom, p + 401, half, rl - half,
+                           seq[half:].tobytes(), quals[j][half:].tobytes(),
+                           ne, chrom, p + 1, half, rl - half, ne))
                 else:
                     fl = 99 if j % 2 == 0 else 147
                     xa = b""
@@ -312,7 +369,17 @@ def gen_vcf(path, target_mb, rng):
            "##FORMAT=<ID=GQ,Number=1,Type=Integer>\n"
            "##FORMAT=<ID=PL,Number=G,Type=Integer>\n"
            "##INFO=<ID=AF,Number=A,Type=Float>\n"
+           "##INFO=<ID=AC,Number=A,Type=Integer>\n"
+           "##INFO=<ID=AN,Number=1,Type=Integer>\n"
            "##INFO=<ID=DP,Number=1,Type=Integer>\n"
+           "##INFO=<ID=BaseQRankSum,Number=1,Type=Float>\n"
+           "##INFO=<ID=ExcessHet,Number=1,Type=Float>\n"
+           "##INFO=<ID=FS,Number=1,Type=Float>\n"
+           "##INFO=<ID=MQ,Number=1,Type=Float>\n"
+           "##INFO=<ID=MQRankSum,Number=1,Type=Float>\n"
+           "##INFO=<ID=QD,Number=1,Type=Float>\n"
+           "##INFO=<ID=ReadPosRankSum,Number=1,Type=Float>\n"
+           "##INFO=<ID=SOR,Number=1,Type=Float>\n"
            '##INFO=<ID=CSQ,Number=.,Type=String,Description="VEP">\n'
            "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t"
            + names + "\n").encode()
@@ -357,10 +424,24 @@ def gen_vcf(path, target_mb, rng):
                                        cdna // 3,
                                        aas[int(rng.integers(0, 6))]),
                         b"0.%04d" % rng.integers(0, 9999)]))
+                # GATK-style annotator soup (corpus v2): AC/AN/AF with the
+                # AC == round(AN*AF) relation holding on most rows, plus
+                # mixed-precision float annotations (vcf_gatk.c material)
+                miss = int((g == 3).sum())
+                an = 2 * (nsamp - miss)
+                ac = int((g == 1).sum() + 2 * (g == 2).sum())
+                af2 = round(ac / max(an, 1), 4)
+                soup = (b"AC=%d;AN=%d;BaseQRankSum=%.3f;ExcessHet=%.4f;"
+                        b"FS=%.3f;MQ=%.2f;MQRankSum=%.3f;QD=%.2f;"
+                        b"ReadPosRankSum=%.3f;SOR=%.3f"
+                        % (ac, an, rng.normal(0, 1), 3.0103,
+                           abs(rng.normal(2, 2)), 60 - abs(rng.normal(0, 1)),
+                           rng.normal(0, 0.5), abs(rng.normal(15, 5)),
+                           rng.normal(0, 0.7), abs(rng.normal(0.7, 0.3))))
                 rows.append(b"chr1\t%d\trs%d\t%s\t%s\t%d\tPASS\t"
-                            b"AF=%.4f;DP=%d;CSQ=%s\tGT:AD:DP:GQ:PL\t%s\n"
-                            % (pos, pos, ref, alt, 30 + pos % 60, af,
-                               int(dp.sum()), b",".join(trs),
+                            b"AF=%.4f;%s;DP=%d;CSQ=%s\tGT:AD:DP:GQ:PL\t%s\n"
+                            % (pos, pos, ref, alt, 30 + pos % 60, af2,
+                               soup, int(dp.sum()), b",".join(trs),
                                b"\t".join(cells)))
             body = b"".join(rows)
             f.write(body)
@@ -556,9 +637,12 @@ def main():
         for k, v in parsed.items():
             if k.endswith(("_MBps", "_ratio")):
                 hist.setdefault(k, {})[rnd] = v
+    out["corpus"] = "v2"
     if hist:
-        print("# round-over-round history (this run = current):",
-              file=sys.stderr)
+        print("# round-over-round history (this run = current; r03/r04 ran"
+              " on corpus v1 — v2 is adversarial: repeat-family genome,"
+              " mixed qname flavors, annotator-soup VCF, primary+supp"
+              " qname pairs in BAM):", file=sys.stderr)
         for k in sorted(hist):
             cur = out.get(k)
             row = "  ".join(f"{r}={v}" for r, v in sorted(hist[k].items()))

@@ -192,13 +192,21 @@ class ZCtxGlobal:
             return c
         if committed is None:
             c = codec_assign.assign_best(payload, cat)
-            setattr(self, attr, c)
-            return c
-        if n == 10 and codec_assign._mode != "fast":
-            c = codec_assign.assign_best(payload, cat)
-            if c != committed:
+            # a near-empty payload can't rank codecs — committing NONE from
+            # it would lock later, full VBs to raw storage (e.g. NONREF is
+            # empty in every MAIN VB of a gencomp run but megabytes in the
+            # DEPN component). Defer the commit to the first VB with
+            # rankable content; until then each VB decides for itself
+            # (deterministic: depends only on payload bytes in VB order).
+            if len(payload) >= 4096:
                 setattr(self, attr, c)
             return c
+        if n == 10 and codec_assign._mode != "fast":
+            if len(payload) >= 4096:
+                c = codec_assign.assign_best(payload, cat)
+                if c != committed:
+                    setattr(self, attr, c)
+                return c
         return committed
 
     def __len__(self):

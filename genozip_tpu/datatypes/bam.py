@@ -522,6 +522,20 @@ class BamDT(SamDT):
         l_seq = _u32(recs, off + 20).astype(np.int64)
         self.segconf["has_depn"] = bool(((flag & 0x900) != 0).any())
         self.segconf["paired_frac"] = round(float(((flag & 1) != 0).mean()), 2)
+        depn = (flag & 0x900) != 0
+        if depn.any() and (~depn).any():
+            # do DEPN qnames reappear on primaries? gates the PRIM-deporting
+            # prescan (a second streaming read) — a corpus whose DEPN rows
+            # have no primary (e.g. supplementary-only leftovers) gets
+            # DEPN-only deportation with no extra read
+            from .. import sag as sag_mod
+            l_rn_ = recs[off + 12].astype(np.int64)
+            names = ragged.gather_ranges(recs, off + 36, l_rn_ - 1)
+            h = sag_mod.qname_hash(names)
+            self.segconf["depn_prim_pairs"] = bool(
+                np.isin(h[depn], h[~depn]).any())
+        else:
+            self.segconf["depn_prim_pairs"] = False
         if off.shape[0] > 4:
             same = refid[1:] == refid[:-1]
             self.segconf["sorted"] = bool(

@@ -79,6 +79,16 @@ class SamDT(DataType):
             self.segconf["has_depn"] = bool(((f & 0x900) != 0).any())
             self.segconf["paired_frac"] = round(
                 float(((f & 1) != 0).mean()), 2)
+            depn = fok & ((flags & 0x900) != 0)
+            prim = fok & ((flags & 0x900) == 0)
+            if depn.any() and prim.any():
+                # gates the PRIM-deporting prescan (see datatypes/bam.py)
+                from .. import sag as sag_mod
+                h = sag_mod.qname_hash(cols[0])
+                self.segconf["depn_prim_pairs"] = bool(
+                    np.isin(h[depn], h[prim]).any())
+            else:
+                self.segconf["depn_prim_pairs"] = False
         if pok.sum() > 4:
             # sorted = POS non-decreasing within runs of the same RNAME
             from ..contexts import dedup_col

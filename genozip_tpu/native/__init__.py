@@ -132,6 +132,12 @@ def get():
                                                ctypes.c_int64, ctypes.c_void_p,
                                                ctypes.c_void_p, ctypes.c_void_p,
                                                ctypes.c_void_p, ctypes.c_void_p]
+            lib.gxz_int_list_parse.restype = None
+            lib.gxz_int_list_parse.argtypes = [ctypes.c_void_p,
+                                               ctypes.c_void_p,
+                                               ctypes.c_int64, ctypes.c_void_p,
+                                               ctypes.c_void_p, ctypes.c_void_p,
+                                               ctypes.c_void_p]
             lib.gxz_split_fields.restype = None
             lib.gxz_split_fields.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
                                              ctypes.c_int64, ctypes.c_uint8,
@@ -482,6 +488,24 @@ def int_list_stats(data: np.ndarray, offsets: np.ndarray):
                            sums.ctypes.data, m1.ctypes.data, m2.ctypes.data,
                            nv.ctypes.data, ok.ctypes.data)
     return sums, m1, m2, nv, ok.astype(bool)
+
+
+def int_list_parse(data: np.ndarray, offsets: np.ndarray):
+    """Flat values of strict comma-int lists: (vals of OK rows
+    consecutively, nvals per row — 0 where not OK, ok mask)."""
+    lib = get()
+    C = offsets.shape[0] - 1
+    data = np.ascontiguousarray(data)
+    offsets = np.ascontiguousarray(offsets, np.int64)
+    cap = int((data == ord(",")).sum()) + C + 1
+    vals = np.empty(cap, np.int64)
+    nv = np.empty(C, np.int32)
+    ok = np.empty(C, np.uint8)
+    total = np.zeros(1, np.int64)
+    lib.gxz_int_list_parse(data.ctypes.data, offsets.ctypes.data, C,
+                           vals.ctypes.data, nv.ctypes.data, ok.ctypes.data,
+                           total.ctypes.data)
+    return vals[:int(total[0])], nv.astype(np.int64), ok.astype(bool)
 
 
 def split_fields(data: np.ndarray, offsets: np.ndarray, sep: int, T: int):

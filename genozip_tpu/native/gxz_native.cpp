@@ -889,6 +889,51 @@ void gxz_int_list_stats(const uint8_t* data, const int64_t* offsets,
 }
 
 // ---------------------------------------------------------------------------
+// Flat parse of strict comma-int lists (same keep-rules as
+// gxz_int_list_stats): values of OK rows written consecutively to `vals`,
+// nvals[i] = count for OK rows else 0.  total[0] = values written.  `vals`
+// must have room for (comma count + C) entries.
+// ---------------------------------------------------------------------------
+void gxz_int_list_parse(const uint8_t* data, const int64_t* offsets,
+                        int64_t C, int64_t* vals, int32_t* nvals,
+                        uint8_t* ok, int64_t* total) {
+    int64_t w = 0;
+    for (int64_t i = 0; i < C; i++) {
+        int64_t p = offsets[i], end = offsets[i + 1];
+        int64_t w0 = w;
+        int32_t k = 0;
+        bool good = p < end;
+        while (good && p < end) {
+            int64_t st = p;
+            int64_t v = 0;
+            while (p < end && data[p] >= '0' && data[p] <= '9') {
+                v = v * 10 + (data[p] - '0');
+                p++;
+            }
+            int64_t dl = p - st;
+            if (dl < 1 || dl > 18 || (dl > 1 && data[st] == '0')) {
+                good = false;
+                break;
+            }
+            vals[w++] = v;
+            k++;
+            if (p < end) {
+                if (data[p] != ',') { good = false; break; }
+                p++;
+                if (p == end) { good = false; break; }  // trailing comma
+            }
+        }
+        if (good) {
+            nvals[i] = k; ok[i] = 1;
+        } else {
+            w = w0;  // discard the row's partial values
+            nvals[i] = 0; ok[i] = 0;
+        }
+    }
+    total[0] = w;
+}
+
+// ---------------------------------------------------------------------------
 // One-pass ragged field split (VCF FORMAT cells, sub-field lists): for each
 // row, split on `sep` into at most T fields; field t of row i goes to
 // f_start[t*C+i] / f_len[t*C+i] (tag-major so each tag's ranges are a

@@ -175,6 +175,46 @@ def tokenizer_seg_col(prefix: str, col: Col, single_stream: bool = False,
 def tokenizer_recon_col(prefix: str, pctxs, n: int) -> Col:
     """Rebuild the column from template dict + numeric streams."""
     tc = pctxs[prefix]
+    if tc.param != 5 and len(tc.dict_col) == 1 and n and \
+            f"{prefix}W" not in pctxs:
+        # fast path: one shared template (comma-int lists, uniform
+        # formats) — per-ROW interleave of k rendered number columns with
+        # the template's constant inter-mark pieces, instead of the
+        # generic per-BYTE splice (the dominant VCF sample-matrix shape)
+        t = bytes(tc.dict_col.row(0))
+        k = t.count(bytes([TOK_MARK]))
+        if k:
+            pieces = t.split(bytes([TOK_MARK]))   # k+1 constant chunks
+            if f"{prefix}S" in pctxs:
+                pc = pctxs[f"{prefix}S"]
+                vals = pc.local.astype(np.int64)
+                if vals.shape[0] == n * k:
+                    if pc.param == 2:   # column-major (transposed)
+                        cols_v = [np.ascontiguousarray(vals[i * n:(i + 1) * n])
+                                  for i in range(k)]
+                    else:
+                        m = vals.reshape(n, k)
+                        cols_v = [np.ascontiguousarray(m[:, i])
+                                  for i in range(k)]
+                else:
+                    cols_v = None
+            else:
+                cols_v = []
+                for i in range(k):
+                    pc = pctxs.get(f"{prefix}{i}")
+                    if pc is None or pc.local.shape[0] != n:
+                        cols_v = None
+                        break
+                    cols_v.append(pc.nums())
+            if cols_v is not None:
+                cols = [ragged.itoa(v) for v in cols_v]
+                seps = [pieces[i + 1] or None for i in range(k)]
+                if pieces[0]:
+                    pre = np.frombuffer(pieces[0], np.uint8)
+                    cols.insert(0, Col.from_fixed(
+                        np.broadcast_to(pre, (n, pre.shape[0]))))
+                    seps.insert(0, None)
+                return ragged.interleave(cols, sep_after=seps)
     tmpl = tc.dict_take()  # Col of per-row templates
     if tc.param == 5:      # verbatim fallback: \x01 bytes are literal
         return tmpl

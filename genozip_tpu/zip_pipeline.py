@@ -398,20 +398,27 @@ def zip_file(in_path: str, out_path: str, dt_name: str | None = None,
     # demux class, CSQ/int-list/ID layout trials) on cheap data and (b)
     # pre-commit every sampled context's codec — VB 1 still drains alone
     # (the determinism anchor for stragglers) but its serial work is now
-    # just seg. Skipped under REF_INTERNAL: calibration seg would
-    # pre-populate the denovo genome out of replay order.
-    if not getattr(getattr(dt, "ref", None), "internal", False):
-        cal = reader.peek(1 << 20)
-        if cal:
-            cdata = np.frombuffer(cal, np.uint8)
-            cut = dt.vb_boundary(cdata, False)
-            if 0 < cut:
-                try:
-                    with profiler.timer("zip:segconf-cal"):
-                        cres = dt.seg_vb(cdata[:cut].copy())
-                    job.precommit_codecs(cres)
-                except Exception:
-                    pass    # calibration must never break the real path
+    # just seg. Under REF_INTERNAL the denovo genome must not be
+    # pre-populated out of replay order, so calibration runs with the ref
+    # detached (SEQ goes verbatim; QUAL/aux/layout choices still commit).
+    cal = reader.peek(1 << 20)
+    if cal:
+        cdata = np.frombuffer(cal, np.uint8)
+        cut = dt.vb_boundary(cdata, False)
+        if 0 < cut:
+            iref = getattr(dt, "ref", None)
+            internal = getattr(iref, "internal", False)
+            if internal:
+                dt.ref = None
+            try:
+                with profiler.timer("zip:segconf-cal"):
+                    cres = dt.seg_vb(cdata[:cut].copy())
+                job.precommit_codecs(cres)
+            except Exception:
+                pass    # calibration must never break the real path
+            finally:
+                if internal:
+                    dt.ref = iref
 
     # from here on seg runs concurrently: per-file trial-once choices are
     # final (frozen regardless of worker count — bytes must match across
@@ -447,10 +454,12 @@ def zip_file(in_path: str, out_path: str, dt_name: str | None = None,
     # DEPN appearing later still deports per-VB (DEPN-only mode)
     if use_gencomp and not dt.segconf.get("has_depn", True):
         use_gencomp = False
-    if use_gencomp:
+    if use_gencomp and dt.segconf.get("depn_prim_pairs", True):
         # prescan: which qnames have dependents (reference sam_sag_scan.c) —
         # a second streaming pass; primaries of those qnames deport to the
-        # PRIM component so DEPN can compress against them
+        # PRIM component so DEPN can compress against them. Skipped when the
+        # segconf sample shows DEPN qnames never reappear on primaries
+        # (DEPN-only deportation needs no second read).
         try:
             r2 = TxtReader(in_path, truncate=truncate)
             dt.read_txt_header(r2)
