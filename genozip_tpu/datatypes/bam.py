@@ -221,11 +221,15 @@ class BamDT(SamDT):
         return fr[keep], fs[keep], fv[keep], bad
 
     def _seg_aux_bam(self, ctxs, aux: Col, predict=None,
-                     l_seq=None, pos_v=None):
+                     l_seq=None, pos_v=None, qual=None, seq_ascii=None):
         """One context per binary aux tag; layout word = 3-byte TAG+type
         units per record (AUXL dict); typed value streams: fixed ints ->
         numeric (NM delta-vs-predicted, param=4), f -> raw f32, Z/H ->
-        tokenizer (MD:Z -> OK bitmap + exceptions), B -> raw + len stream."""
+        tokenizer (MD:Z -> OK bitmap + exceptions), B -> raw + len stream.
+        With `qual` (raw phred): OQ:Z as byte-delta vs QUAL+33
+        (src/codec_oq.c role); with `seq_ascii`: t0:Z condensed per SEQ
+        homopolymer run (src/codec_t0.c role) — both mirroring the SAM
+        text path."""
         n = len(aux)
         data = aux.data
         fr, fs, fv, bad = self._walk_aux(aux)
@@ -308,6 +312,38 @@ class BamDT(SamDT):
                     ctxs[name] = VBCtx(name, MODE_NUM, local=v, cat="int")
             elif ty in (ord("Z"), ord("H")):
                 vals = ragged.gather_ranges(data, vs, vl - 1)  # sans NUL
+                if qual is not None and (b0, b1, ty) == (ord("O"), ord("Q"),
+                                                         ord("Z")):
+                    # OQ:Z = pre-BQSR quals, ASCII: delta vs (QUAL+33)
+                    pred = ragged.take(qual, rows_t)
+                    fit = vals.lens == pred.lens
+                    if fit.mean() > 0.5:
+                        ctxs[name + "Q"] = VBCtx(name + "Q", MODE_NUM,
+                                                 local=fit.astype(np.int64),
+                                                 cat="int")
+                        a = ragged.take(vals, np.nonzero(fit)[0])
+                        b = ragged.take(pred, np.nonzero(fit)[0])
+                        # per-quality channel demux (codec_oq.c:14-20)
+                        perm = np.argsort(b.data, kind="stable")
+                        ctxs[name] = VBCtx(
+                            name, MODE_TXT,
+                            local=(a.data - (b.data + 33)).astype(
+                                np.uint8)[perm],
+                            cat="qual", param=13)
+                        if (~fit).any():
+                            exc = ragged.take(vals, np.nonzero(~fit)[0])
+                            ctxs.update(tokenizer_seg_col(
+                                name + "X", exc, single_stream=True))
+                        continue
+                if seq_ascii is not None and (b0, b1, ty) == (ord("t"),
+                                                              ord("0"),
+                                                              ord("Z")):
+                    handled = self._t0_seg_bam(name, vals,
+                                               ragged.take(seq_ascii,
+                                                           rows_t))
+                    if handled is not None:
+                        ctxs.update(handled)
+                        continue
                 if (b0, b1, ty) == (ord("X"), ord("A"), ord("Z")) and \
                         pos_v is not None:
                     # BWA XA:Z alt-hit list: per-alt sub-contexts with
@@ -348,8 +384,84 @@ class BamDT(SamDT):
                     ctxs[name + "L"] = VBCtx(name + "L", MODE_NUM, local=vl,
                                              cat="int")
 
+    def _t0_seg_bam(self, name, vals, seq_t):
+        """t0:Z condensed to one byte per SEQ homopolymer run
+        (src/codec_t0.c) — the SAM text path's transform on the binary aux
+        layout. Returns ctxs or None."""
+        run_lens, runs_per_row = self._hp_run_structure(seq_t)
+        fit = vals.lens == seq_t.lens
+        if not fit.any():
+            return None
+        first = np.concatenate([[0], np.cumsum(run_lens)])[:-1]
+        vo = vals.offsets[:-1]
+        so = seq_t.offsets[:-1]
+        run_row = np.repeat(np.arange(len(seq_t)), runs_per_row)
+        fpos = first - so[run_row]
+        cond_bytes = np.zeros(run_lens.shape[0], np.uint8)
+        okrun = fit[run_row]
+        cond_bytes[okrun] = vals.data[(vo[run_row] + fpos)[okrun]]
+        rebuilt = np.repeat(cond_bytes, run_lens)
+        byte_row = np.repeat(np.arange(len(seq_t)), seq_t.lens)
+        bm = fit[byte_row]
+        vb_bytes = np.zeros(seq_t.data.shape[0], np.uint8)
+        pos_in = np.arange(seq_t.data.shape[0]) - so[byte_row]
+        vb_bytes[bm] = vals.data[(vo[byte_row] + pos_in)[bm]]
+        mism = np.zeros(len(seq_t), bool)
+        bad_b = bm & (rebuilt != vb_bytes)
+        mism[byte_row[bad_b]] = True
+        ok = fit & ~mism
+        if ok.mean() <= 0.5:
+            return None
+        from ..codecs.qual import _BASE5
+        keep = ok[run_row]
+        kb = cond_bytes[keep]
+        kkey = (np.minimum(run_lens, 7) * 5
+                + _BASE5[seq_t.data[np.minimum(
+                    first, max(seq_t.data.shape[0] - 1, 0))]]
+                )[keep].astype(np.int16)
+        kperm = np.argsort(kkey, kind="stable")
+        ctxs = {name + "H": VBCtx(name + "H", MODE_NUM,
+                                  local=ok.astype(np.int64), cat="int"),
+                name: VBCtx(name, MODE_TXT, local=kb[kperm],
+                            cat="qual", param=14)}
+        if (~ok).any():
+            exc = ragged.take(vals, np.nonzero(~ok)[0])
+            ctxs.update(tokenizer_seg_col(name + "X", exc,
+                                          single_stream=True))
+        return ctxs
+
+    def _t0_recon_bam(self, name, pctxs, seq_t):
+        ok = pctxs[name + "H"].nums().astype(bool)
+        pc = pctxs[name]
+        run_lens, runs_per_row = self._hp_run_structure(seq_t)
+        run_row = np.repeat(np.arange(len(seq_t)), runs_per_row)
+        keep = ok[run_row]
+        cond_bytes = np.zeros(run_lens.shape[0], np.uint8)
+        stored = pc.local[: int(keep.sum())]
+        if pc.param == 14:    # HP-context demux (see _t0_seg_bam)
+            from ..codecs.qual import _BASE5
+            first = np.concatenate([[0], np.cumsum(run_lens)])[:-1]
+            kkey = (np.minimum(run_lens, 7) * 5
+                    + _BASE5[seq_t.data[np.minimum(
+                        first, max(seq_t.data.shape[0] - 1, 0))]]
+                    )[keep].astype(np.int16)
+            kperm = np.argsort(kkey, kind="stable")
+            inv = np.empty_like(stored)
+            inv[kperm] = stored
+            stored = inv
+        cond_bytes[keep] = stored
+        rl = np.where(keep, run_lens, 0)
+        expanded = np.repeat(cond_bytes, rl)
+        row_lens = np.where(ok, seq_t.lens, 0)
+        okcol = Col(expanded, np.concatenate([[0], np.cumsum(row_lens)]))
+        sub = [(np.nonzero(ok)[0], ragged.take(okcol, np.nonzero(ok)[0]))]
+        if (~ok).any():
+            exc = tokenizer_recon_col(name + "X", pctxs, int((~ok).sum()))
+            sub.append((np.nonzero(~ok)[0], exc))
+        return ragged.merge_rows(ok.shape[0], sub)
+
     def _recon_aux_bam(self, pctxs, n, predict=None, l_seq=None,
-                       pos_v=None):
+                       pos_v=None, qual=None, seq_ascii=None):
         layout = pctxs["AUXL"].dict_take()
         ld = layout.data
         llen = layout.lens
@@ -394,7 +506,34 @@ class BamDT(SamDT):
                         m[:, b] = (uv >> (8 * b)) & 0xFF
                     col = Col.from_fixed(m)
                 elif ty in (ord("Z"), ord("H")):
-                    if (b0, b1, ty) == (ord("X"), ord("A"), ord("Z")) and \
+                    if qual is not None and name + "Q" in pctxs and \
+                            (b0, b1, ty) == (ord("O"), ord("Q"), ord("Z")):
+                        fit = pctxs[name + "Q"].nums().astype(bool)
+                        pred = ragged.take(qual, rows_t)
+                        fl = np.where(fit, pred.lens, 0)
+                        a = ragged.take(pred, np.nonzero(fit)[0])
+                        dd = pctxs[name].local
+                        if pctxs[name].param == 13:  # per-quality demux
+                            perm = np.argsort(a.data, kind="stable")
+                            inv = np.empty_like(dd)
+                            inv[perm] = dd
+                            dd = inv
+                        diff = Col(dd,
+                                   np.concatenate([[0], np.cumsum(fl)]))
+                        d = ragged.take(diff, np.nonzero(fit)[0])
+                        okcol = Col((a.data + 33 + d.data).astype(np.uint8),
+                                    a.offsets)
+                        sub = [(np.nonzero(fit)[0], okcol)]
+                        if (~fit).any():
+                            exc = tokenizer_recon_col(name + "X", pctxs,
+                                                      int((~fit).sum()))
+                            sub.append((np.nonzero(~fit)[0], exc))
+                        col = ragged.merge_rows(sel.shape[0], sub)
+                    elif seq_ascii is not None and name + "H" in pctxs and \
+                            (b0, b1, ty) == (ord("t"), ord("0"), ord("Z")):
+                        col = self._t0_recon_bam(
+                            name, pctxs, ragged.take(seq_ascii, rows_t))
+                    elif (b0, b1, ty) == (ord("X"), ord("A"), ord("Z")) and \
                             name + "F" in pctxs and pos_v is not None:
                         col = sam_tags.xa_recon(name, pctxs, pos_v, rows_t)
                     elif name + "K" in pctxs:
@@ -852,7 +991,8 @@ class BamDT(SamDT):
             ctxs["QUAL"] = self._seg_qual_core(
                 ragged.take(qual, qk), ragged.take(ascii_col, qk), flag[qk])
             self._seg_aux_bam(ctxs, aux, None, l_seq,
-                              pos_v=pos.astype(np.int64) + 1)
+                              pos_v=pos.astype(np.int64) + 1,
+                              qual=qual, seq_ascii=ascii_col)
             return VBSegResult(ctxs, n, {})
         if ref is not None and n:
             # SEQ-vs-reference through the inherited SAM walk: synthesize
@@ -886,7 +1026,8 @@ class BamDT(SamDT):
         qa, _ = self._seq_ascii(seq, l_seq)
         ctxs["QUAL"] = self._seg_qual_core(qual, qa, flag)
         self._seg_aux_bam(ctxs, aux, predict, l_seq,
-                          pos_v=pos.astype(np.int64) + 1)
+                          pos_v=pos.astype(np.int64) + 1,
+                          qual=qual, seq_ascii=qa)
         return VBSegResult(ctxs, n, {})
 
     def recon_vb(self, pctxs: dict, meta: dict) -> bytes:
@@ -993,6 +1134,8 @@ class BamDT(SamDT):
         if sag_idx is None:
             qa, _ = self._seq_ascii(seq, l_seq)
             qual = self.qual_col_core(pctxs, qa, l_seq, flag)
+        else:
+            qa = qa_all
         if "AUXL" in pctxs:
             predict = None
             if "SQBITMAP" in pctxs:
@@ -1002,7 +1145,8 @@ class BamDT(SamDT):
                     self._cigar_text(cigar, n_cig), ragged.itoa(pos + 1),
                     self._rname_text(refid), self.ref)
             aux = self._recon_aux_bam(pctxs, n, predict, l_seq,
-                                      pos_v=pos.astype(np.int64) + 1)
+                                      pos_v=pos.astype(np.int64) + 1,
+                                      qual=qual, seq_ascii=qa)
         else:
             aux = pctxs["AUX"].txt_col(pctxs["AUXLEN"].nums())
         aux_lens = aux.lens

@@ -1308,8 +1308,15 @@ class SamDT(DataType):
                                              cat="int")
                     a = ragged.take(vals, np.nonzero(fit)[0])
                     b = ragged.take(pred, np.nonzero(fit)[0])
+                    # per-quality channel demux (src/codec_oq.c:14-20, the
+                    # 94 per-quality contexts): group the delta bytes by
+                    # their QUAL byte — BQSR's recalibration table makes
+                    # OQ near-deterministic within a channel. Permutation
+                    # recomputed from the reconstructed QUAL at PIZ.
+                    perm = np.argsort(b.data, kind="stable")
                     ctxs[name] = VBCtx(name, MODE_TXT,
-                                       local=(a.data - b.data), cat="qual")
+                                       local=(a.data - b.data)[perm],
+                                       cat="qual", param=13)
                     if (~fit).any():
                         exc = ragged.take(vals, np.nonzero(~fit)[0])
                         ctxs.update(tokenizer_seg_col(name + "X", exc,
@@ -1354,9 +1361,20 @@ class SamDT(DataType):
                                                  local=expanded_ok.astype(np.int64),
                                                  cat="int")
                         keep_runs = expanded_ok[run_row]
+                        # HP-context demux (src/codec_t0.c role refined):
+                        # group condensed bytes by (run length, base) —
+                        # flow-signal T0 tracks the homopolymer context;
+                        # channel recomputed from reconstructed SEQ at PIZ
+                        from ..codecs.qual import _BASE5
+                        kb = cond_bytes[keep_runs]
+                        kkey = (np.minimum(run_lens, 7) * 5
+                                + _BASE5[seq_t.data[np.minimum(
+                                    first, max(seq_t.data.shape[0] - 1, 0))]]
+                                )[keep_runs].astype(np.int16)
+                        kperm = np.argsort(kkey, kind="stable")
                         ctxs[name] = VBCtx(name, MODE_TXT,
-                                           local=cond_bytes[keep_runs],
-                                           cat="qual")
+                                           local=kb[kperm],
+                                           cat="qual", param=14)
                         if (~expanded_ok).any():
                             exc = ragged.take(vals,
                                               np.nonzero(~expanded_ok)[0])
@@ -1481,6 +1499,12 @@ class SamDT(DataType):
                     diff = Col(pc.local,
                                np.concatenate([[0], np.cumsum(fl)]))
                     a = ragged.take(pred, np.nonzero(fit)[0])
+                    dd = pctxs[name].local
+                    if pctxs[name].param == 13:   # per-quality demux
+                        perm = np.argsort(a.data, kind="stable")
+                        inv = np.empty_like(dd)
+                        inv[perm] = dd
+                        diff = Col(inv, diff.offsets)
                     d = ragged.take(diff, np.nonzero(fit)[0])
                     okcol = Col((a.data + d.data).astype(np.uint8), a.offsets)
                     sub = [(np.nonzero(fit)[0], okcol)]
@@ -1499,7 +1523,21 @@ class SamDT(DataType):
                     run_row = np.repeat(np.arange(len(seq_t)), runs_per_row)
                     keep = ok[run_row]
                     cond_bytes = np.zeros(run_lens.shape[0], np.uint8)
-                    cond_bytes[keep] = pc.local[: int(keep.sum())]
+                    stored = pc.local[: int(keep.sum())]
+                    if pc.param == 14:    # HP-context demux
+                        from ..codecs.qual import _BASE5
+                        first = np.concatenate(
+                            [[0], np.cumsum(run_lens)])[:-1]
+                        kkey = (np.minimum(run_lens, 7) * 5
+                                + _BASE5[seq_t.data[np.minimum(
+                                    first,
+                                    max(seq_t.data.shape[0] - 1, 0))]]
+                                )[keep].astype(np.int16)
+                        kperm = np.argsort(kkey, kind="stable")
+                        inv = np.empty_like(stored)
+                        inv[kperm] = stored
+                        stored = inv
+                    cond_bytes[keep] = stored
                     rl = np.where(keep, run_lens, 0)
                     expanded = np.repeat(cond_bytes, rl)
                     row_lens = np.where(ok, seq_t.lens, 0)

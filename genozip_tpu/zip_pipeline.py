@@ -238,19 +238,24 @@ class ZipJob:
 
     def write_global_area(self, file_hdr):
         zw = self.zw
-        # per-context compressed-size accounting (reference src/stats.c ->
-        # SEC_STATS, readable via `gxls --stats`)
-        zw.write_section(fmt.SEC_STATS, fmt.json_payload(self.stats.per_ctx),
-                         codec=codecs.ZLIB)
         for name, g in self.gctxs.items():
             if len(g):
                 payload = g.dict_payload()
                 codec = codec_assign.assign_best(payload, "text")
+                at = zw.offset
                 zw.write_section(fmt.SEC_DICT, payload, codec=codec, dict_id=name)
+                # dict bytes count toward the owning context's stats row
+                # (reference stats.c attributes SEC_DICT per context)
+                self.stats.add_section(name, len(payload), zw.offset - at)
                 cnt = np.asarray(g.counts, dtype="<u8").tobytes()
                 zw.write_section(fmt.SEC_COUNTS, cnt,
                                  codec=codec_assign.assign_best(cnt, "int"),
                                  dict_id=name, ltype=fmt.LT_U64)
+        # per-context compressed-size accounting (reference src/stats.c ->
+        # SEC_STATS, readable via `gxls --stats`) — written after dicts so
+        # their sizes are included
+        zw.write_section(fmt.SEC_STATS, fmt.json_payload(self.stats.per_ctx),
+                         codec=codecs.ZLIB)
         if self.ra_index:
             zw.write_section(fmt.SEC_RANDOM_ACCESS,
                              fmt.json_payload(self.ra_index), codec=codecs.ZLIB)

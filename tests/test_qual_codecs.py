@@ -160,3 +160,81 @@ def test_sam_roundtrip_strand_normalized(tmp_path):
     zip_file(src, z)
     piz_file(z, src + ".out")
     assert open(src + ".out", "rb").read() == data
+
+
+def test_bam_oq_t0_tags(tmp_path):
+    """OQ:Z + t0:Z on the BINARY aux path (codec_oq.c / codec_t0.c roles
+    for BAM inputs): byte-exact round-trip, and the transformed contexts
+    must beat the tokenizer fallback >=2x on their own bytes."""
+    import gzip
+    import struct
+    from genozip_tpu.zip_pipeline import zip_file
+    from genozip_tpu.piz_pipeline import piz_file
+    NIBOF = {65: 1, 67: 2, 71: 4, 84: 8}
+
+    def rec(qname, pos, seq, qual_raw, aux):
+        packed = bytearray((len(seq) + 1) // 2)
+        for j, ch in enumerate(seq):
+            packed[j // 2] |= NIBOF[ch] << (4 if j % 2 == 0 else 0)
+        r = struct.pack("<iiBBHHHiiii", 0, pos, len(qname) + 1, 60, 4680,
+                        1, 0, len(seq), -1, -1, 0)
+        r += qname + b"\x00" + struct.pack("<I", (len(seq) << 4) | 0)
+        r += bytes(packed) + bytes(qual_raw) + aux
+        return struct.pack("<I", len(r)) + r
+
+    def synth(oq_tag, t0_tag):
+        hdr = b"@HD\tVN:1.6\n@SQ\tSN:c1\tLN:99999\n"
+        out = [b"BAM\x01", struct.pack("<i", len(hdr)), hdr,
+               struct.pack("<i", 1), struct.pack("<i", 3), b"c1\x00",
+               struct.pack("<i", 99999)]
+        # BQSR-style: OQ = original binned quals; QUAL = recalibration
+        # table of OQ (near-deterministic per channel — what codec_oq.c's
+        # 94 per-quality contexts exploit). Ultima-style t0: value is a
+        # function of the homopolymer (run length, base) context.
+        bins = np.array([2, 12, 23, 37], np.uint8)
+        recal = (np.arange(94) * 7 % 40 + 2).astype(np.uint8)
+        t0lut = ((np.arange(8 * 5) * 11) % 5 + ord("A")).astype(np.uint8)
+        for i in range(500):
+            L = 80
+            seq = np.asarray(RNG.choice(ACGT, L))
+            for _ in range(4):
+                p = int(RNG.integers(0, L - 8))
+                seq[p:p + int(RNG.integers(3, 7))] = seq[p]
+            oq_raw = bins[RNG.integers(0, 4, L)]
+            qual = recal[oq_raw].copy()
+            noisy = RNG.random(L) < 0.05
+            qual[noisy] = np.clip(qual[noisy] + 1, 0, 93)
+            oq = (oq_raw + 33).astype(np.uint8)
+            runs = np.ones(L, bool)
+            runs[1:] = seq[1:] != seq[:-1]
+            rid = np.cumsum(runs) - 1
+            rl = np.bincount(rid)
+            b5 = np.array([{65: 0, 67: 1, 71: 2, 84: 3}[c]
+                           for c in seq[np.concatenate([[0],
+                               np.nonzero(runs)[0][1:]])]])
+            t0r = t0lut[np.minimum(rl, 7) * 5 + b5]
+            flip = RNG.random(t0r.shape[0]) < 0.03
+            t0r[flip] = ((t0r[flip] - ord("A") + 1) % 5) + ord("A")
+            t0 = t0r[rid]
+            aux = (oq_tag + b"Z" + oq.tobytes() + b"\x00"
+                   + t0_tag + b"Z" + t0.tobytes() + b"\x00")
+            out.append(rec(b"q%04d" % i, 100 + i, seq.tobytes(), qual, aux))
+        return b"".join(out)
+
+    sizes = {}
+    for label, (oqt, t0t) in (("on", (b"OQ", b"t0")),
+                              ("off", (b"OX", b"tX"))):
+        raw = synth(oqt, t0t)
+        src = os.path.join(str(tmp_path), f"oq_{label}.bam")
+        with gzip.open(src, "wb") as f:
+            f.write(raw)
+        st = zip_file(src, src + ".gxz")
+        piz_file(src + ".gxz", src + ".out")
+        got = open(src + ".out", "rb").read()
+        if got[:2] == b"\x1f\x8b":
+            got = gzip.decompress(got)
+        assert got == raw
+        tag_z = sum(z for nm, (_u, z) in st.per_ctx.items()
+                    if nm.startswith(("AXOQ", "AXt0", "AXOX", "AXtX")))
+        sizes[label] = tag_z
+    assert sizes["on"] * 2 <= sizes["off"], sizes
