@@ -221,7 +221,8 @@ class BamDT(SamDT):
         return fr[keep], fs[keep], fv[keep], bad
 
     def _seg_aux_bam(self, ctxs, aux: Col, predict=None,
-                     l_seq=None, pos_v=None, qual=None, seq_ascii=None):
+                     l_seq=None, pos_v=None, qual=None, seq_ascii=None,
+                     solo_pred=None):
         """One context per binary aux tag; layout word = 3-byte TAG+type
         units per record (AUXL dict); typed value streams: fixed ints ->
         numeric (NM delta-vs-predicted, param=4), f -> raw f32, Z/H ->
@@ -344,6 +345,21 @@ class BamDT(SamDT):
                     if handled is not None:
                         ctxs.update(handled)
                         continue
+                if solo_pred is not None and bytes([b0, b1]) in \
+                        solo_pred and ty == ord("Z"):
+                    # SAG_BY_SOLO: barcode equals the primary's (store copy)
+                    pred = ragged.take(solo_pred[bytes([b0, b1])], rows_t)
+                    eq = (pred.lens > 0) & ragged.rows_equal(vals, pred)
+                    if eq.mean() > 0.5:
+                        ctxs[name + "G"] = VBCtx(
+                            name + "G", MODE_NUM, local=eq.astype(np.int64),
+                            cat="int")
+                        if (~eq).any():
+                            ctxs.update(tokenizer_seg_col(
+                                name + "X",
+                                ragged.take(vals, np.nonzero(~eq)[0]),
+                                single_stream=True))
+                        continue
                 if (b0, b1, ty) == (ord("X"), ord("A"), ord("Z")) and \
                         pos_v is not None:
                     # BWA XA:Z alt-hit list: per-alt sub-contexts with
@@ -461,7 +477,8 @@ class BamDT(SamDT):
         return ragged.merge_rows(ok.shape[0], sub)
 
     def _recon_aux_bam(self, pctxs, n, predict=None, l_seq=None,
-                       pos_v=None, qual=None, seq_ascii=None):
+                       pos_v=None, qual=None, seq_ascii=None,
+                       solo_pred=None):
         layout = pctxs["AUXL"].dict_take()
         ld = layout.data
         llen = layout.lens
@@ -533,6 +550,18 @@ class BamDT(SamDT):
                             (b0, b1, ty) == (ord("t"), ord("0"), ord("Z")):
                         col = self._t0_recon_bam(
                             name, pctxs, ragged.take(seq_ascii, rows_t))
+                    elif solo_pred is not None and bytes([b0, b1]) in \
+                            solo_pred and name + "G" in pctxs:
+                        eq = pctxs[name + "G"].nums().astype(bool)
+                        pred = ragged.take(solo_pred[bytes([b0, b1])],
+                                           rows_t)
+                        sub = [(np.nonzero(eq)[0],
+                                ragged.take(pred, np.nonzero(eq)[0]))]
+                        if (~eq).any():
+                            exc = tokenizer_recon_col(name + "X", pctxs,
+                                                      int((~eq).sum()))
+                            sub.append((np.nonzero(~eq)[0], exc))
+                        col = ragged.merge_rows(sel.shape[0], sub)
                     elif (b0, b1, ty) == (ord("X"), ord("A"), ord("Z")) and \
                             name + "F" in pctxs and pos_v is not None:
                         col = sam_tags.xa_recon(name, pctxs, pos_v, rows_t)
@@ -700,6 +729,9 @@ class BamDT(SamDT):
         self.segconf["aux_tags"] = sorted(tags)
         if "SA" in tags:
             self.segconf["sag_type"] = "SA"
+        elif self.segconf.get("has_depn") and \
+                tags & {"CB", "CR", "UB", "UR", "BX", "RX"}:
+            self.segconf["sag_type"] = "SOLO"   # sections.h:32 SAG_BY_SOLO
         elif "NH" in tags:
             self.segconf["sag_type"] = "NH"
         elif "CC" in tags:
@@ -992,7 +1024,8 @@ class BamDT(SamDT):
                 ragged.take(qual, qk), ragged.take(ascii_col, qk), flag[qk])
             self._seg_aux_bam(ctxs, aux, None, l_seq,
                               pos_v=pos.astype(np.int64) + 1,
-                              qual=qual, seq_ascii=ascii_col)
+                              qual=qual, seq_ascii=ascii_col,
+                              solo_pred=self._sag_solo_pred(sag_idx, n))
             return VBSegResult(ctxs, n, {})
         if ref is not None and n:
             # SEQ-vs-reference through the inherited SAM walk: synthesize
@@ -1146,7 +1179,9 @@ class BamDT(SamDT):
                     self._rname_text(refid), self.ref)
             aux = self._recon_aux_bam(pctxs, n, predict, l_seq,
                                       pos_v=pos.astype(np.int64) + 1,
-                                      qual=qual, seq_ascii=qa)
+                                      qual=qual, seq_ascii=qa,
+                                      solo_pred=self._sag_solo_pred(sag_idx,
+                                                                    n))
         else:
             aux = pctxs["AUX"].txt_col(pctxs["AUXLEN"].nums())
         aux_lens = aux.lens

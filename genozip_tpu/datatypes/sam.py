@@ -120,6 +120,11 @@ class SamDT(DataType):
         # sa_pred_seg), BY_NH/CC/FLAG fall back to SEQ/QUAL copy only.
         if "SA" in tags:
             self.segconf["sag_type"] = "SA"
+        elif self.segconf.get("has_depn") and \
+                tags & {"CB", "CR", "UB", "UR", "BX", "RX"}:
+            # SAG_BY_SOLO (sections.h:32, sam_sag_zip.c:877): STARsolo-class
+            # files — DEPN rows repeat the primary's barcode tags
+            self.segconf["sag_type"] = "SOLO"
         elif "NH" in tags:
             self.segconf["sag_type"] = "NH"
         elif "CC" in tags:
@@ -493,7 +498,8 @@ class SamDT(DataType):
                       sa_pred=sa_pred,
                       nh_pred=self._sag_nh_pred(sag_idx, len(qname)),
                       cc_pred=self._sag_cc_pred_col(sag_idx, len(qname)),
-                      cp_pred=self._sag_cp_pred(sag_idx, len(qname)))
+                      cp_pred=self._sag_cp_pred(sag_idx, len(qname)),
+                      solo_pred=self._sag_solo_pred(sag_idx, len(qname)))
 
         if bad_rows.shape[0]:
             uw, inv = dedup_col(ragged.take(lines, bad_rows))
@@ -1071,6 +1077,23 @@ class SamDT(DataType):
         entries = sag.sa_entries(sag_idx[hit])
         return ragged.merge_rows(n, [(hit, entries)])
 
+    def _sag_solo_pred(self, sag_idx, n):
+        """Per-tag predicted barcode values from the primary's store row
+        (SAG_BY_SOLO, sections.h:32 + sam_sag_zip.c:877 solo_data): DEPN
+        rows of a solo-class file repeat their primary's CB/CR/UB/UR/BX/RX
+        values — elide them by store copy."""
+        sag = getattr(self, "sag_store", None)
+        if sag_idx is None or sag is None or not getattr(sag, "solo", None):
+            return None
+        hit = np.nonzero(sag_idx >= 0)[0]
+        if hit.shape[0] == 0:
+            return None
+        out = {}
+        for tag, col in sag.solo.items():
+            out[tag] = ragged.merge_rows(
+                n, [(hit, ragged.take(col, sag_idx[hit]))])
+        return out
+
     def _sag_nh_pred(self, sag_idx, n):
         """Per-row NH:i prediction = the primary's NH (SAG_BY_NH role);
         0 where no hit or the store has no NH."""
@@ -1109,7 +1132,7 @@ class SamDT(DataType):
 
     def _seg_aux(self, ctxs, aux, predict=None, qual=None, seq=None,
                  cigar=None, mate=None, pos_v=None, sa_pred=None,
-                 nh_pred=None, cc_pred=None, cp_pred=None):
+                 nh_pred=None, cc_pred=None, cp_pred=None, solo_pred=None):
         """Per-tag AUX contexts (reference src/sam_fields.c: one context per
         aux tag keyed by DictId). Layout word per row = concatenated 4-byte
         'TG:t' prefixes (AUXL dict); per tag one value context AX<TG><t>.
@@ -1246,9 +1269,22 @@ class SamDT(DataType):
                 elif tag2 == b"XM" and seq is not None:
                     handled = sam_tags.seqlen_str_seg(name, vals, seq,
                                                       rows_t)
-                elif tag2 in sam_tags.QUAL_Z_TAGS:
+                elif solo_pred is not None and tag2 in solo_pred:
+                    # SAG_BY_SOLO: barcode equals the primary's (store copy)
+                    pred = ragged.take(solo_pred[tag2], rows_t)
+                    eq = (pred.lens > 0) & ragged.rows_equal(vals, pred)
+                    if eq.mean() > 0.5:
+                        handled = {name + "G": VBCtx(
+                            name + "G", MODE_NUM, local=eq.astype(np.int64),
+                            cat="int")}
+                        if (~eq).any():
+                            handled.update(tokenizer_seg_col(
+                                name + "X",
+                                ragged.take(vals, np.nonzero(~eq)[0]),
+                                single_stream=True))
+                if handled is None and tag2 in sam_tags.QUAL_Z_TAGS:
                     handled = sam_tags.qualstr_seg(name, vals)
-                elif tag2 in sam_tags.DICT_Z_TAGS:
+                elif handled is None and tag2 in sam_tags.DICT_Z_TAGS:
                     handled = sam_tags.dict_seg(name, vals)
                     if tag2 == b"CB":
                         cb_col = ragged.merge_rows(n, [(rows_t, vals)])
@@ -1405,7 +1441,8 @@ class SamDT(DataType):
 
     def _recon_aux(self, pctxs, n, predict=None, qual=None, seq=None,
                    cigar=None, mate=None, pos_v=None, sa_pred=None,
-                   nh_pred=None, cc_pred=None, cp_pred=None):
+                   nh_pred=None, cc_pred=None, cp_pred=None,
+                   solo_pred=None):
         """Rebuild the AUX remainder (leading-\\t convention) from AUXL
         layout + per-tag contexts."""
         layout = pctxs["AUXL"].dict_take()
@@ -1466,6 +1503,18 @@ class SamDT(DataType):
                     elif tag2 in sam_tags.QUAL_Z_TAGS and \
                             name + "L" in pctxs:
                         col_z = sam_tags.qualstr_recon(name, pctxs)
+                    if col_z is None and solo_pred is not None and \
+                            tag2 in solo_pred and name + "G" in pctxs:
+                        # SAG_BY_SOLO: primary's barcode, store copy
+                        eq = pctxs[name + "G"].nums().astype(bool)
+                        pred = ragged.take(solo_pred[tag2], rows_t)
+                        sub = [(np.nonzero(eq)[0],
+                                ragged.take(pred, np.nonzero(eq)[0]))]
+                        if (~eq).any():
+                            exc = tokenizer_recon_col(name + "X", pctxs,
+                                                      int((~eq).sum()))
+                            sub.append((np.nonzero(~eq)[0], exc))
+                        col_z = ragged.merge_rows(idx.shape[0], sub)
                     if col_z is not None:
                         parts.append((idx, col_z))
                         continue
@@ -1806,7 +1855,9 @@ class SamDT(DataType):
                                       nh_pred=self._sag_nh_pred(sag_idx, ng),
                                       cc_pred=self._sag_cc_pred_col(sag_idx,
                                                                     ng),
-                                      cp_pred=self._sag_cp_pred(sag_idx, ng))
+                                      cp_pred=self._sag_cp_pred(sag_idx, ng),
+                                      solo_pred=self._sag_solo_pred(sag_idx,
+                                                                    ng))
             else:
                 aux = tokenizer_recon_col("AUX", pctxs, ng)
             t = b"\t"

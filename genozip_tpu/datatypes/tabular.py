@@ -59,6 +59,14 @@ class TabularDT(DataType):
     EXTRA_KIND = "tok"           # kind for columns beyond FIELDS
     COMMENT_PREFIXES = (b"#",)   # rows starting with these -> exception rows
 
+    # per-column seg/recon, overridable for datatype-special columns
+    # (e.g. GFF attributes, src/gff.c:161-250)
+    def seg_field(self, name, kind, col):
+        return _seg_one(name, kind, col)
+
+    def recon_field(self, name, kind, pctxs, n):
+        return _recon_one(name, kind, pctxs, n)
+
     def _field_plan(self, nf: int):
         plan = list(self.FIELDS[:nf])
         for i in range(len(plan), nf):
@@ -94,7 +102,7 @@ class TabularDT(DataType):
             glines = ragged.take(lines, good_idx)
             fields = ragged.split_fields_fixed(glines, ord("\t"), nf)
             for (name, kind), col in zip(plan, fields):
-                ctxs.update(_seg_one(name, kind, col))
+                ctxs.update(self.seg_field(name, kind, col))
         if exc_idx.shape[0]:
             uw, inv = dedup_col(ragged.take(lines, exc_idx))
             ctxs["EXC"] = VBCtx("EXC", MODE_DICT, b250=inv, vb_words=uw, cat="text")
@@ -112,7 +120,8 @@ class TabularDT(DataType):
         ng = good_idx.shape[0]
         plan = self._field_plan(nf)
         if ng:
-            cols = [_recon_one(name, kind, pctxs, ng) for name, kind in plan]
+            cols = [self.recon_field(name, kind, pctxs, ng)
+                    for name, kind in plan]
             seps = [b"\t"] * (nf - 1) + [None]
             glines = ragged.interleave(cols, sep_after=seps)
         else:

@@ -88,7 +88,12 @@ _IDX = struct.Struct("<BxxxIi16sQ")
 def norm_dict_id(dict_id) -> bytes:
     if isinstance(dict_id, str):
         dict_id = dict_id.encode()
-    return (dict_id or b"")[:16].ljust(16, b"\0")
+    dict_id = dict_id or b""
+    # a silent truncation would alias two contexts' sections (e.g. "X" and
+    # "XS" colliding at 16 bytes) — that corrupts archives quietly, so the
+    # writer refuses; seg code must generate names that fit
+    assert len(dict_id) <= 16, f"context name too long for dict_id: {dict_id!r}"
+    return dict_id.ljust(16, b"\0")
 
 
 class SectionEnt:

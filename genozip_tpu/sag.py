@@ -158,16 +158,21 @@ _BAUX_INT_TYPES = {ord("c"): np.int8, ord("C"): np.uint8,
                    ord("i"): np.int32, ord("I"): np.uint32}
 
 
+SOLO_TAGS = (b"CB", b"CR", b"UB", b"UR", b"BX", b"RX")
+
+
 def _bam_aux_tags(bd, aux: Col):
-    """NM:i / NH:i ints (-1 where absent) + SA:Z text column from binary
-    BAM aux data (one vectorized field walk — datatypes/bam.py's)."""
+    """NM:i / NH:i ints (-1 where absent) + SA:Z text + SOLO barcode tag
+    columns from binary BAM aux data (one vectorized field walk —
+    datatypes/bam.py's)."""
     n = len(aux)
     nm = np.full(n, -1, np.int64)
     nh = np.full(n, -1, np.int64)
     sa = Col(np.zeros(0, np.uint8), np.zeros(n + 1, np.int64))
+    solo = {}
     fr, fs, fv, _bad = bd._walk_aux(aux)
     if fr.shape[0] == 0:
-        return nm, nh, sa
+        return nm, nh, sa, solo
     data = aux.data
     tag2 = (data[fs].astype(np.uint32) << 8) | data[fs + 1].astype(np.uint32)
     ty = data[fs + 2]
@@ -183,15 +188,24 @@ def _bam_aux_tags(bd, aux: Col):
                 v |= data[fs[sel] + 3 + b].astype(np.int64) << (8 * b)
             out[fr[sel]] = v.astype(np.int64) if dt_().dtype.kind == "u" \
                 else v.astype(dt_).astype(np.int64)
-    sel = np.nonzero((tag2 == (ord("S") << 8 | ord("A"))) &
-                     (ty == ord("Z")))[0]
-    if sel.shape[0]:
-        vals = ragged.gather_ranges(data, fs[sel] + 3,
-                                    np.maximum(fv[sel] - 1, 0))  # sans NUL
+    def _ztag(t2):
+        s = np.nonzero((tag2 == t2) & (ty == ord("Z")))[0]
+        if s.shape[0] == 0:
+            return None
+        v = ragged.gather_ranges(data, fs[s] + 3,
+                                 np.maximum(fv[s] - 1, 0))  # sans NUL
         lens = np.zeros(n, np.int64)
-        lens[fr[sel]] = vals.lens
-        sa = Col(vals.data, np.concatenate([[0], np.cumsum(lens)]))
-    return nm, nh, sa
+        lens[fr[s]] = v.lens
+        return Col(v.data, np.concatenate([[0], np.cumsum(lens)]))
+
+    c = _ztag(ord("S") << 8 | ord("A"))
+    if c is not None:
+        sa = c
+    for tag in SOLO_TAGS:
+        c = _ztag(tag[0] << 8 | tag[1])
+        if c is not None:
+            solo[tag] = c
+    return nm, nh, sa, solo
 
 
 def _sam_lines(data: np.ndarray):
@@ -244,6 +258,10 @@ class SagStore:
         else:
             self.qual_packed, self.qual_pal, self.qual_width = \
                 qual.data, None, 8
+        # SAG_BY_SOLO (sections.h:32, sam_sag_zip.c:877 solo_data):
+        # barcode-family tag values of each primary, so DEPN rows elide
+        # them by store copy. Filled by from_text/from_bam.
+        self.solo = {}
         # SA-first-entry prediction columns (filled by _parse_sa_first)
         n0 = len(qname)
         self.sa1_valid = np.zeros(n0, bool)
@@ -272,6 +290,10 @@ class SagStore:
         # share the primary's NH:i — keep it for DEPN prediction
         store.nh = tag_int(aux, b"NH:i:")
         store._parse_sa_first(tag_str(aux, b"SA:Z:"))
+        for tag in SOLO_TAGS:
+            c = tag_str(aux, tag + b":Z:")
+            if c.data.shape[0]:
+                store.solo[tag] = c
         return store
 
     @classmethod
@@ -308,12 +330,13 @@ class SagStore:
         qual = ragged.gather_ranges(data, qual_start, l_seq)
         aux = ragged.gather_ranges(data, aux_start, rec_end - aux_start)
         seq_ascii, _nibok = bd._seq_ascii(seq_nib, l_seq)
-        nm, nh, sa = _bam_aux_tags(bd, aux)
+        nm, nh, sa, solo = _bam_aux_tags(bd, aux)
         store = cls(name, flag, seq_ascii, qual,
                     rname=bd._rname_text(refid), pos=pos0 + 1, mapq=mapq,
                     cigar=bd._cigar_text(cigar_bin, n_cig), nm=nm)
         store.nh = nh
         store._parse_sa_first(sa)
+        store.solo = solo
         return store
 
     def _parse_sa_first(self, sa: Col):

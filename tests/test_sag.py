@@ -400,3 +400,53 @@ def test_sag_by_cc_prediction(tmp_path):
     zip_file(src, z, vb_size=256 * 1024)
     piz_file(z, src + ".out")
     assert open(src + ".out", "rb").read() == data
+
+
+def test_sag_by_solo_roundtrip(tmp_path):
+    """SAG_BY_SOLO (sections.h:32 + sam_sag_zip.c:877): STARsolo-class
+    files — secondary records repeat the primary's CB/UB barcodes; DEPN
+    rows elide them by store copy behind a bitmap."""
+    import os
+    import numpy as np
+    from genozip_tpu.zip_pipeline import zip_file
+    from genozip_tpu.piz_pipeline import piz_file
+    from genozip_tpu.piz_pipeline import PizReader
+    from genozip_tpu.datatypes import get
+    rng = np.random.default_rng(23)
+    acgt = np.frombuffer(b"ACGT", np.uint8)
+    rows = [b"@HD\tVN:1.6\tSO:coordinate\n@SQ\tSN:c1\tLN:500000\n"]
+    p = 100
+    for i in range(900):
+        p += int(rng.integers(1, 80))
+        s = rng.choice(acgt, 60).tobytes()
+        q = (rng.integers(20, 40, 60) + 33).astype(np.uint8).tobytes()
+        cb = bytes(rng.choice(acgt, 16)) + b"-1"
+        ub = bytes(rng.choice(acgt, 12))
+        base = b"NH:i:2\tCB:Z:%s\tUB:Z:%s" % (cb, ub)
+        rows.append(b"v%d\t0\tc1\t%d\t255\t60M\t*\t0\t0\t%s\t%s\t%s\n"
+                    % (i, p, s, q, base))
+        if i % 3 == 0:   # secondary at another locus, same barcodes
+            p2 = int(rng.integers(1, 400000))
+            rows.append(b"v%d\t256\tc1\t%d\t0\t60M\t*\t0\t0\t*\t*\t%s\n"
+                        % (i, p2, base))
+    # unsorted secondaries: sort by pos like STARsolo coordinate output
+    data = b"".join(rows)
+    src = os.path.join(str(tmp_path), "solo.sam")
+    open(src, "wb").write(data)
+    # segconf detects the flavor
+    dt = get("sam")()
+    dt.segconf_scan(np.frombuffer(data[:65536], np.uint8))
+    assert dt.segconf.get("sag_type") == "SOLO"
+    z = src + ".gxz"
+    zip_file(src, z)
+    piz_file(z, src + ".out")
+    assert open(src + ".out", "rb").read() == data
+    # the barcode elision engaged on the DEPN component
+    pr = PizReader(z)
+    assert (pr.file_hdr.get("gencomp") or {}).get("depn_vbs", 0) >= 1
+    pr.ensure_gencomp()
+    _o, pctxs = pr.recon_loaded_vb(pr.load_vb(1, 2), 1, 2, want_pctxs=True)
+    gnames = [nm for nm in pctxs if nm.endswith("G") and nm.startswith("AX")]
+    assert gnames, list(pctxs)
+    for nm in gnames:
+        assert pctxs[nm].nums().mean() > 0.9, nm
