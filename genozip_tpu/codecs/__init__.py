@@ -163,12 +163,14 @@ def compress_many_rans(payloads, order: int):
         outs = []
         srt = sorted(range(len(payloads)), key=lambda i: -len(payloads[i]))
         res = [None] * len(payloads)
-        # R=8: 482 MB/s agg on v5e; R=16 reaches 621 but its ~10min
-        # first-compile is not worth it for the encode side
-        for j in range(0, len(srt), 8):
-            chunk = srt[j:j + 8]
+        # v7 kernel (two-level tables + MXU word scatter): R=16 866 MB/s,
+        # R=24 1192 MB/s aggregate kernel-only on v5e — deep batches pick
+        # up the wide shape, shallow ones keep the cheaper compile
+        for j in range(0, len(srt), 24):
+            chunk = srt[j:j + 24]
+            R = 24 if len(chunk) > 16 else (16 if len(chunk) > 8 else 8)
             enc = rans_pallas.encode_many_v6(
-                [payloads[i] for i in chunk], n_lanes=1024, S=8, R=8)
+                [payloads[i] for i in chunk], n_lanes=1024, S=8, R=R)
             for i, e in zip(chunk, enc):
                 res[i] = e
         return res

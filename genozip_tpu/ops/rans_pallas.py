@@ -1,5 +1,19 @@
 """Pallas TPU kernels for wide-interleaved rANS (order-0): decode + encode.
 
+STATUS round 5 (kernel-only, measured on TPU v5e):
+  ENCODE v7 (two-level 16x16 table lookup + one-hot MXU word scatter,
+      inside encode_many_v6 / encode_many_o1_v6):
+      o0: R=24 N=1024 S=8: 1192 MB/s aggregate (R=16: 866) — the
+      ">=1 GB/s order-0 encode" bar, bit-exact vs rans_np on hardware
+      (was 482 with the v6 per-row select/reduce scatter).
+      o1: R=16 AP=16: 729 MB/s aggregate (was 606).
+      The v6 encode bottleneck was the (LR+1)-iteration banded scatter
+      ((128,N) select + reduce per band per stream); v7 replaces it with
+      contrib(BLK,128) = row-onehot(BLK,N) @ (col-onehot*word)(128,N)
+      contracted over lanes — positions are unique so each output element
+      is a single exact bf16-limb term — and the (256,N) symbol one-hot
+      with a shared hi/lo nibble one-hot pair + per-stream (32,16) _dot16.
+
 STATUS round 2 (kernel-only, measured on TPU v5e):
   v6 (decode_many_v6, R-STREAM STACKED state + 2-limb bf16 matmuls):
       R=16 N=1024 S=8: 1157 MB/s aggregate — the ">=1 GB/s order-0
@@ -1617,13 +1631,21 @@ def decode_many_o1_device_v6(meta, words, ftabs, ctabs, x0s, N: int, S: int,
 
 def _encode_many_kernel_v6(meta_ref, syms_ref, tabs_ref, out_ref, sts_ref,
                            x_ref, *, N: int, S: int, R: int):
-    """Stacked R-stream order-0 encode (v6 design, see decode v6): all
-    streams padded to a shared G*S step count, processed in DESCENDING t
-    (the grid index_map reverses blocks); per-stream (1,N) work — symbol
-    one-hot + _dot16 (f,c) gather and the banded word scatter — loops over
-    R, everything else ((R,N) divmod/emit/state and the rank roll-scan)
-    runs fully batched. Output block per program: 8 header rows (per-
-    stream word count at column r*128) + S*LR word rows per stream."""
+    """Stacked R-stream order-0 encode (v7 internals): all streams padded
+    to a shared G*S step count, processed in DESCENDING t (the grid
+    index_map reverses blocks). v7 over the first stacked version:
+      - (f, c) lookup is TWO-LEVEL 16x16: one shared (16, R*N) hi/lo
+        nibble one-hot pair + per-stream (16,16)@(16,N) _dot16 and a
+        16-row select — ~4x fewer VPU compare ops than the per-stream
+        (256, N) one-hot;
+      - the word scatter is ONE one-hot matmul per stream:
+        contrib(BLK,128) = row-onehot(BLK,N) @ (col-onehot*word)(128,N)
+        contracted over lanes (positions are unique, so every output
+        element has a single exact bf16-limb term) — replacing the
+        (LR+1)-iteration per-row select/reduce loop (the v6 encode
+        bottleneck); accumulation is static, the MXU eats the cost.
+    Output block per program: 8 header rows (per-stream word count at
+    column r*128) + S*LR word rows per stream."""
     g = pl.program_id(0)
 
     @pl.when(g == 0)
@@ -1639,24 +1661,29 @@ def _encode_many_kernel_v6(meta_ref, syms_ref, tabs_ref, out_ref, sts_ref,
     lane_len = jnp.concatenate(
         [jnp.clip(meta_ref[0, r] - lane1 * meta_ref[1, r], 0,
                   meta_ref[1, r]) for r in range(R)], axis=0)     # (R, N)
-    iota256T = jax.lax.broadcasted_iota(jnp.int32, (256, 1), 0)
+    iota16 = jax.lax.broadcasted_iota(jnp.int32, (16, 1), 0)
     sub128 = jax.lax.broadcasted_iota(jnp.int32, (LANE_COLS, 1), 0)
-    blkrow_iota = jax.lax.broadcasted_iota(jnp.int32, (1, BLK), 1)
-    fcTs = [tabs_ref[8 * r:8 * r + 8, :] for r in range(R)]
 
     q = jnp.full((R, 1), BLK * LANE_COLS, dtype=jnp.int32)
-    outTs = [jnp.zeros((LANE_COLS, BLK), jnp.int32) for _ in range(R)]
+    outTs = [jnp.zeros((BLK, LANE_COLS), jnp.int32) for _ in range(R)]
+    blk_iota = jax.lax.broadcasted_iota(jnp.int32, (BLK, 1), 0)
+    dn = (((1,), (1,)), ((), ()))     # contract over lanes, no batch dims
     for s in range(S):
         t = thi + (S - 1 - s)
         act = t < lane_len                                        # (R, N)
+        sym_all = syms_ref[S - 1 - s: S - s, :].astype(jnp.int32)  # (1, R*N)
+        hi1 = (iota16 == (sym_all >> 4)).astype(jnp.float32)      # (16, R*N)
+        lo1 = (iota16 == (sym_all & 15)).astype(jnp.float32)
         f_rows, c_rows = [], []
         for r in range(R):
-            sym = syms_ref[S - 1 - s: S - s,
-                           r * N:(r + 1) * N].astype(jnp.int32)
-            inm = (iota256T == sym).astype(jnp.float32)           # (256, N)
-            fc = _dot16(fcTs[r], inm)                             # (8, N)
-            f_rows.append(fc[0:1, :])
-            c_rows.append(fc[1:2, :])
+            # one fused (32,16)@(16,N) _dot16: rows 0-15 = freq, 16-31 = cum
+            Afc = tabs_ref[32 * r:32 * r + 32, :]
+            lo1r = lo1[:, r * N:(r + 1) * N]
+            hir = hi1[:, r * N:(r + 1) * N]
+            B = _dot16(Afc, lo1r)                                 # (32, N)
+            f_rows.append(jnp.sum(hir * B[0:16, :], axis=0, keepdims=True))
+            c_rows.append(jnp.sum(hir * B[16:32, :], axis=0,
+                                  keepdims=True))
         f_row = jnp.concatenate(f_rows, axis=0).astype(jnp.int32)
         c_row = jnp.concatenate(c_rows, axis=0).astype(jnp.int32)
         f_row = jnp.where(act, f_row, 1)
@@ -1678,17 +1705,22 @@ def _encode_many_kernel_v6(meta_ref, syms_ref, tabs_ref, out_ref, sts_ref,
         pos = q - total + rk - 1
         r0 = pos // LANE_COLS
         c0 = pos - r0 * LANE_COLS
-        rbase = (q - total) // LANE_COLS
+        word_hi = (word >> 8).astype(jnp.float32)
+        word_lo = (word & 255).astype(jnp.float32)
         for r in range(R):
-            for j in range(LR + 1):
-                sel_j = emit[r:r + 1, :] & (r0[r:r + 1, :]
-                                            == rbase[r, 0] + j)
-                selc = (sub128 == jnp.where(sel_j, c0[r:r + 1, :], -1)) \
-                    .astype(jnp.int32)
-                wcol = jnp.sum(selc * word[r:r + 1, :], axis=1,
-                               keepdims=True)
-                onrow = (blkrow_iota == rbase[r, 0] + j).astype(jnp.int32)
-                outTs[r] = outTs[r] + onrow * wcol
+            rowoh = (blk_iota == jnp.where(emit[r:r + 1, :],
+                                           r0[r:r + 1, :], -1)) \
+                .astype(jnp.bfloat16)                             # (BLK, N)
+            csel = (sub128 == jnp.where(emit[r:r + 1, :], c0[r:r + 1, :],
+                                        -1)).astype(jnp.float32)  # (128, N)
+            # one fused dot over both limbs: rows 0-127 hi, 128-255 lo
+            cw2 = jnp.concatenate([csel * word_hi[r:r + 1, :],
+                                   csel * word_lo[r:r + 1, :]],
+                                  axis=0).astype(jnp.bfloat16)    # (256, N)
+            t2 = jax.lax.dot_general(rowoh, cw2, dn,
+                                     preferred_element_type=jnp.float32)
+            outTs[r] = outTs[r] + (t2[:, 0:LANE_COLS] * 256.0
+                                   + t2[:, LANE_COLS:]).astype(jnp.int32)
         q = q - total
 
         hi12 = (x >> 24).astype(jnp.int32)
@@ -1723,8 +1755,7 @@ def _encode_many_kernel_v6(meta_ref, syms_ref, tabs_ref, out_ref, sts_ref,
         cnt = BLK * LANE_COLS - q[r, 0]
         out_ref[0:8, r * LANE_COLS:(r + 1) * LANE_COLS] = \
             jnp.where((hr == 0) & (hc == 0), cnt, 0)
-        out_ref[8:, r * LANE_COLS:(r + 1) * LANE_COLS] = \
-            jnp.transpose(outTs[r])
+        out_ref[8:, r * LANE_COLS:(r + 1) * LANE_COLS] = outTs[r]
         sts_ref[0:8, r * N:(r + 1) * N] = jnp.broadcast_to(
             x_ref[r:r + 1, :].astype(jnp.int32), (8, N))
 
@@ -1733,7 +1764,9 @@ def _encode_many_kernel_v6(meta_ref, syms_ref, tabs_ref, out_ref, sts_ref,
 def encode_many_device_v6(meta, syms, tabs, N: int, S: int, R: int, G: int,
                           interpret: bool = False):
     """meta (2, R) i32 [n, K]; syms (G*S, R*N) u8 (step-major, padded);
-    tabs (R*8, 256) f32 rows 0/1 = freq/cum. Outputs: blocks
+    tabs (R*32, 16) f32 — per stream a (16,16) freq block stacked over a
+    (16,16) cum block (two-level layout, A[h,l] = table[16h+l]). Outputs:
+    blocks
     (G*(S*LR+8), R*128) i32 and final states (8, R*N) i32."""
     LR = N // LANE_COLS
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -1788,14 +1821,15 @@ def _encode_many_kernel_o1v6(meta_ref, syms_ref, ctxs_ref, ftabs_ref,
                   meta_ref[1, r]) for r in range(R)], axis=0)
     iotaApT = jax.lax.broadcasted_iota(jnp.int32, (AP, 1), 0)
     sub128 = jax.lax.broadcasted_iota(jnp.int32, (LANE_COLS, 1), 0)
-    blkrow_iota = jax.lax.broadcasted_iota(jnp.int32, (1, BLK), 1)
+    blk_iota = jax.lax.broadcasted_iota(jnp.int32, (BLK, 1), 0)
+    dn = (((1,), (1,)), ((), ()))     # contract over lanes
     ftabTs = [jnp.transpose(ftabs_ref[AP * r:AP * (r + 1), :])
               for r in range(R)]
     ctabTs = [jnp.transpose(ctabs_ref[AP * r:AP * (r + 1), :])
               for r in range(R)]
 
     q = jnp.full((R, 1), BLK * LANE_COLS, dtype=jnp.int32)
-    outTs = [jnp.zeros((LANE_COLS, BLK), jnp.int32) for _ in range(R)]
+    outTs = [jnp.zeros((BLK, LANE_COLS), jnp.int32) for _ in range(R)]
     for s in range(S):
         t = thi + (S - 1 - s)
         act = t < lane_len
@@ -1832,17 +1866,22 @@ def _encode_many_kernel_o1v6(meta_ref, syms_ref, ctxs_ref, ftabs_ref,
         pos = q - total + rk - 1
         r0 = pos // LANE_COLS
         c0 = pos - r0 * LANE_COLS
-        rbase = (q - total) // LANE_COLS
         for r in range(R):
-            for j in range(LR + 1):
-                sel_j = emit[r:r + 1, :] & (r0[r:r + 1, :]
-                                            == rbase[r, 0] + j)
-                selc = (sub128 == jnp.where(sel_j, c0[r:r + 1, :], -1)) \
-                    .astype(jnp.int32)
-                wcol = jnp.sum(selc * word[r:r + 1, :], axis=1,
-                               keepdims=True)
-                onrow = (blkrow_iota == rbase[r, 0] + j).astype(jnp.int32)
-                outTs[r] = outTs[r] + onrow * wcol
+            # one-hot matmul scatter (see the order-0 v7 notes): positions
+            # are unique, each output element has one exact bf16-limb term
+            rowoh = (blk_iota == jnp.where(emit[r:r + 1, :],
+                                           r0[r:r + 1, :], -1)) \
+                .astype(jnp.bfloat16)                             # (BLK, N)
+            cw = (sub128 == jnp.where(emit[r:r + 1, :], c0[r:r + 1, :],
+                                      -1)).astype(jnp.float32) \
+                * word[r:r + 1, :].astype(jnp.float32)            # (128, N)
+            cw_hi = jnp.floor(cw * (1.0 / 256.0))
+            cw_lo = cw - cw_hi * 256.0
+            th = jax.lax.dot_general(rowoh, cw_hi.astype(jnp.bfloat16), dn,
+                                     preferred_element_type=jnp.float32)
+            tl = jax.lax.dot_general(rowoh, cw_lo.astype(jnp.bfloat16), dn,
+                                     preferred_element_type=jnp.float32)
+            outTs[r] = outTs[r] + (th * 256.0 + tl).astype(jnp.int32)
         q = q - total
 
         hi12 = (x >> 24).astype(jnp.int32)
@@ -1877,8 +1916,7 @@ def _encode_many_kernel_o1v6(meta_ref, syms_ref, ctxs_ref, ftabs_ref,
         cnt = BLK * LANE_COLS - q[r, 0]
         out_ref[0:8, r * LANE_COLS:(r + 1) * LANE_COLS] = \
             jnp.where((hr == 0) & (hc == 0), cnt, 0)
-        out_ref[8:, r * LANE_COLS:(r + 1) * LANE_COLS] = \
-            jnp.transpose(outTs[r])
+        out_ref[8:, r * LANE_COLS:(r + 1) * LANE_COLS] = outTs[r]
         sts_ref[0:8, r * N:(r + 1) * N] = jnp.broadcast_to(
             x_ref[r:r + 1, :].astype(jnp.int32), (8, N))
 
@@ -2045,10 +2083,12 @@ def encode_many_v6(datas, n_lanes: int = 1024, S: int = 8, R: int = 8,
         n = a.shape[0]
         freq = rans_np.normalize_freqs(np.bincount(a, minlength=256))
         cum = np.concatenate([[0], np.cumsum(freq)[:-1]]).astype(np.uint32)
-        t8 = np.zeros((8, 256), np.float32)
-        t8[0] = freq.astype(np.float32)
-        t8[1] = cum.astype(np.float32)
-        tabs.append(t8)
+        # two-level 16x16 layout: A[h, l] = table[h*16 + l]; freq block
+        # stacked over cum block so the kernel slices one (32, 16) run
+        t2 = np.zeros((32, 16), np.float32)
+        t2[0:16] = freq.astype(np.float32).reshape(16, 16)
+        t2[16:32] = cum.astype(np.float32).reshape(16, 16)
+        tabs.append(t2)
         heads.append(bytes([int(np.log2(N)), 0])
                      + int(n).to_bytes(4, "little")
                      + rans_np._freqs_serialize(freq))
@@ -2066,7 +2106,7 @@ def encode_many_v6(datas, n_lanes: int = 1024, S: int = 8, R: int = 8,
             padded[:n] = a
             syms[:K, r * N:(r + 1) * N] = padded.reshape(N, K).T
     while len(tabs) < R:
-        tabs.append(np.zeros((8, 256), np.float32))
+        tabs.append(np.zeros((32, 16), np.float32))
         metas.append((0, 0))
     import time as _time
     _dargs = (jnp.asarray(np.asarray(metas, np.int32).T.copy()),
@@ -2472,10 +2512,12 @@ def encode_many(datas, n_lanes: int = 1024, S: int = 8,
         n = a.shape[0]
         freq = rans_np.normalize_freqs(np.bincount(a, minlength=256))
         cum = np.concatenate([[0], np.cumsum(freq)[:-1]]).astype(np.uint32)
-        t8 = np.zeros((8, 256), np.float32)
-        t8[0] = freq.astype(np.float32)
-        t8[1] = cum.astype(np.float32)
-        tabs.append(t8)
+        # two-level 16x16 layout: A[h, l] = table[h*16 + l]; freq block
+        # stacked over cum block so the kernel slices one (32, 16) run
+        t2 = np.zeros((32, 16), np.float32)
+        t2[0:16] = freq.astype(np.float32).reshape(16, 16)
+        t2[16:32] = cum.astype(np.float32).reshape(16, 16)
+        tabs.append(t2)
         heads.append(bytes([int(np.log2(N)), 0]) + int(n).to_bytes(4, "little")
                      + rans_np._freqs_serialize(freq))
         K, _ = rans_np.lane_layout(n, N)
