@@ -2512,12 +2512,10 @@ def encode_many(datas, n_lanes: int = 1024, S: int = 8,
         n = a.shape[0]
         freq = rans_np.normalize_freqs(np.bincount(a, minlength=256))
         cum = np.concatenate([[0], np.cumsum(freq)[:-1]]).astype(np.uint32)
-        # two-level 16x16 layout: A[h, l] = table[h*16 + l]; freq block
-        # stacked over cum block so the kernel slices one (32, 16) run
-        t2 = np.zeros((32, 16), np.float32)
-        t2[0:16] = freq.astype(np.float32).reshape(16, 16)
-        t2[16:32] = cum.astype(np.float32).reshape(16, 16)
-        tabs.append(t2)
+        t8 = np.zeros((8, 256), np.float32)
+        t8[0] = freq.astype(np.float32)
+        t8[1] = cum.astype(np.float32)
+        tabs.append(t8)
         heads.append(bytes([int(np.log2(N)), 0]) + int(n).to_bytes(4, "little")
                      + rans_np._freqs_serialize(freq))
         K, _ = rans_np.lane_layout(n, N)

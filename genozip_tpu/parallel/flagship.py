@@ -11,7 +11,8 @@ TPU-native analog of the reference's mutex-guarded global context merge
 Mesh axes: 'dp' = data-parallel over reads (VB rows), 'sp' = sequence-parallel
 over read positions. Every (dp, sp) block encodes its own set of rANS lanes —
 lanes are fully independent, so the only cross-device traffic is the psum'd
-histogram and the all-gathered compressed sizes (ICI-friendly).
+histogram (ICI-friendly); per-shard compressed sizes return sharded and the
+host sums them.
 """
 
 from functools import partial
@@ -102,24 +103,25 @@ def make_mesh(n_devices: int | None = None, devices=None):
 def make_sharded_step(mesh: Mesh):
     """Full multi-chip VB encode step: histogram psum (collective stats/dict
     merge) -> device-side freq normalization -> per-shard rANS lanes ->
-    all-gathered compressed sizes."""
+    sharded per-shard sizes (host-summed)."""
 
     def local_step(seq_codes, qual):
         q = qual.reshape(-1).astype(jnp.uint32)
         hist_local = jnp.zeros(256, jnp.int32).at[q].add(1)
+        # the ONE cross-device sync of the step: the collective dict/stats
+        # merge (context.c:938 analog). Per-shard sizes return sharded —
+        # the host sums them, so no second collective serializes the tail.
         hist = jax.lax.psum(hist_local, ("dp", "sp"))
         freq, cum = normalize_freqs_jnp(hist)
         packed = pack_seq_2bit(seq_codes.reshape(-1))
         x, w, e, nb = rans_encode_block(q, freq, cum)
-        sizes = jax.lax.all_gather(nb, "dp", axis=0)
-        total = jnp.sum(jax.lax.psum(nb, ("dp", "sp")))
-        return packed, x, w, e, sizes, total
+        return packed, x, w, e, nb.reshape(1)
 
     return jax.jit(shard_map(
         local_step, mesh=mesh,
         in_specs=(P("dp", "sp"), P("dp", "sp")),
         out_specs=(P(("dp", "sp")), P(("dp", "sp")), P(None, ("dp", "sp")),
-                   P(None, ("dp", "sp")), P("sp"), P()),
+                   P(None, ("dp", "sp")), P(("dp", "sp"))),
         check_rep=False,
     ))
 

@@ -27,7 +27,7 @@ def test_sharded_encode_step():
     xq = jax.device_put(jnp.asarray(qual), NamedSharding(mesh, P("dp", "sp")))
     out = step(xs, xq)
     jax.block_until_ready(out)
-    assert int(out[-1]) > 0
+    assert int(jnp.sum(out[-1])) > 0   # per-shard sizes, host-summed
 
 
 def test_sharded_aligner_matches_host():
