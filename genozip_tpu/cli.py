@@ -48,6 +48,10 @@ def build_parser():
                    help="VBs data-parallel over N devices: section payloads "
                         "encoded by one dp-sharded kernel; archive bytes "
                         "identical to the single-host path")
+    z.add_argument("--hosts", type=int, default=None,
+                   help="multi-host ZIP: N jax.distributed processes seg "
+                        "VB stripes in parallel (dict-merge collective over "
+                        "DCN); archive bytes identical to single-process")
 
     z.add_argument("--make-reference", action="store_true",
                    help="compress a FASTA into a .ref.gxz reference")
@@ -199,6 +203,11 @@ def main(argv=None):
             stats = zip_pair(args.input, args.input2[0], out, vb_size=vb,
                              show_stats=args.stats, reference=args.reference,
                              optimize=args.optimize)
+        elif args.hosts and args.hosts > 1:
+            from .parallel.multihost import zip_file_multihost
+            zip_file_multihost(args.input, out, n_procs=args.hosts,
+                               vb_size=vb)
+            stats = None
         else:
             stats = zip_file(args.input, out, dt_name=args.dt, vb_size=vb,
                              show_stats=args.stats, reference=args.reference,
