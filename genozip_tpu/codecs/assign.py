@@ -89,7 +89,11 @@ def _strided_sample(a: np.ndarray, size: int) -> bytes:
 # reference measures real time (codec.c:175-349) and accepts the
 # nondeterminism; we trade exact reference behavior for reproducibility.
 SPEED_MBPS = {NONE: 20000.0, RANS0: 140.0, RANS1: 90.0, PACK0: 300.0,
-              PACK1: 250.0, ZLIB: 60.0, BZ2: 14.0, LZMA: 7.0, ACGT: 200.0,
+              PACK1: 250.0, ZLIB: 60.0, BZ2: 14.0,
+              # measured 0.9-2.1 MB/s on genomic text at preset 6 — the
+              # old 7.0 understated the penalty ~4x and let LZMA take
+              # streams it couldn't afford
+              LZMA: 2.0, ACGT: 200.0,
               DELTA_RANS: 130.0, RLE0: 200.0, DOMQ: 130.0, STRIPE4: 80.0,
               # measured on the AVX-512 host (bucket-start decode search):
               # the scalar adaptive coder must EARN its time over SIMD rANS

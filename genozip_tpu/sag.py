@@ -403,38 +403,45 @@ class SagStore:
              ragged.itoa(self.mapq[idx]), ragged.itoa(self.nm[idx])],
             sep_after=[b",", b",", b",", b",", b",", b";"])
 
-    def _flat_positions(self, offsets: np.ndarray, idx: np.ndarray):
-        lens = (offsets[1:] - offsets[:-1])[idx]
-        total = int(lens.sum())
-        pos = ragged.arange(total) - np.repeat(
-            np.concatenate([[0], np.cumsum(lens)])[:-1], lens)
-        return np.repeat(offsets[:-1][idx], lens) + pos, lens
+    def _seq_flat(self) -> np.ndarray:
+        """Whole-store SEQ as ASCII, unpacked ONCE and cached — per-batch
+        random access then rides native gather_ranges instead of per-byte
+        index math (the r5 PIZ profile's _flat_positions hotspot). The
+        2-bit + exception layout stays the at-rest representation."""
+        c = getattr(self, "_seq_flat_c", None)
+        if c is None:
+            from .ops import pack as packops
+            total = int(self.seq_offsets[-1])
+            c = packops.seq_unpack_2bit(self.seq_packed, total,
+                                        self.seq_exc_pos,
+                                        self.seq_exc_bytes)
+            self._seq_flat_c = c
+        return c
+
+    def _qual_flat(self) -> np.ndarray:
+        c = getattr(self, "_qual_flat_c", None)
+        if c is None:
+            if self.qual_pal is None:
+                c = self.qual_packed
+            else:
+                from .ops import pack as packops
+                total = int(self.qual_offsets[-1])
+                c = self.qual_pal[packops.unpack_np(self.qual_packed,
+                                                    self.qual_width, total)]
+            self._qual_flat_c = c
+        return c
 
     def seq_rows(self, idx: np.ndarray) -> Col:
-        """Materialize SEQ for the requested rows from the 2-bit store."""
-        flat, lens = self._flat_positions(self.seq_offsets, idx)
-        from .ops import pack as packops
-        codes = (self.seq_packed[flat >> 2] >> ((flat & 3) * 2)) & 3
-        out = packops.ACGT[codes]
-        if self.seq_exc_pos.shape[0] and flat.shape[0]:
-            at = np.searchsorted(self.seq_exc_pos, flat)
-            hit = (at < self.seq_exc_pos.shape[0]) & \
-                (self.seq_exc_pos[np.minimum(
-                    at, self.seq_exc_pos.shape[0] - 1)] == flat)
-            out[hit] = self.seq_exc_bytes[at[hit]]
-        return Col(out, np.concatenate([[0], np.cumsum(lens)]))
+        """Materialize SEQ for the requested rows (native ranged gather
+        over the lazily-unpacked flat store)."""
+        off = self.seq_offsets
+        return ragged.gather_ranges(self._seq_flat(), off[:-1][idx],
+                                    off[1:][idx] - off[:-1][idx])
 
     def qual_rows(self, idx: np.ndarray) -> Col:
-        flat, lens = self._flat_positions(self.qual_offsets, idx)
-        if self.qual_pal is None:
-            out = self.qual_packed[flat]
-        else:
-            w = self.qual_width
-            per = 8 // w
-            codes = (self.qual_packed[flat // per]
-                     >> ((flat % per).astype(np.uint8) * w)) & ((1 << w) - 1)
-            out = self.qual_pal[codes]
-        return Col(out, np.concatenate([[0], np.cumsum(lens)]))
+        off = self.qual_offsets
+        return ragged.gather_ranges(self._qual_flat(), off[:-1][idx],
+                                    off[1:][idx] - off[:-1][idx])
 
     def lookup(self, qname: Col, flag: np.ndarray) -> np.ndarray:
         from .deep import cols_equal_rows
