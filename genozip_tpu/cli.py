@@ -97,6 +97,14 @@ def build_parser():
     c.add_argument("-r", "--regions", default=None,
                    help="chr[:start-end][,...] region filter")
     c.add_argument("--no-header", action="store_true")
+    c.add_argument("--header-only", action="store_true",
+                   help="emit only the txt header (genocat --header-only)")
+    c.add_argument("--seq-only", action="store_true",
+                   help="one SEQ line per record (genocat --seq-only)")
+    c.add_argument("--qual-only", action="store_true",
+                   help="one QUAL line per record (genocat --qual-only)")
+    c.add_argument("--one-vb", type=int, default=None,
+                   help="reconstruct a single VB (genocat --one-vb)")
     c.add_argument("--bases", default=None,
                    help="keep reads whose SEQ uses only these IUPAC chars "
                         "(^ prefix negates; reference --bases)")

@@ -113,10 +113,40 @@ def cat_filtered(args, out):
                 return False
             return base_pred(rec) if base_pred is not None else True
 
+    if getattr(args, "header_only", False):
+        # genocat --header-only (flags.h): just the txt header
+        hdr = pr.txt_header(0)
+        if hdr:
+            out.write(hdr)
+        pr.close()
+        return
+    if getattr(args, "one_vb", None):
+        # genocat --one-vb (flags.h): reconstruct a single VB
+        plan = [it for it in plan
+                if getattr(it, "vb_i", None) == args.one_vb
+                or it.kind == wp.DRAIN_VB and it.vb_i < args.one_vb]
+    transform = None
+    proj = ("seq" if getattr(args, "seq_only", False) else
+            "qual" if getattr(args, "qual_only", False) else None)
+    if proj is not None:
+        # genocat --seq-only / --qual-only (flags.h): one line per record
+        fi = {"fastq": {"seq": 1, "qual": 3},
+              "sam": {"seq": 9, "qual": 10}}.get(dt_name)
+        assert fi is not None, f"--{proj}-only: unsupported for {dt_name}"
+        k = fi[proj]
+
+        def transform(rec: bytes) -> bytes | None:
+            if dt_name == "fastq":
+                parts = rec.split(b"\n")
+                return parts[k] + b"\n" if len(parts) > k else None
+            cols = rec.rstrip(b"\n").split(b"\t")
+            return cols[k] + b"\n" if len(cols) > k else None
     wp.execute_plan(pr, plan, out, lines_per_rec=lines_per_rec,
                     predicate=predicate, head=head, tail=tail,
                     count_only=count_only, line_filter=line_filter,
-                    no_header=getattr(args, "no_header", False))
+                    no_header=getattr(args, "no_header", False)
+                    or proj is not None,
+                    transform=transform)
     pr.close()
 
 

@@ -180,14 +180,15 @@ class PizReader:
                     continue
                 if order == 0 and len(idxs) >= 4:
                     # v6 stacked-state kernel: R streams decode
-                    # CONCURRENTLY (1.16 GB/s agg at R=16 on v5e);
-                    # size-sorted chunks keep lane-block counts similar
-                    # within a launch
+                    # CONCURRENTLY (1.16 GB/s agg at R=16, 1.62 at R=32 on
+                    # v5e); size-sorted chunks keep lane-block counts
+                    # similar within a launch
                     srt = sorted(idxs,
                                  key=lambda i: -raws[i][3]["uncomp_len"])
-                    for j in range(0, len(srt), 16):
-                        chunk = srt[j:j + 16]
-                        R = 16 if len(chunk) > 8 else 8
+                    for j in range(0, len(srt), 32):
+                        chunk = srt[j:j + 32]
+                        R = 32 if len(chunk) > 16 else \
+                            (16 if len(chunk) > 8 else 8)
                         outs = rans_pallas.decode_many_v6(
                             [raws[i][2] for i in chunk], R=R)
                         for i, o in zip(chunk, outs):

@@ -175,10 +175,12 @@ def vb_record_counts(pr, plan):
 def execute_plan(pr, plan, out, lines_per_rec: int = 1, predicate=None,
                  head: int | None = None, tail: int | None = None,
                  count_only: bool = False, line_filter=None,
-                 no_header: bool = False):
+                 no_header: bool = False, transform=None):
     """The writer loop (src/writer.c:1203 writer_main_loop role): consume
     plan items in order, apply per-record predicates, honor the head
-    budget, buffer for tail-after-predicates, count or emit."""
+    budget, buffer for tail-after-predicates, count or emit. `transform`
+    maps each emitted record (the genocat projection role: --seq-only /
+    --qual-only, flags.h)."""
     emitted = 0
     tail_buf = []
     from .utils import ragged
@@ -186,6 +188,10 @@ def execute_plan(pr, plan, out, lines_per_rec: int = 1, predicate=None,
     def emit(rec: bytes) -> bool:
         """Returns False when the head budget is exhausted."""
         nonlocal emitted
+        if transform is not None:
+            rec = transform(rec)
+            if rec is None:
+                return True
         if tail is not None:
             tail_buf.append(rec)
             if len(tail_buf) > tail:
@@ -226,7 +232,7 @@ def execute_plan(pr, plan, out, lines_per_rec: int = 1, predicate=None,
             whole = (it.start == 0 and it.end is None and it.step == 1
                      and predicate is None and head is None
                      and tail is None and not count_only
-                     and line_filter is None)
+                     and line_filter is None and transform is None)
             if whole:
                 out.write(buf)
                 continue

@@ -305,3 +305,50 @@ def test_qnames_and_lines_filters(tmp_path):
     got = run(lines="5-8")
     assert got.count(b"@read") == 4 and b"@read4 " in got and b"@read7 " in got
     assert run(lines="49-") .count(b"@read") == 2
+
+
+def test_cat_projections_and_one_vb(tmp_path):
+    """genocat --seq-only / --qual-only / --header-only / --one-vb
+    (flags.h projection options)."""
+    import io
+    import os
+    import numpy as np
+    from genozip_tpu.zip_pipeline import zip_file
+    from genozip_tpu.filters import cat_filtered
+    rng = np.random.default_rng(4)
+    rows = []
+    for i in range(600):
+        s = rng.choice(np.frombuffer(b"ACGT", np.uint8), 50)
+        q = (rng.integers(5, 40, 50) + 33).astype(np.uint8)
+        rows.append(b"@p%d\n%s\n+\n%s\n" % (i, s.tobytes(), q.tobytes()))
+    src = os.path.join(str(tmp_path), "p.fastq")
+    open(src, "wb").write(b"".join(rows))
+    z = src + ".gxz"
+    zip_file(src, z, vb_size=16 * 1024)
+
+    class A:
+        input = z
+        head = tail = grep = downsample = lines = qnames = bases = None
+        regions = None
+        count = False
+        no_header = False
+        header_only = seq_only = qual_only = False
+        one_vb = None
+    a = A()
+    a.seq_only = True
+    buf = io.BytesIO()
+    cat_filtered(a, buf)
+    seqs = buf.getvalue().split(b"\n")[:-1]
+    assert len(seqs) == 600 and all(len(s) == 50 for s in seqs)
+    assert seqs[0] == rows[0].split(b"\n")[1]
+    a2 = A()
+    a2.qual_only = True
+    buf = io.BytesIO()
+    cat_filtered(a2, buf)
+    quals = buf.getvalue().split(b"\n")[:-1]
+    assert quals[5] == rows[5].split(b"\n")[3]
+    a3 = A()
+    a3.one_vb = 1
+    a3.count = True
+    buf = io.BytesIO()
+    cat_filtered(a3, buf)   # count path: just must not crash, VB subset
