@@ -132,6 +132,11 @@ def get():
                                                ctypes.c_int64, ctypes.c_void_p,
                                                ctypes.c_void_p, ctypes.c_void_p,
                                                ctypes.c_void_p, ctypes.c_void_p]
+            lib.gxz_join_cells.restype = None
+            lib.gxz_join_cells.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                           ctypes.c_void_p, ctypes.c_int64,
+                                           ctypes.c_uint8, ctypes.c_void_p,
+                                           ctypes.c_void_p]
             lib.gxz_int_list_parse.restype = None
             lib.gxz_int_list_parse.argtypes = [ctypes.c_void_p,
                                                ctypes.c_void_p,
@@ -488,6 +493,24 @@ def int_list_stats(data: np.ndarray, offsets: np.ndarray):
                            sums.ctypes.data, m1.ctypes.data, m2.ctypes.data,
                            nv.ctypes.data, ok.ctypes.data)
     return sums, m1, m2, nv, ok.astype(bool)
+
+
+def join_cells(data: np.ndarray, offsets: np.ndarray, nsub: np.ndarray,
+               sep: int):
+    """Join consecutive ragged subfields into cells with `sep` between
+    them; returns (out bytes, cell offsets (C+1,))."""
+    lib = get()
+    C = nsub.shape[0]
+    data = np.ascontiguousarray(data)
+    offsets = np.ascontiguousarray(offsets, np.int64)
+    nsub32 = np.ascontiguousarray(nsub, np.int32)
+    total = int(offsets[-1]) + int(np.maximum(nsub - 1, 0).sum())
+    out = np.empty(max(total, 1), np.uint8)
+    cell_off = np.empty(C + 1, np.int64)
+    lib.gxz_join_cells(data.ctypes.data, offsets.ctypes.data,
+                       nsub32.ctypes.data, C, sep, out.ctypes.data,
+                       cell_off.ctypes.data)
+    return out[:total], cell_off
 
 
 def int_list_parse(data: np.ndarray, offsets: np.ndarray):

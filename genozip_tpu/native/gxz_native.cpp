@@ -889,6 +889,29 @@ void gxz_int_list_stats(const uint8_t* data, const int64_t* offsets,
 }
 
 // ---------------------------------------------------------------------------
+// Join consecutive ragged subfields into cells with a separator: cell i is
+// subs[first..first+nsub[i]) joined by `sep` (the VCF sample-matrix ':'
+// glue, vcf_samples.c reconstruction role).  out must be pre-sized to
+// sum(lens) + sum(max(nsub-1,0)); cell_off gets C+1 offsets.
+// ---------------------------------------------------------------------------
+void gxz_join_cells(const uint8_t* data, const int64_t* offsets,
+                    const int32_t* nsub, int64_t C, uint8_t sep,
+                    uint8_t* out, int64_t* cell_off) {
+    int64_t w = 0, s = 0;
+    cell_off[0] = 0;
+    for (int64_t i = 0; i < C; i++) {
+        int32_t k = nsub[i];
+        for (int32_t j = 0; j < k; j++, s++) {
+            int64_t len = offsets[s + 1] - offsets[s];
+            memcpy(out + w, data + offsets[s], (size_t)len);
+            w += len;
+            if (j + 1 < k) out[w++] = sep;
+        }
+        cell_off[i + 1] = w;
+    }
+}
+
+// ---------------------------------------------------------------------------
 // Flat parse of strict comma-int lists (same keep-rules as
 // gxz_int_list_stats): values of OK rows written consecutively to `vals`,
 // nvals[i] = count for OK rows else 0.  total[0] = values written.  `vals`

@@ -241,3 +241,34 @@ def test_optimize_sam_and_bam(tmp_path):
         for c in qual:
             assert c == 0xFF or (c < 94 and c == RAW[c])
         p += 4 + bs
+
+
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("dt", ["vcf", "sam", "gff", "bed", "fastq",
+                                 "fasta", "generic"])
+def test_garbage_input_never_corrupts(tmp_path, dt):
+    """Random bytes forced through each datatype must either round-trip
+    byte-exactly (exception channels) or fail cleanly — never produce
+    silently different output (the ASSSEG/exception-row culture)."""
+    import os
+    import numpy as np
+    from genozip_tpu.zip_pipeline import zip_file
+    from genozip_tpu.piz_pipeline import piz_file
+    rng = np.random.default_rng(hash(dt) % (2**32))
+    # printable-ish garbage with newlines and tabs sprinkled in
+    raw = rng.integers(32, 127, 60000).astype(np.uint8)
+    raw[rng.integers(0, raw.shape[0], 1500)] = ord("\n")
+    raw[rng.integers(0, raw.shape[0], 800)] = ord("\t")
+    data = raw.tobytes()
+    src = os.path.join(str(tmp_path), f"g.{dt}.txt")
+    open(src, "wb").write(data)
+    z = src + ".gxz"
+    try:
+        zip_file(src, z, dt_name=dt, vb_size=16 * 1024)
+        piz_file(z, src + ".out")
+    except Exception:
+        return   # clean refusal is acceptable
+    assert open(src + ".out", "rb").read() == data, \
+        f"{dt}: garbage input silently corrupted"
