@@ -485,7 +485,9 @@ def bench_piz(path, runs=2, reference=None):
     return sz / 1e6 / best
 
 
-def proxy_ratios(path, cap=24 << 20):
+def proxy_ratios(path, cap=1 << 30):
+    # WHOLE-file proxies: a positional cap lies when content varies along
+    # the file (corpus v2 alternates qname flavors by block)
     import zlib
     import bz2
     import lzma

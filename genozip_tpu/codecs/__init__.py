@@ -36,11 +36,14 @@ STRIPE4 = 12  # 4-byte-plane transpose then order-1 rANS (u32/f32 arrays)
 ARITH0 = 13   # wide-interleaved adaptive range coder, order-0
 ARITH1 = 14   # order-1 (context = previous byte)
 BWT = 15      # block-sorting (BSC role): vectorized BWT + adaptive coder
+ACGT_LZ = 16  # 2-bit pack + LZMA-1 over the packed stream: repeat-family
+              # genomes give LZ matches the entropy stage can't see
+              # (codec_acgt.c's pack + sub-codec shape, LZ sub-codec)
 
 NAMES = {NONE: "NONE", RANS0: "RANS0", RANS1: "RANS1", PACK0: "PACK0",
          PACK1: "PACK1", ZLIB: "ZLIB", BZ2: "BZ2", LZMA: "LZMA", ACGT: "ACGT",
          DELTA_RANS: "DELTA", RLE0: "RLE0", DOMQ: "DOMQ", STRIPE4: "STRIPE4",
-         ARITH0: "ARITH0", ARITH1: "ARITH1", BWT: "BWT"}
+         ARITH0: "ARITH0", ARITH1: "ARITH1", BWT: "BWT", ACGT_LZ: "ACGTLZ"}
 
 # toggled by the pipeline: use the JAX (device) rANS for large payloads
 _JAX_MIN_SIZE = 1 << 62   # effectively disabled until enabled
@@ -286,14 +289,15 @@ def _pack_decode(blob) -> bytes:
     return syms[codes].tobytes()
 
 
-def _acgt_encode(data: bytes) -> bytes:
+def _acgt_encode(data: bytes, packed_lz: bool = False) -> bytes:
     a = np.frombuffer(data, np.uint8)
     from .. import native
     if native.available():
         packed, exc_pos, exc_bytes = native.acgt_pack(a)
     else:
         packed, exc_pos, exc_bytes = packops.seq_pack_2bit(a)
-    p = _rans_encode(packed.tobytes(), 0)
+    p = _lzma.compress(packed.tobytes(), preset=1) if packed_lz \
+        else _rans_encode(packed.tobytes(), 0)
     e_pos = _rans_encode(np.diff(exc_pos, prepend=np.uint32(0)).astype("<u4").tobytes(), 0)
     e_b = _rans_encode(exc_bytes.tobytes(), 0)
     head = len(a).to_bytes(8, "little") + len(exc_pos).to_bytes(8, "little") + \
@@ -301,14 +305,16 @@ def _acgt_encode(data: bytes) -> bytes:
     return head + p + e_pos + e_b
 
 
-def _acgt_decode(blob) -> bytes:
+def _acgt_decode(blob, packed_lz: bool = False) -> bytes:
     blob = memoryview(blob)
     n = int.from_bytes(blob[0:8], "little")
     ne = int.from_bytes(blob[8:16], "little")
     lp = int.from_bytes(blob[16:24], "little")
     lep = int.from_bytes(blob[24:32], "little")
     off = 32
-    packed = np.frombuffer(_rans_decode(blob[off:off + lp]), np.uint8)
+    packed = np.frombuffer(
+        _lzma.decompress(bytes(blob[off:off + lp])) if packed_lz
+        else _rans_decode(blob[off:off + lp]), np.uint8)
     off += lp
     exc_pos = np.cumsum(np.frombuffer(_rans_decode(blob[off:off + lep]), "<u4")[:ne].astype(np.int64))
     off += lep
@@ -435,6 +441,8 @@ def compress(data: bytes, codec: int) -> bytes:
         return _lzma.compress(bytes(data), preset=6)
     if codec == ACGT:
         return _acgt_encode(data)
+    if codec == ACGT_LZ:
+        return _acgt_encode(data, packed_lz=True)
     if codec == DELTA_RANS:
         return _delta_encode(data)
     if codec == RLE0:
@@ -472,6 +480,8 @@ def decompress(blob, codec: int, uncomp_len: int) -> bytes:
         out = _lzma.decompress(bytes(blob))
     elif codec == ACGT:
         out = _acgt_decode(blob)
+    elif codec == ACGT_LZ:
+        out = _acgt_decode(blob, packed_lz=True)
     elif codec == DELTA_RANS:
         out = _delta_decode(blob)
     elif codec == RLE0:

@@ -14,7 +14,8 @@ ZIP-side global context state.
 import numpy as np
 
 from . import (NONE, RANS0, RANS1, PACK0, PACK1, ZLIB, BZ2, LZMA, ACGT,
-               DELTA_RANS, RLE0, DOMQ, STRIPE4, ARITH0, ARITH1, compress)
+               ACGT_LZ, DELTA_RANS, RLE0, DOMQ, STRIPE4, ARITH0, ARITH1,
+               compress)
 
 SAMPLE_SIZE = 64 * 1024
 MIN_SIZE_TO_COMPRESS = 64
@@ -39,8 +40,12 @@ def candidates_for(data: np.ndarray, category: str):
     cands = [RANS0, RANS1]
     if category == "seq":
         # LZMA only in 'best': the reference's own ACGT verdict
-        # (codec_acgt.c:15 "25X faster than LZMA, slightly better ratio")
-        cands = [ACGT, RANS1] if _mode != "best" else [ACGT, RANS1, LZMA]
+        # (codec_acgt.c:15 "25X faster than LZMA, slightly better ratio").
+        # ACGT_LZ rides in normal mode: on repeat-family genomes LZ
+        # matches in the packed domain buy ~25% the entropy stage can't
+        # see; the speed-penalty model gates it on non-repetitive seq
+        cands = [ACGT, ACGT_LZ, RANS1] if _mode != "best" \
+            else [ACGT, ACGT_LZ, RANS1, LZMA]
     elif category == "qual":
         cands = [RANS1, ARITH1, RANS0]
         if nuniq is not None and nuniq <= 16:
@@ -61,7 +66,8 @@ def candidates_for(data: np.ndarray, category: str):
         # PBWT output is long runs: RLE first, entropy coders as backstop
         cands = [RLE0, RANS1, PACK1, RANS0]
     if _mode == "fast":
-        cands = [c for c in cands if c not in (BZ2, LZMA)][:2] or cands[:1]
+        cands = [c for c in cands
+                 if c not in (BZ2, LZMA, ACGT_LZ)][:2] or cands[:1]
     elif _mode == "best":
         from . import BWT
         for extra in (BZ2, LZMA, ZLIB, BWT):
@@ -93,7 +99,7 @@ SPEED_MBPS = {NONE: 20000.0, RANS0: 140.0, RANS1: 90.0, PACK0: 300.0,
               # measured 0.9-2.1 MB/s on genomic text at preset 6 — the
               # old 7.0 understated the penalty ~4x and let LZMA take
               # streams it couldn't afford
-              LZMA: 2.0, ACGT: 200.0,
+              LZMA: 2.0, ACGT: 200.0, ACGT_LZ: 15.0,
               DELTA_RANS: 130.0, RLE0: 200.0, DOMQ: 130.0, STRIPE4: 80.0,
               # measured on the AVX-512 host (bucket-start decode search):
               # the scalar adaptive coder must EARN its time over SIMD rANS

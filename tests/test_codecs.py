@@ -162,3 +162,29 @@ def test_bwt_multiblock_roundtrip():
     assert bwt.decompress(blob) == data
     small = bytes(rng.integers(0, 9, 5000, np.uint8))
     assert bwt.decompress(bwt.compress(small, RANS1)) == small
+
+
+def test_acgt_lz_roundtrip_and_assignment():
+    """ACGT_LZ (2-bit pack + LZ over the packed stream): byte-exact, and
+    the assigner picks it on repeat-heavy sequence where LZ matches beat
+    the entropy floor by more than the speed penalty."""
+    import numpy as np
+    from genozip_tpu import codecs
+    from genozip_tpu.codecs import assign as codec_assign
+    rng = np.random.default_rng(3)
+    acgt = np.frombuffer(b"ACGT", np.uint8)
+    # ~50% of the stream is copies of a few 400bp prototypes
+    protos = [rng.choice(acgt, 400) for _ in range(4)]
+    parts = []
+    for _ in range(4000):
+        if rng.random() < 0.5:
+            parts.append(protos[int(rng.integers(0, 4))])
+        else:
+            parts.append(rng.choice(acgt, 400))
+    seq = np.concatenate(parts)
+    seq[rng.integers(0, seq.shape[0], 50)] = ord("N")   # exception channel
+    data = seq.tobytes()
+    blob = codecs.compress(data, codecs.ACGT_LZ)
+    assert codecs.decompress(blob, codecs.ACGT_LZ, len(data)) == data
+    assert len(blob) < len(codecs.compress(data, codecs.ACGT)) * 0.75
+    assert codec_assign.assign_best(data, "seq") == codecs.ACGT_LZ
