@@ -252,11 +252,29 @@ def load_ref_file(path: str, cache: bool = True) -> RefGenome:
     cache across processes; here an mmap'd sidecar shared by the OS page
     cache). GXZ_NO_REF_CACHE=1 disables."""
     import os
+    import time as _time
     if cache and not os.environ.get("GXZ_NO_REF_CACHE"):
         cpath = path + ".cache"
+        # eviction (src/ref_cache.c:30-123 auto-eviction role): sibling
+        # caches idle past the TTL are reclaimed; each use refreshes the
+        # cache's mtime, which doubles as the last-used stamp
+        ttl_s = float(os.environ.get("GXZ_REF_CACHE_TTL_H", "168")) * 3600
+        try:
+            d = os.path.dirname(os.path.abspath(path)) or "."
+            now = _time.time()
+            for nm in os.listdir(d):
+                if not nm.endswith(".cache"):
+                    continue
+                fp = os.path.join(d, nm)
+                if fp != os.path.abspath(cpath) and \
+                        now - os.path.getmtime(fp) > ttl_s:
+                    os.unlink(fp)
+        except OSError:
+            pass
         try:
             src_m = os.path.getmtime(path)
             if os.path.exists(cpath) and os.path.getmtime(cpath) >= src_m:
+                os.utime(cpath)   # last-used stamp (stays >= src mtime)
                 return _load_ref_cache(path, cpath)
         except OSError:
             pass

@@ -89,3 +89,33 @@ def test_used_ranges_merging():
     assert total <= 3 * refstore.RefGenome.BLOCK
     # blocks 0 and 1 are adjacent -> merged; 40000 stands alone
     assert len(rngs) == 2
+
+
+def test_ref_cache_eviction_and_touch(tmp_path, monkeypatch):
+    """Sidecar caches idle past the TTL are reclaimed on the next ref load;
+    each use refreshes the last-used stamp (ref_cache.c auto-eviction)."""
+    import os
+    import time
+    import numpy as np
+    from genozip_tpu.ref.refstore import make_reference, load_ref_file
+    rng = np.random.default_rng(2)
+    fa = os.path.join(str(tmp_path), "g.fa")
+    open(fa, "wb").write(
+        b">c1\n" + rng.choice(np.frombuffer(b"ACGT", np.uint8),
+                              200000).tobytes() + b"\n")
+    ref_p = os.path.join(str(tmp_path), "g.ref.gxz")
+    make_reference(fa, ref_p)
+    load_ref_file(ref_p)             # creates the cache
+    cpath = ref_p + ".cache"
+    assert os.path.exists(cpath)
+    # a stale sibling cache gets evicted
+    stale = os.path.join(str(tmp_path), "old.ref.gxz.cache")
+    open(stale, "wb").write(b"junk")
+    old = time.time() - 10 * 24 * 3600
+    os.utime(stale, (old, old))
+    m_before = os.path.getmtime(cpath)
+    os.utime(cpath, (old + 9 * 24 * 3600, old + 9 * 24 * 3600))
+    time.sleep(0.02)
+    load_ref_file(ref_p)
+    assert not os.path.exists(stale), "stale sibling cache not evicted"
+    assert os.path.getmtime(cpath) > m_before - 1, "use must touch the cache"
