@@ -105,6 +105,10 @@ def build_parser():
                    help="one QUAL line per record (genocat --qual-only)")
     c.add_argument("--one-vb", type=int, default=None,
                    help="reconstruct a single VB (genocat --one-vb)")
+    c.add_argument("--r1", action="store_true",
+                   help="emit only R1 of a paired archive (genocat --R1)")
+    c.add_argument("--r2", action="store_true",
+                   help="emit only R2 of a paired archive (genocat --R2)")
     c.add_argument("--bases", default=None,
                    help="keep reads whose SEQ uses only these IUPAC chars "
                         "(^ prefix negates; reference --bases)")

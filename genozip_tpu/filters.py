@@ -62,8 +62,15 @@ def cat_filtered(args, out):
         line_filter = lambda buf: regions_mod.filter_lines(buf, dt_name,
                                                            regions)
 
-    # the recon plan: full file minus region-skipped VBs
-    plan = wp.build_plan(pr, 0, regions=regions, ra=ra)
+    # the recon plan: full file minus region-skipped VBs; --r1/--r2 pick
+    # one component of a paired archive (genocat --R1/--R2, flags.h)
+    comp_i = 0
+    if getattr(args, "r2", False):
+        assert pr.file_hdr.get("pair"), "--r2 needs a paired archive"
+        comp_i = 1
+    elif getattr(args, "r1", False):
+        assert pr.file_hdr.get("pair"), "--r1 needs a paired archive"
+    plan = wp.build_plan(pr, comp_i, regions=regions, ra=ra)
 
     # content predicate (the vb->drop_curr_line role)
     def content_pred(rec: bytes) -> bool:

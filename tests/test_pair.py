@@ -75,3 +75,42 @@ def test_pair_no_reference(tmp_path):
     piz_file(z, out)
     assert open(out + ".1", "rb").read() == d1
     assert open(out + ".2", "rb").read() == d2
+
+
+def test_cat_r1_r2_components(tmp_path):
+    """genocat --R1/--R2 (flags.h): emit one component of a pair archive."""
+    import io
+    import os
+    import numpy as np
+    from genozip_tpu.zip_pipeline import zip_pair
+    from genozip_tpu.filters import cat_filtered
+    rng = np.random.default_rng(8)
+    acgt = np.frombuffer(b"ACGT", np.uint8)
+    r1rows, r2rows = [], []
+    for i in range(500):
+        s1 = rng.choice(acgt, 80).tobytes()
+        s2 = rng.choice(acgt, 80).tobytes()
+        q = (rng.integers(5, 40, 80) + 33).astype(np.uint8).tobytes()
+        r1rows.append(b"@pr%d/1\n%s\n+\n%s\n" % (i, s1, q))
+        r2rows.append(b"@pr%d/2\n%s\n+\n%s\n" % (i, s2, q))
+    p1 = os.path.join(str(tmp_path), "r1.fastq")
+    p2 = os.path.join(str(tmp_path), "r2.fastq")
+    open(p1, "wb").write(b"".join(r1rows))
+    open(p2, "wb").write(b"".join(r2rows))
+    z = os.path.join(str(tmp_path), "pp.gxz")
+    zip_pair(p1, p2, z, vb_size=32 * 1024)
+
+    class A:
+        input = z
+        head = tail = grep = downsample = lines = qnames = bases = None
+        regions = None
+        count = no_header = header_only = seq_only = qual_only = False
+        one_vb = None
+        reference = None
+        r1 = r2 = False
+    a = A(); a.r1 = True
+    buf = io.BytesIO(); cat_filtered(a, buf)
+    assert buf.getvalue() == b"".join(r1rows)
+    b = A(); b.r2 = True
+    buf = io.BytesIO(); cat_filtered(b, buf)
+    assert buf.getvalue() == b"".join(r2rows)
